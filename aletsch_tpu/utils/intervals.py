@@ -1,0 +1,165 @@
+"""Coverage maps as coordinate-compressed difference arrays.
+
+The reference leans on boost::icl interval maps for read coverage
+(/root/reference/rnacore/interval_map.{h,cc}).  A TPU-native design wants flat
+arrays instead of balanced trees: we record (pos, +w)/(pos, -w) events and
+lazily compress them into sorted breakpoints + per-segment values.  This
+reproduces split_interval_map semantics exactly:
+
+* every inserted endpoint is a segment border (split maps never re-join),
+* segments whose accumulated value is 0 are absent from the map,
+* boundary queries [x, y) return the *fully contained* present segments,
+  matching locate_boundary_iterators (interval_map.cc:70-87).
+
+All segment queries are O(log n) + O(segments) on numpy arrays, and the
+finalized arrays are directly consumable by batched JAX kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from bisect import bisect_left, bisect_right
+
+
+class CoverageMap:
+    """Integer-weighted coverage map over int32 genomic coordinates."""
+
+    __slots__ = ("_events", "_bps", "_vals", "_dirty")
+
+    def __init__(self):
+        self._events = []          # list of (pos, delta)
+        self._bps = np.empty(0, dtype=np.int64)    # breakpoints, len = S+1
+        self._vals = np.empty(0, dtype=np.int64)   # per-segment value, len = S
+        self._dirty = False
+
+    def add(self, l: int, r: int, w: int = 1):
+        """mmap += ([l, r), w); negative w subtracts."""
+        if l >= r or w == 0:
+            return
+        self._events.append((l, w))
+        self._events.append((r, -w))
+        self._dirty = True
+
+    def add_many(self, ls, rs, ws=None):
+        if ws is None:
+            ws = np.ones(len(ls), dtype=np.int64)
+        for l, r, w in zip(ls, rs, ws):
+            self.add(int(l), int(r), int(w))
+
+    def clear(self):
+        self._events.clear()
+        self._bps = np.empty(0, dtype=np.int64)
+        self._vals = np.empty(0, dtype=np.int64)
+        self._dirty = False
+
+    def combine(self, other: "CoverageMap"):
+        """mmap += other (bundle::combine, meta/bundle.cc:102-103)."""
+        self._events.extend(other._events)
+        self._dirty = True
+
+    # ------------------------------------------------------------------ build
+    def _build(self):
+        if not self._dirty:
+            return
+        self._dirty = False
+        if not self._events:
+            self._bps = np.empty(0, dtype=np.int64)
+            self._vals = np.empty(0, dtype=np.int64)
+            return
+        ev = np.asarray(self._events, dtype=np.int64)
+        pos = ev[:, 0]
+        dlt = ev[:, 1]
+        order = np.argsort(pos, kind="stable")
+        pos = pos[order]
+        dlt = dlt[order]
+        # aggregate deltas at identical breakpoints
+        bps, idx = np.unique(pos, return_index=True)
+        agg = np.add.reduceat(dlt, idx)
+        vals = np.cumsum(agg)[:-1]          # value of segment [bps[i], bps[i+1])
+        self._bps = bps
+        self._vals = vals
+
+    @property
+    def segments(self):
+        """(l, r, v) arrays of *present* (nonzero) segments."""
+        self._build()
+        if self._bps.size == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        l = self._bps[:-1]
+        r = self._bps[1:]
+        m = self._vals != 0
+        return l[m], r[m], self._vals[m]
+
+    def __bool__(self):
+        l, _, _ = self.segments
+        return l.size > 0
+
+    # ---------------------------------------------------------------- queries
+    def find_value(self, p: int) -> int:
+        """Value covering position p; 0 if absent (compute_overlap)."""
+        self._build()
+        if self._bps.size == 0:
+            return 0
+        i = int(np.searchsorted(self._bps, p, side="right")) - 1
+        if i < 0 or i >= self._vals.size:
+            return 0
+        return int(self._vals[i])
+
+    def contains(self, p: int) -> bool:
+        return self.find_value(p) != 0
+
+    def contained(self, x: int, y: int):
+        """Present segments fully inside [x, y] (locate_boundary_iterators)."""
+        l, r, v = self.segments
+        if l.size == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        a = int(np.searchsorted(l, x, side="left"))
+        b = int(np.searchsorted(r, y, side="right"))
+        if a >= b:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return l[a:b], r[a:b], v[a:b]
+
+    def evaluate_rectangle(self, ll: int, rr: int):
+        """(ave, dev, max) of coverage over [ll, rr) (interval_map.cc:166-195).
+
+        Gaps inside [ll, rr) count as zero toward the average but contribute
+        no variance term, matching the reference exactly.
+        """
+        l, r, v = self.contained(ll, rr)
+        if l.size == 0:
+            return 0.0, 1.0, 0.0
+        lens = (r - l).astype(np.float64)
+        vv = v.astype(np.float64)
+        mx = float(vv.max())
+        ave = float((lens * vv).sum() / (rr - ll))
+        var = float((lens * (vv - ave) ** 2).sum())
+        dev = float(np.sqrt(var / (rr - ll)))
+        return ave, dev, mx
+
+    def sum_overlap(self, ll: int, rr: int) -> float:
+        l, r, v = self.contained(ll, rr)
+        if l.size == 0:
+            return 0.0
+        return float(((r - l) * v).sum())
+
+    def covered_runs(self, ll: int, rr: int):
+        """Maximal runs of contained covered segments as [(p1, p2), ...].
+
+        Equivalent to region::build_join_interval_map (region.cc:34-58):
+        contained mmap segments poured into a join map coalesce when touching.
+        """
+        l, r, _ = self.contained(ll, rr)
+        runs = []
+        for i in range(l.size):
+            if runs and runs[-1][1] == l[i]:
+                runs[-1][1] = int(r[i])
+            else:
+                runs.append([int(l[i]), int(r[i])])
+        return [(a, b) for a, b in runs]
+
+    def total_covered_length(self) -> int:
+        l, r, _ = self.segments
+        return int((r - l).sum())
