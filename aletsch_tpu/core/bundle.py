@@ -1,0 +1,316 @@
+"""BundleBase: all hits of one gapless genomic window of one strand.
+
+Re-implements rnacore/bundle_base.{h,cc}: hit accumulation with consecutive
+duplicate collapsing and mate-extension of the right bound, fragment pairing
+via qname-hash buckets, phase-path construction from bridged fragments, and
+application of bridge chains back onto fragments and the coverage map.
+
+frgs entries are [h1, h2, type] with type -1 unbridgeable / 0 to-bridge /
+1 bridged-empty / 2 bridged-with-chain (bundle_base.h:38-47).
+"""
+
+from __future__ import annotations
+
+from ..constants import UNSTRANDED
+from ..utils.intervals import CoverageMap
+from ..utils.seqs import check_increasing, merge_intron_chains
+from .chain_set import ChainSet, PhaseSet
+
+MATE_EXTEND_CAP = 500000   # bundle_base.cc:92
+
+
+class BundleBase:
+    def __init__(self):
+        self.tid = -1
+        self.chrm = ""
+        self.lpos = 1 << 30
+        self.rpos = 0
+        self.strand = "."
+        self.hits = []            # list[Hit]
+        self.frgs = []            # list[[h1, h2, type]]
+        self.splices = []         # sorted unique splice positions
+        self.hcst = ChainSet()    # per-hit intron chains
+        self.fcst = ChainSet()    # per-fragment bridge chains
+        self.mmap = CoverageMap() # match coverage
+        self.imap = CoverageMap() # indel coverage
+
+    # ------------------------------------------------------------- accretion
+    def add_hit_intervals(self, ht, rec):
+        """bundle_base.cc:33-47"""
+        if self.add_hit(ht) != 0:
+            return
+        for s, p in rec.match_intervals():
+            self.mmap.add(s, p, 1)
+        for s, p in rec.indel_intervals():
+            self.imap.add(s, p, 1)
+        v = rec.extract_splices()
+        if len(v) >= 1:
+            self.hcst.add(v, len(self.hits) - 1, ht.xs)
+
+    def add_hit(self, ht):
+        """bundle_base.cc:73-104; returns -1 on consecutive duplicate."""
+        if self.hits:
+            p = self.hits[-1]
+            if p.pos == ht.pos and p.rpos == ht.rpos:
+                return -1
+        self.hits.append(ht)
+        if ht.pos < self.lpos:
+            self.lpos = ht.pos
+        p = ht.rpos
+        if ht.mpos > ht.rpos and ht.mpos <= ht.rpos + MATE_EXTEND_CAP:
+            p = ht.mpos
+        if p > self.rpos:
+            self.rpos = p
+        if self.tid == -1:
+            self.tid = ht.tid
+        if len(self.hits) <= 1:
+            self.strand = ht.strand
+        return 0
+
+    def add_borrowed_path(self, p, w):
+        """bundle_base.cc:49-71"""
+        for k in range(len(p) // 2):
+            p1, p2 = p[k * 2], p[k * 2 + 1]
+            if p1 >= 0 and p2 >= 0:
+                self.lpos = min(self.lpos, p1)
+                self.rpos = max(self.rpos, p2)
+                self.mmap.add(p1, p2, int(w))
+            elif p1 < 0 and p2 < 0:
+                self.hcst.add([-p1, -p2], -1, self.strand)
+
+    def clear(self):
+        self.tid = -1
+        self.chrm = ""
+        self.lpos = 1 << 30
+        self.rpos = 0
+        self.strand = "."
+        self.hits = []
+        self.frgs = []
+        self.splices = []
+        self.hcst = ChainSet()
+        self.fcst = ChainSet()
+        self.mmap = CoverageMap()
+        self.imap = CoverageMap()
+
+    def compute_strand(self, libtype):
+        """Vote bundle strand for unstranded libraries (bundle_base.cc:206-224)."""
+        if libtype != UNSTRANDED:
+            return
+        np = sum(1 for h in self.hits if h.xs == "+")
+        nq = sum(1 for h in self.hits if h.xs == "-")
+        if np > nq:
+            self.strand = "+"
+        elif np < nq:
+            self.strand = "-"
+        else:
+            self.strand = "."
+
+    # -------------------------------------------------------------- pairing
+    def build_fragments(self):
+        """Mate pairing by (qname-hash, pos, isize) buckets
+        (bundle_base.cc:267-323)."""
+        self.frgs = []
+        if not self.hits:
+            return
+        max_index = min(len(self.hits) + 1, 1000000)
+        paired = [False] * len(self.hits)
+        vv = [[] for _ in range(max_index)]
+        for i, h in enumerate(self.hits):
+            if h.hid < 0:
+                continue
+            k = (h.get_qhash() % max_index + h.pos % max_index
+                 + (0 - h.isize) % max_index) % max_index
+            vv[k].append(i)
+        for i, h in enumerate(self.hits):
+            if h.hid < 0 or paired[i]:
+                continue
+            k = (h.get_qhash() % max_index + h.mpos % max_index
+                 + h.isize % max_index) % max_index
+            x = -1
+            for u in vv[k]:
+                z = self.hits[u]
+                if u == i or paired[u]:
+                    continue
+                if z.pos != h.mpos:
+                    continue
+                if z.isize + h.isize != 0:
+                    continue
+                if z.qname != h.qname:
+                    continue
+                x = u
+                break
+            if x == -1:
+                continue
+            self.frgs.append([i, x, 0])
+            paired[i] = True
+            paired[x] = True
+
+    def count_unbridged(self):
+        return sum(1 for f in self.frgs if f[2] == 0)
+
+    # ------------------------------------------------------------- phase set
+    def build_phase_set(self, ps: PhaseSet, gr):
+        """bundle_base.cc:338-418"""
+        fb = [-1] * len(self.hits)
+        for i, f in enumerate(self.frgs):
+            if f[2] <= -1:
+                continue
+            h1, h2 = f[0], f[1]
+            if f[2] == 0:
+                fb[h1] = 0
+                fb[h2] = 0
+                continue
+            u1 = gr.locate_vertex(self.hits[h1].pos)
+            u2 = gr.locate_vertex(self.hits[h2].rpos - 1)
+            if u1 < 0 or u2 < 0:
+                continue
+            p1 = gr.get_vertex_info(u1).lpos
+            p2 = gr.get_vertex_info(u2).rpos
+            v1 = self.hcst.get_chain(h1)
+            v2 = self.hcst.get_chain(h2)
+            xy = []
+            if f[2] == 1:
+                ok, xy = merge_intron_chains(v1, v2)
+                if not ok:
+                    continue
+            if f[2] >= 2:
+                vv = self.fcst.get_chain(i)
+                xy = list(v1) + list(vv) + list(v2)
+            xy = [p1] + xy + [p2]
+            if not check_increasing(xy):
+                continue
+            fb[h1] = 1
+            fb[h2] = 1
+            ps.add(xy, 1)
+        for i, h in enumerate(self.hits):
+            if fb[i] >= 0 or h.hid < 0:
+                continue
+            u1 = gr.locate_vertex(h.pos)
+            u2 = gr.locate_vertex(h.rpos - 1)
+            if u1 < 0 or u2 < 0:
+                continue
+            p1 = gr.get_vertex_info(u1).lpos
+            p2 = gr.get_vertex_info(u2).rpos
+            xy = [p1] + self.hcst.get_chain(i) + [p2]
+            if not check_increasing(xy):
+                continue
+            ps.add(xy, 1)
+
+    # --------------------------------------------------------------- bridges
+    def update_bridges(self, frlist, chain, strand):
+        """Apply one bridge chain to a list of fragments
+        (bundle_base.cc:420-507).  strand is 0/1/2."""
+        cnt = 0
+        for k in frlist:
+            assert self.frgs[k][2] == 0
+            h1 = self.hits[self.frgs[k][0]]
+            h2 = self.hits[self.frgs[k][1]]
+            v1 = [h1.rpos] + list(chain) + [h2.pos]
+            if h1.rpos < h2.pos and not check_increasing(v1):
+                continue
+            cnt += 1
+            if len(chain) <= 0:
+                self.frgs[k][2] = 1
+            else:
+                s = "."
+                if h1.xs != ".":
+                    s = h1.xs
+                if h2.xs != ".":
+                    s = h2.xs
+                if h1.xs != "." and h2.xs != "." and h1.xs != h2.xs:
+                    s = "."
+                ss = "."
+                if strand == 1:
+                    ss = "+"
+                if strand == 2:
+                    ss = "-"
+                self.frgs[k][2] = 2
+                if s == ss:
+                    self.fcst.add(chain, k, ss)
+                elif s != "." and ss == ".":
+                    self.fcst.add(chain, k, s)
+                elif ss != "." and s == ".":
+                    self.fcst.add(chain, k, ss)
+                else:
+                    self.fcst.add(chain, k, ".")
+            for j in range(len(v1) // 2):
+                p1, p2 = v1[j * 2], v1[j * 2 + 1]
+                if p1 >= p2:
+                    continue
+                self.mmap.add(p1, p2, 1)
+        return cnt
+
+    def eliminate_bridge(self, k):
+        """bundle_base.cc:509-538"""
+        assert self.frgs[k][2] >= 1
+        h1 = self.hits[self.frgs[k][0]]
+        h2 = self.hits[self.frgs[k][1]]
+        chain = self.fcst.get_chain(k)
+        v1 = [h1.rpos] + chain + [h2.pos]
+        for i in range(len(v1) // 2):
+            p1, p2 = v1[i * 2], v1[i * 2 + 1]
+            if p1 >= p2:
+                continue
+            self.mmap.add(p1, p2, -1)
+        self.frgs[k][2] = -1
+        self.fcst.remove(k)
+
+    def eliminate_hit(self, k):
+        """bundle_base.cc:540-566"""
+        h1 = self.hits[k]
+        assert h1.hid >= 0
+        chain = self.hcst.get_chain(k)
+        v1 = [h1.pos] + chain + [h1.rpos]
+        for i in range(len(v1) // 2):
+            p1, p2 = v1[i * 2], v1[i * 2 + 1]
+            if p1 >= p2:
+                continue
+            self.mmap.add(p1, p2, -1)
+        h1.hid = -1
+        self.hcst.remove(k)
+
+    def filter_multialigned_hits(self):
+        """bundle_base.cc:613-679"""
+        bridged = set()
+        primary = set()
+        for f in self.frgs:
+            if f[2] <= 0:
+                continue
+            h1, h2 = self.hits[f[0]], self.hits[f[1]]
+            bridged.add(h1.qname)
+            if (h1.flag & 0x100) <= 0 and (h2.flag & 0x100) <= 0:
+                primary.add(h1.qname)
+        for f in self.frgs:
+            if f[2] >= 1:
+                continue
+            h1, h2 = f[0], f[1]
+            if self.hits[h1].qname not in primary:
+                continue
+            self.eliminate_hit(h1)
+            self.eliminate_hit(h2)
+            f[2] = -1
+        for i, f in enumerate(self.frgs):
+            if f[2] <= 0:
+                continue
+            h1, h2 = f[0], f[1]
+            if (self.hits[h1].flag & 0x100) <= 0:
+                continue
+            if (self.hits[h2].flag & 0x100) <= 0:
+                continue
+            if self.hits[h1].qname not in primary:
+                continue
+            self.eliminate_bridge(i)
+            self.eliminate_hit(h1)
+            self.eliminate_hit(h2)
+        paired = [False] * len(self.hits)
+        for f in self.frgs:
+            paired[f[0]] = True
+            paired[f[1]] = True
+        for i, h in enumerate(self.hits):
+            if paired[i]:
+                continue
+            if h.qname not in bridged:
+                continue
+            if h.hid < 0:
+                continue
+            self.eliminate_hit(i)

@@ -1,0 +1,131 @@
+"""Group unbridged fragments into pereads clusters.
+
+Re-implements rnacore/graph_cluster.{h,cc} and pereads_cluster.h: fragments
+whose mates align to identical vertex lists are grouped, then recursively
+partitioned on each of the four boundary coordinates with a max gap, yielding
+clusters with averaged bounds and shared chains.
+"""
+
+from __future__ import annotations
+
+from .essential import align_hit_to_splice_graph
+
+
+class PereadsCluster:
+    """rnacore/pereads_cluster.h:24-44"""
+    __slots__ = ("chain1", "chain2", "bounds", "extend", "frlist", "count",
+                 "hits1", "hits2")
+
+    def __init__(self):
+        self.chain1 = []
+        self.chain2 = []
+        self.bounds = [0, 0, 0, 0]
+        self.extend = [0, 0, 0, 0]
+        self.frlist = []
+        self.count = 0
+        self.hits1 = []
+        self.hits2 = []
+
+
+def build_pereads_clusters(gr, bd, max_partition_gap, store_hits=False):
+    """graph_cluster ctor + build_pereads_clusters (graph_cluster.cc:13-168)."""
+    groups, extend = _group_pereads(gr, bd)
+    vc = []
+    for g, fs in enumerate(groups):
+        _build_group_clusters(bd, fs, extend[g], max_partition_gap,
+                              store_hits, vc)
+    return vc
+
+
+def _group_pereads(gr, bd):
+    """graph_cluster.cc:28-91"""
+    findex = {}
+    groups = []
+    extend = []
+    for i, f in enumerate(bd.frgs):
+        if f[2] >= 1 or f[2] <= -1:
+            continue
+        f[2] = -1          # assume cannot be bridged
+        h1, h2 = f[0], f[1]
+        hit1, hit2 = bd.hits[h1], bd.hits[h2]
+        assert hit1.hid >= 0 and hit2.hid >= 0
+        if hit1.pos > hit2.pos or hit1.rpos > hit2.rpos:
+            continue
+        chain1 = bd.hcst.get_chain(h1)
+        chain2 = bd.hcst.get_chain(h2)
+        b1, v1 = align_hit_to_splice_graph(hit1, chain1, gr)
+        b2, v2 = align_hit_to_splice_graph(hit2, chain2, gr)
+        if not b1 or not b2 or len(v1) == 0 or len(v2) == 0:
+            continue
+        f[2] = 0           # to be bridged
+        key = (tuple(v1), tuple(v2))
+        k = findex.get(key)
+        if k is None:
+            findex[key] = len(groups)
+            p1 = gr.get_vertex_info(v1[0]).lpos
+            p2 = gr.get_vertex_info(v1[-1]).rpos
+            p3 = gr.get_vertex_info(v2[0]).lpos
+            p4 = gr.get_vertex_info(v2[-1]).rpos
+            extend.append((p1, p2, p3, p4))
+            groups.append([i])
+        else:
+            groups[k].append(i)
+    return groups, extend
+
+
+def _build_group_clusters(bd, fs, ext, max_gap, store_hits, vc):
+    """graph_cluster.cc:93-168"""
+    rows = []
+    for i, fi in enumerate(fs):
+        h1 = bd.frgs[fi][0]
+        h2 = bd.frgs[fi][1]
+        rows.append([bd.hits[h1].pos, bd.hits[h1].rpos,
+                     bd.hits[h2].pos, bd.hits[h2].rpos, i])
+    zz = _partition(rows, 0, max_gap)
+    for z in zz:
+        if len(z) == 0:
+            continue
+        h1 = bd.frgs[fs[z[0]]][0]
+        h2 = bd.frgs[fs[z[0]]][1]
+        pc = PereadsCluster()
+        pc.count = 0
+        pc.chain1 = bd.hcst.get_chain(h1)
+        pc.chain2 = bd.hcst.get_chain(h2)
+        base = (bd.hits[h1].pos, bd.hits[h1].rpos,
+                bd.hits[h2].pos, bd.hits[h2].rpos)
+        acc = [0, 0, 0, 0]
+        for k in z:
+            h1 = bd.frgs[fs[k]][0]
+            h2 = bd.frgs[fs[k]][1]
+            acc[0] += bd.hits[h1].pos - base[0]
+            acc[1] += bd.hits[h1].rpos - base[1]
+            acc[2] += bd.hits[h2].pos - base[2]
+            acc[3] += bd.hits[h2].rpos - base[3]
+            pc.frlist.append(fs[k])
+            pc.count += 1
+            if store_hits:
+                pc.hits1.append(bd.hits[h1])
+                pc.hits2.append(bd.hits[h2])
+        if pc.count <= 0:
+            continue
+        # C-style truncating division (offsets may be negative)
+        pc.bounds = [int(acc[i] / pc.count) + base[i] for i in range(4)]
+        pc.extend = list(ext)
+        vc.append(pc)
+
+
+def _partition(rows, r, max_gap):
+    """Recursive partition on coordinate r (graph_cluster.cc:170-203)."""
+    if len(rows) == 0:
+        return []
+    if r >= 4:
+        return [[row[4] for row in rows]]
+    rows = sorted(rows, key=lambda x: x[r])
+    out = []
+    pre = 0
+    for k in range(1, len(rows) + 1):
+        if k < len(rows) and rows[k][r] - rows[k - 1][r] <= max_gap:
+            continue
+        out.extend(_partition(rows[pre:k], r + 1, max_gap))
+        pre = k
+    return out
