@@ -1,0 +1,258 @@
+"""Top-level driver: samples -> regions -> groups -> transcripts -> GTF.
+
+Re-expresses meta/incubator.{h,cc} as a bulk-synchronous pipeline (the
+reference's mutex/try-lock pipelining, incubator.cc:346-494, exists only to
+overlap its thread pool; the batched design processes one (chrm, region)
+wave at a time and merges functionally):
+
+1. read the BAM list (protocol per line) and build the chrm index
+2. profile samples (or load cached profiles); weak samples borrow the
+   deepest sample's library/insert-size profile (incubator.cc:116-196)
+3. per chromosome region: generate per-sample bundles, cluster them across
+   samples per strand, assemble every group, merge transcript sets
+4. write the combined GTF plus per-sample GTFs and feature CSVs
+   (incubator.cc:673-796)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+from ..constants import (DEFAULT, PAIRED_END,
+                         TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+from ..io.bam import BamReader
+from .assembler import Assembler
+from .bundle_group import BundleGroup
+from .generator import Generator
+from .previewer import Previewer
+from .sample_profile import SampleProfile
+from .transcript_store import new_transcript_set
+
+STRANDS = ("+", "-", ".")
+
+
+class Incubator:
+    def __init__(self, params):
+        self.params = params
+        self.samples = []
+        self.sindex = {}           # chrm -> [(sid, tid)]
+        self.tts = {}              # (chrm, strand) -> TranscriptSet
+        self.verbose = params[DEFAULT].verbose
+
+    # ---------------------------------------------------------------- driver
+    def resolve(self):
+        """incubator.cc:42-81"""
+        self.read_bam_list()
+        self.build_sample_index()
+        self.init_samples()
+        if self.params[DEFAULT].profile_only:
+            return
+        self.init_transcript_sets()
+        for chrm in self.sindex:
+            m = self.get_max_region(chrm)
+            for rid in range(m):
+                self.process_region(chrm, rid)
+        self.postprocess()
+
+    # ---------------------------------------------------------------- inputs
+    def read_bam_list(self):
+        """incubator.cc:83-114"""
+        from ..constants import DATA_TYPE_NAMES
+        cfg = self.params[DEFAULT]
+        path = cfg.input_bam_list
+        if not os.path.exists(path):
+            print("cannot open input-bam-list-file %s" % path)
+            sys.exit(0)
+        with open(path) as fin:
+            for line in fin:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                sp = SampleProfile(len(self.samples), cfg.region_partition_length)
+                sp.align_file = parts[0]
+                sp.index_file = parts[1]
+                sp.data_type = DATA_TYPE_NAMES[parts[2]]
+                self.samples.append(sp)
+
+    def build_sample_index(self):
+        """incubator.cc:208-259; honors -l/-L chromosome filters."""
+        cfg = self.params[DEFAULT]
+        ss = set()
+        if cfg.chrm_list_file:
+            with open(cfg.chrm_list_file) as fin:
+                for line in fin:
+                    line = line.strip()
+                    if line:
+                        ss.add(line)
+        if cfg.chrm_list_string:
+            for c in cfg.chrm_list_string.split(","):
+                if c:
+                    ss.add(c)
+        self.sindex = {}
+        for i, sp in enumerate(self.samples):
+            with BamReader(sp.align_file) as r:
+                for k, chrm in enumerate(r.header.names):
+                    if ss and chrm not in ss:
+                        continue
+                    self.sindex.setdefault(chrm, []).append((i, k))
+
+    def init_samples(self):
+        """incubator.cc:116-196"""
+        cfg0 = self.params[DEFAULT]
+
+        def prep(sp):
+            cfg = self.params[sp.data_type]
+            if cfg.profile_only:
+                pre = Previewer(cfg, sp)
+                pre.infer_library_type()
+                if sp.data_type == PAIRED_END:
+                    pre.infer_insertsize()
+                return
+            if cfg.profile_dir and sp.load_profile(cfg.profile_dir):
+                pass
+            else:
+                pre = Previewer(cfg, sp)
+                pre.infer_library_type()
+                if sp.data_type == PAIRED_END:
+                    pre.infer_insertsize()
+            sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+
+        if cfg0.max_threads > 1 and len(self.samples) > 1:
+            with ThreadPoolExecutor(max_workers=cfg0.max_threads) as ex:
+                list(ex.map(prep, self.samples))
+        else:
+            for sp in self.samples:
+                prep(sp)
+
+        # profile borrowing: weakest samples copy the deepest sample's stats
+        if not cfg0.profile_only and cfg0.profile_dir:
+            return
+        if not self.samples:
+            return
+        b = 0
+        for i in range(1, len(self.samples)):
+            if self.samples[i].spn > self.samples[b].spn:
+                b = i
+            elif (self.samples[i].spn == self.samples[b].spn and
+                  self.samples[i].insert_total > self.samples[b].insert_total):
+                b = i
+        for sp in self.samples:
+            if sp.insert_total < cfg0.min_preview_spliced_reads:
+                sp.insertsize_ave = self.samples[b].insertsize_ave
+                sp.insertsize_std = self.samples[b].insertsize_std
+                sp.insertsize_low = self.samples[b].insertsize_low
+                sp.insertsize_high = self.samples[b].insertsize_high
+            if sp.spn < cfg0.min_preview_spliced_reads:
+                sp.library_type = self.samples[b].library_type
+                sp.bam_with_xs = self.samples[b].bam_with_xs
+            if cfg0.profile_dir:
+                sp.save_profile(cfg0.profile_dir)
+
+    def init_transcript_sets(self):
+        cfg = self.params[DEFAULT]
+        for chrm in self.sindex:
+            for s in STRANDS:
+                self.tts[(chrm, s)] = new_transcript_set(chrm, -9, cfg)
+
+    def get_max_region(self, chrm):
+        """incubator.cc:286-298"""
+        m = 0
+        for sid, tid in self.sindex[chrm]:
+            m = max(m, len(self.samples[sid].start1[tid]))
+        return m
+
+    # ---------------------------------------------------------- region wave
+    def process_region(self, chrm, rid):
+        """Bulk-synchronous version of generate_merge_assemble
+        (incubator.cc:346-494 + generate :496-607 + assemble :609-637)."""
+        cfg = self.params[DEFAULT]
+        grps = {s: BundleGroup(chrm, s, rid, cfg, self.sindex)
+                for s in STRANDS}
+        ts_imm = {s: new_transcript_set(chrm, rid, cfg) for s in STRANDS}
+        imm_counts = {s: 0 for s in STRANDS}
+        index = 0
+        for sid, tid in self.sindex[chrm]:
+            sp = self.samples[sid]
+            if rid >= len(sp.start1[tid]):
+                continue
+            if sp.start1[tid][rid] >= sp.end1[tid][rid]:
+                continue
+            v = []
+            gt = Generator(sp, v, self.params[sp.data_type], tid, rid)
+            gt.resolve()
+            for bd in v:
+                if len(bd.splices) >= 1:
+                    grps[bd.strand].gset.append(bd)
+                else:
+                    # splice-free bundles are assembled immediately
+                    asmb = Assembler(cfg, ts_imm[bd.strand], rid,
+                                     sid, index)
+                    index += 1
+                    asmb.assemble_single(bd)
+                    imm_counts[bd.strand] += 1
+        for s in STRANDS:
+            g = grps[s]
+            if imm_counts[s] >= 1:
+                g.num_assembled += imm_counts[s]
+                g.tmerge.add(ts_imm[s], TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+            g.resolve()
+            instance = g.num_assembled + 1
+            gi = STRANDS.index(s)
+            for gv_idx in g.gvv:
+                gv = [g.gset[j] for j in gv_idx]
+                if len(gv) == 0:
+                    continue
+                asmb = Assembler(cfg, g.tmerge, rid, gi, instance)
+                asmb.resolve(gv)
+                instance += 1
+            # fold region transcripts into the global per-(chrm,strand) set
+            self.tts[(chrm, s)].add(g.tmerge, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+            g.gset = []
+            g.clear()
+
+    # ---------------------------------------------------------------- output
+    def postprocess(self):
+        """incubator.cc:673-711"""
+        cfg = self.params[DEFAULT]
+        # synthetic "combined" sample
+        sn = SampleProfile(len(self.samples),
+                           self.samples[0].region_partition_length
+                           if self.samples else cfg.region_partition_length)
+        self.samples.append(sn)
+        with open(cfg.output_gtf_file, "a") as fout:
+            self.write_combined_gtf(fout)
+        if cfg.output_gtf_dir:
+            for i in range(len(self.samples)):
+                self.write_individual_gtf(i)
+
+    def write_combined_gtf(self, fout):
+        """incubator.cc:713-743"""
+        for (chrm, strand), tm in sorted(self.tts.items()):
+            for h in sorted(tm.mt.keys()):
+                for item in tm.mt[h]:
+                    t = item.trst
+                    assert len(item.samples) == t.count2
+                    t.write(fout, -1, len(item.samples))
+
+    def write_individual_gtf(self, sid):
+        """incubator.cc:745-796"""
+        cfg = self.params[DEFAULT]
+        gtf_path = os.path.join(cfg.output_gtf_dir, "%d.gtf" % sid)
+        ftr_path = os.path.join(cfg.output_gtf_dir, "%d.trstFeature.csv" % sid)
+        with open(gtf_path, "a") as fg, open(ftr_path, "a") as ff:
+            for (chrm, strand), tm in sorted(self.tts.items()):
+                for h in sorted(tm.mt.keys()):
+                    for item in tm.mt[h]:
+                        for j, t in item.samples.items():
+                            if j == -1:
+                                j = len(self.samples) - 1
+                            if j != sid:
+                                continue
+                            if (len(t.exons) == 1 and
+                                    t.cov2 < cfg.min_single_exon_individual_coverage):
+                                continue
+                            t.write(fg, t.cov2, t.count2)
+                            if len(t.exons) > 1:
+                                t.write_features(ff)

@@ -1,0 +1,214 @@
+"""Sample previewing: library-type and insert-size inference.
+
+Re-implements meta/previewer.{h,cc}: sample up to max_preview_reads, compare
+XS tags against flag-predicted orientation of spliced reads (>= 0.8 agreement
+-> FR_FIRST/FR_SECOND else UNSTRANDED, previewer.cc:29-149); assemble preview
+bundles, merge mate intron chains, and histogram fragment inner distances to
+set insertsize low (0.5%ile) / high (99%ile) / median / mean / std
+(previewer.cc:151-305).
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..constants import FR_FIRST, FR_SECOND, UNSTRANDED
+from ..core.bundle import BundleBase
+from ..core.graph import SpliceGraph
+from ..core.graph_builder import GraphBuilder
+from ..core.graph_cluster import build_pereads_clusters
+from ..core.hits import Hit
+from ..core.essential import get_total_length_of_introns
+from ..io.bam import BamReader, FSECONDARY, FUNMAP
+from ..utils.seqs import merge_intron_chains
+
+
+class Previewer:
+    def __init__(self, cfg, sp):
+        self.cfg = cfg
+        self.sp = sp
+
+    def infer_library_type(self):
+        """previewer.cc:29-148"""
+        cfg = self.cfg
+        sp = self.sp
+        total = spliced = num_xs = 0
+        spn1 = []
+        spn2 = []
+        with BamReader(sp.align_file) as r:
+            while True:
+                if total >= cfg.max_preview_reads:
+                    break
+                if (len(spn1) >= cfg.max_preview_spliced_reads and
+                        len(spn2) >= cfg.max_preview_spliced_reads):
+                    break
+                rec = r.read_rec()
+                if rec is None:
+                    break
+                if rec.flag & FUNMAP or rec.flag & FSECONDARY:
+                    continue
+                if rec.n_cigar > cfg.max_num_cigar or rec.n_cigar < 1:
+                    continue
+                if rec.mapq < cfg.min_mapping_quality:
+                    continue
+                total += 1
+                spos = rec.extract_splices()
+                if len(spos) <= 0:
+                    continue
+                spliced += 1
+                if rec.xs == ".":
+                    continue
+                num_xs += 1
+                if rec.xs == "+" and len(spn1) >= cfg.max_preview_spliced_reads:
+                    continue
+                if rec.xs == "-" and len(spn2) >= cfg.max_preview_spliced_reads:
+                    continue
+                f = rec.flag
+                xs = "."
+                paired = (f & 0x1) >= 1
+                rev = (f & 0x10) >= 1
+                mrev = (f & 0x20) >= 1
+                r1 = (f & 0x40) >= 1
+                r2 = (f & 0x80) >= 1
+                if paired and not rev and mrev and r1 and not r2:
+                    xs = "-"
+                if paired and rev and not mrev and not r1 and r2:
+                    xs = "-"
+                if paired and rev and not mrev and r1 and not r2:
+                    xs = "+"
+                if paired and not rev and mrev and not r1 and r2:
+                    xs = "+"
+                if not paired:
+                    xs = "+" if rev else "-"
+                if xs == "+":
+                    spn1.append(1 if xs == rec.xs else 2)
+                if xs == "-":
+                    spn2.append(1 if xs == rec.xs else 2)
+        spn = (len(spn1) + len(spn2)) // 2
+        first = sum(1 for v in spn1 if v == 1) + sum(1 for v in spn2 if v == 1)
+        second = sum(1 for v in spn1 if v == 2) + sum(1 for v in spn2 if v == 2)
+        sp.num_xs = num_xs
+        sp.spn = spn
+        s1 = UNSTRANDED
+        if spn >= cfg.min_preview_spliced_reads and first > cfg.preview_infer_ratio * 2.0 * spn:
+            s1 = FR_FIRST
+        if spn >= cfg.min_preview_spliced_reads and second > cfg.preview_infer_ratio * 2.0 * spn:
+            s1 = FR_SECOND
+        sp.library_type = s1
+        sp.bam_with_xs = 1 if spliced > 0 and num_xs / spliced > cfg.preview_infer_ratio else 0
+
+    def infer_insertsize(self):
+        """previewer.cc:151-249"""
+        cfg = self.cfg
+        sp = self.sp
+        m = {}
+        cnt = 0
+        hid = 0
+        bb1 = BundleBase()
+        bb1.strand = "+"
+        bb2 = BundleBase()
+        bb2.strand = "-"
+        with BamReader(sp.align_file) as r:
+            while True:
+                rec = r.read_rec()
+                if rec is None:
+                    break
+                if rec.flag & FUNMAP or rec.flag & FSECONDARY:
+                    continue
+                if rec.n_cigar > cfg.max_num_cigar or rec.n_cigar < 1:
+                    continue
+                if rec.mapq < cfg.min_mapping_quality:
+                    continue
+                ht = Hit(rec, hid)
+                hid += 1
+                ht.set_strand(sp.library_type)
+                if ht.tid != bb1.tid or ht.pos > bb1.rpos + cfg.min_bundle_gap:
+                    cnt += self._process(bb1, m)
+                    bb1 = BundleBase()
+                    bb1.strand = "+"
+                if ht.tid != bb2.tid or ht.pos > bb2.rpos + cfg.min_bundle_gap:
+                    cnt += self._process(bb2, m)
+                    bb2 = BundleBase()
+                    bb2.strand = "-"
+                if cnt >= cfg.max_preview_reads:
+                    break
+                if cfg.uniquely_mapped_only and ht.nh != 1:
+                    continue
+                lt = sp.library_type
+                if lt != UNSTRANDED and ht.strand == "+" and ht.xs == "-":
+                    continue
+                if lt != UNSTRANDED and ht.strand == "-" and ht.xs == "+":
+                    continue
+                if lt != UNSTRANDED and ht.strand == "." and ht.xs != ".":
+                    ht.strand = ht.xs
+                if lt != UNSTRANDED:
+                    if ht.strand == "+":
+                        bb1.add_hit_intervals(ht, rec)
+                    if ht.strand == "-":
+                        bb2.add_hit_intervals(ht, rec)
+                else:
+                    if ht.xs == ".":
+                        bb1.add_hit_intervals(ht, rec)
+                        bb2.add_hit_intervals(ht, rec)
+                    if ht.xs == "+":
+                        bb1.add_hit_intervals(ht, rec)
+                    if ht.xs == "-":
+                        bb2.add_hit_intervals(ht, rec)
+        total = sum(m.values())
+        sp.insert_total = total
+        if total < cfg.min_preview_spliced_reads:
+            return
+        n = 0
+        sx2 = 0.0
+        ave = 0.0
+        sp.insertsize_low = -1
+        sp.insertsize_high = -1
+        sp.insertsize_median = -1
+        for d, c in sorted(m.items()):
+            n += c
+            if n >= 0.5 * total and sp.insertsize_median < 0:
+                sp.insertsize_median = d
+            ave += c * d
+            sx2 += c * d * d
+            if sp.insertsize_low == -1 and n >= 0.005 * total:
+                sp.insertsize_low = d
+            if sp.insertsize_high == -1 and n >= 0.990 * total:
+                sp.insertsize_high = d
+            if n >= 0.998 * total:
+                break
+        sp.insertsize_ave = ave / n
+        var = (sx2 - n * sp.insertsize_ave * sp.insertsize_ave) / n
+        sp.insertsize_std = math.sqrt(max(var, 0.0))
+
+    def _process(self, bd, m):
+        """previewer.cc:252-305"""
+        cfg = self.cfg
+        if len(bd.hits) < cfg.min_num_hits_in_bundle:
+            return 0
+        if len(bd.hits) > 20000:
+            return 0
+        if bd.tid < 0:
+            return 0
+        bd.build_fragments()
+        gr = SpliceGraph()
+        GraphBuilder(bd, cfg).build(gr)
+        gr.build_vertex_index()
+        vc = build_pereads_clusters(gr, bd, 2)
+        cnt = 0
+        for pc in vc:
+            p1 = pc.extend[1]
+            p2 = pc.extend[2]
+            k1 = gr.locate_rbound(p1)
+            k2 = gr.locate_lbound(p2)
+            if k1 < 0 or k2 < 0 or k1 < k2:
+                continue
+            ok, chain = merge_intron_chains(pc.chain1, pc.chain2)
+            if not ok:
+                continue
+            length = get_total_length_of_introns(chain)
+            d = pc.bounds[3] - pc.bounds[0] - length
+            cnt += 1
+            m[d] = m.get(d, 0) + 1
+            if cnt >= 1000:
+                return cnt
+        return cnt

@@ -1,0 +1,141 @@
+"""Per-sample state: library/insert-size profile and region partition tables.
+
+Re-implements rnacore/sample_profile.{h,cc}: profile save/load as key-value
+text ``<dir>/<sid>.profile`` and ``set_batch_boundaries`` — one sequential
+BAM sweep recording the BGZF virtual offset and first-read positions for each
+``region_partition_length`` slot ending at a >= min_bundle_gap coverage gap
+(sample_profile.cc:167-252).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..constants import DEFAULT, PAIRED_END, UNSTRANDED
+from ..io.bam import BamReader, FUNMAP
+
+
+class SampleProfile:
+    def __init__(self, sample_id, region_partition_length):
+        self.sample_id = sample_id
+        self.align_file = ""
+        self.index_file = ""
+        self.data_type = DEFAULT
+        self.region_partition_length = region_partition_length
+        self.library_type = UNSTRANDED
+        self.bam_with_xs = 0
+        self.num_xs = 0
+        self.spn = 0
+        self.insert_total = 0
+        self.insertsize_low = 80
+        self.insertsize_high = 500
+        self.insertsize_median = 250
+        self.insertsize_ave = 0.0
+        self.insertsize_std = 0.0
+        # per-target partition tables
+        self.start1 = []
+        self.start2 = []
+        self.start_off = []
+        self.end1 = []
+        self.end2 = []
+        self.target_names = []
+        self.target_lengths = []
+
+    # -------------------------------------------------------------- profiles
+    def profile_path(self, d):
+        return os.path.join(d, "%d.profile" % self.sample_id)
+
+    def save_profile(self, d):
+        """sample_profile.cc:68-93"""
+        with open(self.profile_path(d), "w") as fout:
+            fout.write("library_type %d\n" % self.library_type)
+            fout.write("bam_with_xs %d\n" % self.bam_with_xs)
+            if self.data_type == PAIRED_END:
+                fout.write("insertsize_low %d\n" % self.insertsize_low)
+                fout.write("insertsize_high %d\n" % self.insertsize_high)
+                fout.write("insertsize_median %d\n" % self.insertsize_median)
+                fout.write("insertsize_ave %g\n" % self.insertsize_ave)
+                fout.write("insertsize_std %g\n" % self.insertsize_std)
+
+    def load_profile(self, d):
+        """sample_profile.cc:36-66"""
+        path = self.profile_path(d)
+        if not os.path.exists(path):
+            return False
+        conv = {
+            "library_type": ("library_type", int),
+            "bam_with_xs": ("bam_with_xs", int),
+            "insertsize_low": ("insertsize_low", lambda x: int(float(x))),
+            "insertsize_high": ("insertsize_high", lambda x: int(float(x))),
+            "insertsize_median": ("insertsize_median", lambda x: int(float(x))),
+            "insertsize_ave": ("insertsize_ave", float),
+            "insertsize_std": ("insertsize_std", float),
+        }
+        with open(path) as fin:
+            for line in fin:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                c = conv.get(parts[0])
+                if c is None:
+                    continue
+                setattr(self, c[0], c[1](parts[1]))
+        return True
+
+    # -------------------------------------------------- region partitioning
+    def set_batch_boundaries(self, min_bundle_gap, max_read_span):
+        """One linear sweep recording per-region seek offsets
+        (sample_profile.cc:167-252).  Also closes the final open region,
+        which the reference leaves implicitly terminated at EOF."""
+        with BamReader(self.align_file) as r:
+            hdr = r.header
+            self.target_names = list(hdr.names)
+            self.target_lengths = list(hdr.lengths)
+            nt = hdr.n_targets
+            self.start1 = []
+            self.start2 = []
+            self.start_off = []
+            self.end1 = []
+            self.end2 = []
+            for i in range(nt):
+                n = hdr.lengths[i] // self.region_partition_length + 1
+                self.start1.append([0] * n)
+                self.start2.append([0] * n)
+                self.start_off.append([0] * n)
+                self.end1.append([0] * n)
+                self.end2.append([0] * n)
+            tid = -1
+            rid = 0
+            rpos = 0
+            while True:
+                voff = r.tell()
+                rec = r.read_rec()
+                if rec is None:
+                    break
+                if rec.flag & FUNMAP:
+                    continue
+                if abs(rec.pos - rec.rpos) >= max_read_span:
+                    continue
+                if rec.tid != tid:
+                    if tid >= 0:
+                        self.end1[tid][rid] = rpos
+                        self.end2[tid][rid] = rpos
+                    tid = rec.tid
+                    rid = 0
+                    self.start1[tid][rid] = rec.pos
+                    self.start2[tid][rid] = rec.rpos
+                    self.start_off[tid][rid] = voff
+                    rpos = rec.rpos
+                if rec.pos > rpos + min_bundle_gap:
+                    if rec.pos >= self.region_partition_length * (1 + rid):
+                        self.end1[tid][rid] = rpos
+                        self.end2[tid][rid] = rpos
+                        rid = rec.pos // self.region_partition_length
+                        self.start1[tid][rid] = rec.pos
+                        self.start2[tid][rid] = rec.rpos
+                        self.start_off[tid][rid] = voff
+                if rec.rpos > rpos:
+                    rpos = rec.rpos
+            if tid >= 0:
+                self.end1[tid][rid] = rpos
+                self.end2[tid][rid] = rpos
