@@ -40,6 +40,7 @@ class Incubator:
         self.sindex = {}           # chrm -> [(sid, tid)]
         self.tts = {}              # (chrm, strand) -> TranscriptSet
         self.verbose = params[DEFAULT].verbose
+        self.stats = {"bundles": 0, "groups": 0, "regions": 0}
 
     # ---------------------------------------------------------------- driver
     def resolve(self):
@@ -182,6 +183,7 @@ class Incubator:
             v = []
             gt = Generator(sp, v, self.params[sp.data_type], tid, rid)
             gt.resolve()
+            self.stats["bundles"] += len(v)
             for bd in v:
                 if len(bd.splices) >= 1:
                     grps[bd.strand].gset.append(bd)
@@ -207,6 +209,7 @@ class Incubator:
                 asmb = Assembler(cfg, g.tmerge, rid, gi, instance)
                 asmb.resolve(gv)
                 instance += 1
+                self.stats["groups"] += 1
             # fold region transcripts into the global per-(chrm,strand) set
             self.tts[(chrm, s)].add(g.tmerge, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
             g.gset = []

@@ -1,0 +1,135 @@
+"""End-to-end benchmark: synthetic multi-sample cohort -> bundles/s.
+
+Generates a multi-gene, multi-sample paired-end workload with the in-repo
+simulator, runs the full assembly pipeline (generate -> cluster -> bridge ->
+decompose -> merge -> GTF), and reports bundle throughput.  Also times the
+batched TPU bottleneck-DP kernel as a device-side sanity probe (stderr only).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the recorded round-1 reference value in
+BENCH_BASELINE (self-relative until a reference-binary baseline exists; the
+upstream repo publishes no numbers, see BASELINE.md).
+"""
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Self-relative baseline: round-1 recorded bundles/s on the bench workload.
+BENCH_BASELINE = 40.0
+
+N_SAMPLES = 2
+N_GENES = 30
+CHROM_LEN = 40_000_000
+
+
+def make_workload(tmpdir):
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+    rng = random.Random(7)
+    genes = []
+    pos = 100000
+    for g in range(N_GENES):
+        ne = rng.randint(2, 5)
+        exons = []
+        p = pos
+        for e in range(ne):
+            el = rng.randint(150, 500)
+            exons.append((p, p + el))
+            p += el + rng.randint(400, 2000)
+        genes.append(exons)
+        pos = p + rng.randint(30000, 60000)
+    bams = []
+    for s in range(N_SAMPLES):
+        recs = []
+        for gi, exons in enumerate(genes):
+            strand = "+" if gi % 2 == 0 else "-"
+            n = rng.randint(30, 80)
+            recs += simulate_pairs(exons, n, strand, rng,
+                                   prefix="s%dg%d" % (s, gi))
+            if len(exons) >= 3:
+                skip = exons[:1] + exons[2:]
+                recs += simulate_pairs(skip, max(8, n // 3), strand, rng,
+                                       prefix="s%dk%d" % (s, gi))
+        path = os.path.join(tmpdir, "s%d.bam" % s)
+        write_bam(path, recs, names=("chr1",), lengths=(CHROM_LEN,))
+        bams.append(path)
+    listpath = os.path.join(tmpdir, "bams.list")
+    with open(listpath, "w") as fh:
+        for b in bams:
+            fh.write("%s %s.bai paired_end\n" % (b, b))
+    return listpath
+
+
+def run_pipeline(tmpdir, listpath):
+    from aletsch_tpu.config import default_params
+    from aletsch_tpu.meta.incubator import Incubator
+    out_gtf = os.path.join(tmpdir, "meta.gtf")
+    out_dir = os.path.join(tmpdir, "gtf")
+    os.makedirs(out_dir, exist_ok=True)
+    params = default_params()
+    for p in params:
+        p.input_bam_list = listpath
+        p.output_gtf_file = out_gtf
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    inc = Incubator(params)
+    t0 = time.time()
+    inc.resolve()
+    dt = time.time() - t0
+    n_trst = sum(1 for line in open(out_gtf) if "\ttranscript\t" in line)
+    return inc.stats["bundles"], dt, n_trst
+
+
+def kernel_probe():
+    """Device-side probe: batched bottleneck DP throughput."""
+    try:
+        import jax.numpy as jnp
+        from aletsch_tpu.ops.bridge_dp import get_bottleneck_fn
+        import numpy as np
+        fn = get_bottleneck_fn()
+        B, V = 64, 64
+        rng = np.random.default_rng(0)
+        W = np.triu(rng.uniform(0, 10, (B, V, V)).astype(np.float32), 1)
+        W *= (rng.uniform(size=W.shape) < 0.3)
+        Wj = jnp.asarray(W)
+        fn(Wj).block_until_ready()           # compile
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            out = fn(Wj)
+        out.block_until_ready()
+        dt = (time.time() - t0) / reps
+        return B / dt
+    except Exception as e:                    # pragma: no cover
+        print("kernel probe failed: %s" % e, file=sys.stderr)
+        return 0.0
+
+
+def main():
+    tmpdir = tempfile.mkdtemp(prefix="aletsch_bench_")
+    try:
+        listpath = make_workload(tmpdir)
+        bundles, dt, n_trst = run_pipeline(tmpdir, listpath)
+        bps = bundles / dt if dt > 0 else 0.0
+        kps = kernel_probe()
+        print("bench: %d bundles in %.2fs -> %.2f bundles/s; "
+              "%d transcripts; kernel probe %.0f graphs/s"
+              % (bundles, dt, bps, n_trst, kps), file=sys.stderr)
+        print(json.dumps({
+            "metric": "bundles_per_second",
+            "value": round(bps, 3),
+            "unit": "bundles/s",
+            "vs_baseline": round(bps / BENCH_BASELINE, 3),
+        }))
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
