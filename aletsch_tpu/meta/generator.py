@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from ..constants import UNSTRANDED
 from ..core.hits import Hit
-from ..io.bam import BamReader, FSECONDARY, FUNMAP
+from ..io.bam import FSECONDARY, FUNMAP
+from ..io.bam_native import open_bam
 from .bundle import Bundle
 
 
@@ -42,7 +43,7 @@ class Generator:
         hid = 0
         pre_lpos = pre_rpos = -1
 
-        with BamReader(sp.align_file) as r:
+        with open_bam(sp.align_file) as r:
             r.seek(offt)
             while True:
                 rec = r.read_rec()

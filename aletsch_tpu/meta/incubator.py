@@ -22,7 +22,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from ..constants import (DEFAULT, PAIRED_END,
                          TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
-from ..io.bam import BamReader
+from ..io.bam_native import open_bam
 from .assembler import Assembler
 from .bundle_group import BundleGroup
 from .generator import Generator
@@ -93,7 +93,7 @@ class Incubator:
                     ss.add(c)
         self.sindex = {}
         for i, sp in enumerate(self.samples):
-            with BamReader(sp.align_file) as r:
+            with open_bam(sp.align_file) as r:
                 for k, chrm in enumerate(r.header.names):
                     if ss and chrm not in ss:
                         continue

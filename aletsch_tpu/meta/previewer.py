@@ -19,7 +19,8 @@ from ..core.graph_builder import GraphBuilder
 from ..core.graph_cluster import build_pereads_clusters
 from ..core.hits import Hit
 from ..core.essential import get_total_length_of_introns
-from ..io.bam import BamReader, FSECONDARY, FUNMAP
+from ..io.bam import FSECONDARY, FUNMAP
+from ..io.bam_native import open_bam
 from ..utils.seqs import merge_intron_chains
 
 
@@ -35,7 +36,7 @@ class Previewer:
         total = spliced = num_xs = 0
         spn1 = []
         spn2 = []
-        with BamReader(sp.align_file) as r:
+        with open_bam(sp.align_file) as r:
             while True:
                 if total >= cfg.max_preview_reads:
                     break
@@ -108,7 +109,7 @@ class Previewer:
         bb1.strand = "+"
         bb2 = BundleBase()
         bb2.strand = "-"
-        with BamReader(sp.align_file) as r:
+        with open_bam(sp.align_file) as r:
             while True:
                 rec = r.read_rec()
                 if rec is None:

@@ -12,7 +12,8 @@ from __future__ import annotations
 import os
 
 from ..constants import DEFAULT, PAIRED_END, UNSTRANDED
-from ..io.bam import BamReader, FUNMAP
+from ..io.bam import FUNMAP
+from ..io.bam_native import open_bam
 
 
 class SampleProfile:
@@ -87,7 +88,7 @@ class SampleProfile:
         """One linear sweep recording per-region seek offsets
         (sample_profile.cc:167-252).  Also closes the final open region,
         which the reference leaves implicitly terminated at EOF."""
-        with BamReader(self.align_file) as r:
+        with open_bam(self.align_file) as r:
             hdr = r.header
             self.target_names = list(hdr.names)
             self.target_lengths = list(hdr.lengths)
