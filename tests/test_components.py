@@ -1,0 +1,224 @@
+"""Unit tests for revision passes, filters, transcript merging, clustering,
+profiles, and protocol overlays."""
+
+import math
+
+import pytest
+
+from aletsch_tpu.config import Parameters, parse_arguments
+from aletsch_tpu.constants import (ONT, PACBIO_CCS, PACBIO_SUB, PAIRED_END,
+                                   TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+from aletsch_tpu.core.filters import (join_single_exon_transcripts,
+                                      remove_nested_transcripts,
+                                      verify_exon_length,
+                                      verify_length_coverage)
+from aletsch_tpu.core.graph import SpliceGraph, VertexInfo
+from aletsch_tpu.core.graph_reviser import (group_end_boundaries,
+                                            group_start_boundaries,
+                                            identify_boundaries)
+from aletsch_tpu.core.transcript_set import TranscriptSet
+from aletsch_tpu.io.gtf import Transcript
+from aletsch_tpu.meta.sample_profile import SampleProfile
+
+
+def chain_graph(weights, positions):
+    """Linear graph 0 -> 1..n -> sink with given vertex intervals."""
+    gr = SpliceGraph()
+    gr.add_vertex()
+    gr.set_vertex_info(0, VertexInfo(lpos=positions[0][0], rpos=positions[0][0]))
+    for i, ((l, r), w) in enumerate(zip(positions, weights)):
+        gr.add_vertex()
+        gr.set_vertex_info(i + 1, VertexInfo(lpos=l, rpos=r, length=r - l))
+        gr.set_vertex_weight(i + 1, w)
+    gr.add_vertex()
+    n = gr.num_vertices() - 1
+    gr.set_vertex_info(n, VertexInfo(lpos=positions[-1][1], rpos=positions[-1][1]))
+    return gr
+
+
+class TestGroupBoundaries:
+    def test_group_start(self):
+        # two nearby start boundaries along a continuous run
+        gr = chain_graph([10, 8, 9], [(0, 100), (100, 200), (200, 300)])
+        n = gr.num_vertices() - 1
+        for i in range(1, n):
+            e = gr.add_edge(i, i + 1) if i + 1 < n else None
+            if e is not None:
+                gr.set_edge_weight(e, 5)
+        e1 = gr.add_edge(0, 1)
+        gr.set_edge_weight(e1, 10)
+        e2 = gr.add_edge(0, 2)
+        gr.set_edge_weight(e2, 4)
+        e3 = gr.add_edge(n - 1, n)
+        gr.set_edge_weight(e3, 9)
+        smap = group_start_boundaries(gr, 10000)
+        # boundary at vertex 2 (lpos 100) folded into vertex 1 (lpos 0)
+        assert smap == {100: 0}
+        assert gr.edge(0, 2) is None
+        assert gr.get_edge_weight(gr.edge(0, 1)) == 14
+        # run edge and vertex weights absorbed the merged weight
+        assert gr.get_edge_weight(gr.edge(1, 2)) == 9
+        assert gr.get_vertex_weight(1) == 14
+
+    def test_identify_boundaries(self):
+        cfg = Parameters()
+        # strong coverage jump at non-adjacent vertex 2 with weak junction in
+        gr = chain_graph([1.0, 100.0], [(0, 100), (500, 600)])
+        n = gr.num_vertices() - 1
+        e = gr.add_edge(0, 1)
+        gr.set_edge_weight(e, 1.0)
+        e = gr.add_edge(1, 2)
+        gr.set_edge_weight(e, 1.0)
+        e = gr.add_edge(2, n)
+        gr.set_edge_weight(e, 100.0)
+        identify_boundaries(gr, cfg)
+        # log(2+100)/log(2+1) > 2.0 -> new start edge at vertex 2
+        assert gr.edge(0, 2) is not None
+
+
+class TestFilters:
+    def mk(self, exons, cov=5.0, strand="+"):
+        t = Transcript(seqname="chr1", strand=strand, coverage=cov)
+        for a, b in exons:
+            t.add_exon(a, b)
+        return t
+
+    def test_verify_length_coverage(self):
+        cfg = Parameters()
+        t = self.mk([(0, 50), (100, 160)], cov=5)
+        assert verify_length_coverage(t, cfg) is False  # 110 < 100+2*20
+        t2 = self.mk([(0, 100), (200, 300)], cov=5)
+        assert verify_length_coverage(t2, cfg) is True
+        t3 = self.mk([(0, 100), (200, 300)], cov=1.0)
+        assert verify_length_coverage(t3, cfg) is False
+        t4 = self.mk([(0, 200)], cov=10)  # single exon, length 200 < 250
+        assert verify_length_coverage(t4, cfg) is False
+
+    def test_verify_exon_length(self):
+        cfg = Parameters()
+        assert verify_exon_length(self.mk([(0, 100), (105, 113)]), cfg)
+        assert not verify_exon_length(self.mk([(0, 100), (105, 112)]), cfg)
+
+    def test_remove_nested(self):
+        big = self.mk([(0, 100), (1000, 1100)], cov=2)
+        nested = self.mk([(300, 400), (500, 600)], cov=9)
+        out = remove_nested_transcripts([big, nested])
+        assert len(out) == 1
+        assert out[0] is nested
+
+    def test_join_single_exon(self):
+        cfg = Parameters()
+        multi = self.mk([(0, 100), (200, 300)], cov=5)
+        single = self.mk([(350, 500)], cov=5)
+        out = join_single_exon_transcripts([multi, single], cfg)
+        assert len(out) == 1
+        assert out[0].exons[-1] == (200, 500)
+
+
+class TestTranscriptSet:
+    def mk(self, exons, cov, tid):
+        t = Transcript(seqname="chr1", strand="+", coverage=cov,
+                       transcript_id=tid, cov2=cov)
+        for a, b in exons:
+            t.add_exon(a, b)
+        return t
+
+    def test_multi_exon_merge_adds_coverage(self):
+        ts = TranscriptSet("chr1", 0, 0.8)
+        # same intron chain (first-exon end + last-exon start match)
+        t1 = self.mk([(0, 100), (200, 300)], 2.0, "a")
+        t2 = self.mk([(10, 100), (200, 290)], 3.0, "b")
+        ts.add_transcript(t1, 1, 0, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+        ts.add_transcript(t2, 1, 1, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+        out = ts.get_transcripts()
+        assert len(out) == 1
+        t = out[0]
+        assert t.coverage == pytest.approx(5.0)
+        assert t.count2 == 2
+        # bounds extended to the widest observed
+        assert t.exons[0][0] == 0 and t.exons[-1][1] == 300
+        assert t.exons[0][1] == 100 and t.exons[-1][0] == 200
+
+    def test_single_exon_overlap_merge(self):
+        ts = TranscriptSet("chr1", 0, 0.8)
+        t1 = self.mk([(0, 100)], 2.0, "a")
+        t2 = self.mk([(5, 100)], 9.0, "b")
+        h1 = t1.get_intron_chain_hashing()
+        h2 = t2.get_intron_chain_hashing()
+        assert h1 == h2  # same coarse bucket
+        ts.add_transcript(t1, 1, 0, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+        ts.add_transcript(t2, 1, 1, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+        out = ts.get_transcripts()
+        assert len(out) == 1
+        # single-exon: coverage is max, not sum
+        assert out[0].coverage == pytest.approx(9.0)
+
+
+class TestConfig:
+    def test_protocol_overlays(self):
+        for dt, hits, junc in ((PACBIO_CCS, 1, 1), (PACBIO_SUB, 1, 2),
+                               (ONT, 1, 2)):
+            p = Parameters().set_default(dt)
+            assert p.min_num_hits_in_bundle == hits
+            assert p.min_junction_support == junc
+        p = Parameters().set_default(PAIRED_END)
+        assert p.min_num_hits_in_bundle == 10
+
+    def test_typed_flag_targets_one_type(self):
+        argv = ["--min_bundle_gap", "3", "150"]
+        p_pe = parse_arguments(argv, PAIRED_END)
+        p_cc = parse_arguments(argv, PACBIO_CCS)
+        assert p_pe.min_bundle_gap == 200
+        assert p_cc.min_bundle_gap == 150
+
+    def test_generic_flags(self):
+        p = parse_arguments(["-s", "0.4", "-c", "50",
+                             "--max_decompose_error_ratio2", "0.9"],
+                            PAIRED_END)
+        assert p.min_grouping_similarity == 0.4
+        assert p.max_group_size == 50
+        assert p.max_decompose_error_ratio[2] == 0.9
+
+
+def test_profile_roundtrip(tmp_path):
+    sp = SampleProfile(3, 1000000)
+    sp.data_type = PAIRED_END
+    sp.library_type = 1
+    sp.bam_with_xs = 1
+    sp.insertsize_low = 77
+    sp.insertsize_high = 432
+    sp.insertsize_median = 250
+    sp.insertsize_ave = 251.5
+    sp.insertsize_std = 40.25
+    sp.save_profile(str(tmp_path))
+    sp2 = SampleProfile(3, 1000000)
+    sp2.data_type = PAIRED_END
+    assert sp2.load_profile(str(tmp_path))
+    for f in ("library_type", "bam_with_xs", "insertsize_low",
+              "insertsize_high", "insertsize_median"):
+        assert getattr(sp, f) == getattr(sp2, f)
+    assert sp2.insertsize_ave == pytest.approx(251.5)
+
+
+def test_bundle_group_clustering():
+    from aletsch_tpu.meta.bundle_group import BundleGroup
+
+    class FakeSP:
+        sample_id = 0
+
+    class FakeBundle:
+        def __init__(self, splices):
+            self.splices = splices
+            self.sp = FakeSP()
+            self.rpos = 10 ** 9
+
+    cfg = Parameters()
+    g = BundleGroup("chr1", "+", 0, cfg, {})
+    # A and B share most splices; C is unrelated
+    g.gset = [FakeBundle([100, 200, 300, 400]),
+              FakeBundle([100, 200, 300, 500]),
+              FakeBundle([9000, 9100])]
+    g.resolve()
+    sets = sorted(tuple(sorted(v)) for v in g.gvv)
+    assert (0, 1) in sets
+    assert (2,) in sets
