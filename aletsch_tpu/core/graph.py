@@ -207,6 +207,12 @@ class SpliceGraph:
     def min_out_edge(self, v):
         return min(self._out[v], key=lambda e: (self.ewrt[e], e.eid), default=None)
 
+    def max_in_edge(self, v):
+        return max(self._in[v], key=lambda e: (self.ewrt[e], -e.eid), default=None)
+
+    def max_out_edge(self, v):
+        return max(self._out[v], key=lambda e: (self.ewrt[e], -e.eid), default=None)
+
     # ------------------------------------------------------------------ copy
     def copy(self) -> "SpliceGraph":
         g = SpliceGraph()

@@ -287,3 +287,309 @@ def remove_false_boundaries(gr, bb, cfg):
         s = math.log(1 + cnt + w) - math.log(1 + w)
         vi.unbridge_coming_count = cnt
         vi.unbridge_coming_ratio = s
+
+
+# --------------------------------------------------------------------------
+# Full revision pass (graph_reviser.cc:20-469): the alternate whole-graph
+# surgery family from the combined-graph era, kept as a library capability.
+# --------------------------------------------------------------------------
+
+def revise_splice_graph_full(gr, cfg):
+    """graph_reviser.cc:20-58"""
+    from .graph_builder import refine_splice_graph
+    refine_splice_graph(gr)
+    while True:
+        if extend_boundaries(gr):
+            continue
+        if remove_inner_boundaries(gr):
+            continue
+        if remove_small_exons(gr, cfg.min_exon_length):
+            refine_splice_graph(gr)
+            continue
+        if remove_small_junctions(gr):
+            refine_splice_graph(gr)
+            continue
+        if keep_surviving_edges(gr, cfg.min_surviving_edge_weight):
+            refine_splice_graph(gr)
+            continue
+        if remove_intron_contamination(gr, cfg.max_intron_contamination_coverage):
+            continue
+        break
+    refine_splice_graph(gr)
+
+
+def revise_splice_graph(gr, cfg):
+    """graph_reviser.cc:60-78"""
+    from .graph_builder import refine_splice_graph
+    refine_splice_graph(gr)
+    while keep_surviving_edges(gr, cfg.min_surviving_edge_weight):
+        refine_splice_graph(gr)
+    refine_splice_graph(gr)
+
+
+def extend_boundaries(gr):
+    """Split weak gap edges into start/end boundaries
+    (graph_reviser.cc:80-123)."""
+    n = gr.num_vertices() - 1
+    for e in gr.edges():
+        s, t = e.s, e.t
+        p = gr.get_vertex_info(t).lpos - gr.get_vertex_info(s).rpos
+        we = gr.get_edge_weight(e)
+        ws = gr.get_vertex_weight(s)
+        wt = gr.get_vertex_weight(t)
+        if p <= 0 or s == 0 or t == n:
+            continue
+        b = False
+        if gr.out_degree(s) == 1 and ws >= 10.0 * we * we + 10.0:
+            b = True
+        if gr.in_degree(t) == 1 and wt >= 10.0 * we * we + 10.0:
+            b = True
+        if not b:
+            continue
+        if gr.out_degree(s) == 1:
+            ee = gr.add_edge(s, n)
+            gr.set_edge_weight(ee, ws)
+        if gr.in_degree(t) == 1:
+            ee = gr.add_edge(0, t)
+            gr.set_edge_weight(ee, wt)
+        gr.remove_edge(e)
+        return True
+    return False
+
+
+def compute_maximal_edges(gr):
+    """Heaviest interior edge per connected component
+    (graph_reviser.cc:125-172)."""
+    from ..scallop.ugraph import UGraph
+    n = gr.num_vertices() - 1
+    ug = UGraph()
+    for _ in range(gr.num_vertices()):
+        ug.add_vertex()
+    ve = []
+    for e in gr.edges():
+        if e.s == 0 or e.t == n:
+            continue
+        ug.add_edge(e.s, e.t)
+        ve.append((gr.get_edge_weight(e), e.eid, e))
+    vv = ug.assign_connected_components()
+    ve.sort()
+    x = []
+    sc = set()
+    for w, _, e in reversed(ve):
+        if w < 1.5:
+            break
+        c1 = vv[e.s]
+        if c1 in sc:
+            continue
+        x.append(e)
+        sc.add(c1)
+    return x
+
+
+def remove_trivial_vertices(gr):
+    """graph_reviser.cc:174-189"""
+    flag = False
+    n = gr.num_vertices() - 1
+    for i in range(1, n):
+        if gr.in_degree(i) != 1 or gr.out_degree(i) != 1:
+            continue
+        if gr.edge(0, i) is None or gr.edge(i, n) is None:
+            continue
+        gr.clear_vertex(i)
+        flag = True
+    return flag
+
+
+def remove_small_exons(gr, min_exon):
+    """graph_reviser.cc:191-231"""
+    flag = False
+    n = gr.num_vertices() - 1
+    for i in range(1, n):
+        p1 = gr.get_vertex_info(i).lpos
+        p2 = gr.get_vertex_info(i).rpos
+        if p2 - p1 >= min_exon:
+            continue
+        if gr.degree(i) <= 0:
+            continue
+        b = True
+        for e in gr.in_edges(i):
+            s = e.s
+            if s != 0 and gr.get_vertex_info(s).rpos == p1:
+                b = False
+                break
+        if b:
+            for e in gr.out_edges(i):
+                t = e.t
+                if t != n and gr.get_vertex_info(t).lpos == p2:
+                    b = False
+                    break
+        if not b:
+            continue
+        if gr.edge(0, i) is None and gr.edge(i, n) is None:
+            continue
+        gr.clear_vertex(i)
+        flag = True
+    return flag
+
+
+def remove_small_junctions(gr):
+    """graph_reviser.cc:233-312"""
+    se = set()
+    n = gr.num_vertices() - 1
+    for i in range(1, n):
+        if gr.degree(i) <= 0:
+            continue
+        p1 = gr.get_vertex_info(i).lpos
+        p2 = gr.get_vertex_info(i).rpos
+        wi = gr.get_vertex_weight(i)
+        ws = 0.0
+        for e in gr.in_edges(i):
+            s = e.s
+            if s == 0:
+                continue
+            if gr.get_vertex_info(s).rpos != p1:
+                continue
+            ws = max(ws, gr.get_vertex_weight(s))
+        for e in gr.in_edges(i):
+            s = e.s
+            w = gr.get_edge_weight(e)
+            if s == 0:
+                continue
+            if gr.get_vertex_info(s).rpos == p1:
+                continue
+            if ws < 2.0 * w * w + 18.0:
+                continue
+            if wi < 2.0 * w * w + 18.0:
+                continue
+            se.add(e)
+        wt = 0.0
+        for e in gr.out_edges(i):
+            t = e.t
+            if t == n:
+                continue
+            if gr.get_vertex_info(t).lpos != p2:
+                continue
+            wt = max(wt, gr.get_vertex_weight(t))
+        for e in gr.out_edges(i):
+            t = e.t
+            w = gr.get_edge_weight(e)
+            if t == n:
+                continue
+            if gr.get_vertex_info(t).lpos == p2:
+                continue
+            if ws < 2.0 * w * w + 18.0:
+                continue
+            if wi < 2.0 * w * w + 18.0:
+                continue
+            se.add(e)
+    if not se:
+        return False
+    for e in se:
+        gr.remove_edge(e)
+    return True
+
+
+def remove_inner_boundaries(gr):
+    """graph_reviser.cc:314-347"""
+    flag = False
+    n = gr.num_vertices() - 1
+    for i in range(1, n):
+        if gr.in_degree(i) != 1 or gr.out_degree(i) != 1:
+            continue
+        e1 = gr.in_edges(i)[0]
+        e2 = gr.out_edges(i)[0]
+        vi = gr.get_vertex_info(i)
+        s = e1.s
+        t = e2.t
+        if s != 0 and t != n:
+            continue
+        if s != 0 and gr.out_degree(s) == 1:
+            continue
+        if t != n and gr.in_degree(t) == 1:
+            continue
+        if vi.stddev >= 0.01:
+            continue
+        gr.clear_vertex(i)
+        flag = True
+    return flag
+
+
+def remove_intron_contamination(gr, ratio):
+    """graph_reviser.cc:349-389"""
+    flag = False
+    n = gr.num_vertices() - 1
+    for i in range(1, gr.num_vertices()):
+        if gr.in_degree(i) != 1 or gr.out_degree(i) != 1:
+            continue
+        e1 = gr.in_edges(i)[0]
+        e2 = gr.out_edges(i)[0]
+        s = e1.s
+        t = e2.t
+        wv = gr.get_vertex_weight(i)
+        vi = gr.get_vertex_info(i)
+        if s == 0 or t == n:
+            continue
+        if gr.get_vertex_info(s).rpos != vi.lpos:
+            continue
+        if gr.get_vertex_info(t).lpos != vi.rpos:
+            continue
+        ee = gr.edge(s, t)
+        if ee is None:
+            continue
+        we = gr.get_edge_weight(ee)
+        if wv > we or wv > ratio:
+            continue
+        gr.clear_vertex(i)
+        flag = True
+    return flag
+
+
+def keep_surviving_edges(gr, surviving, junctions=None):
+    """Keep edges above the surviving weight (or whitelisted junctions),
+    pulling in max in/out edges to keep touched vertices connected; drop
+    the rest (graph_reviser.cc:391-469 and the junction-set variants
+    :471-767)."""
+    n = gr.num_vertices() - 1
+    sv1 = set()
+    sv2 = set()
+    se = set()
+    for e in gr.edges():
+        w = gr.get_edge_weight(e)
+        keep = w >= surviving
+        if not keep and junctions is not None:
+            p = (gr.get_vertex_info(e.s).rpos, gr.get_vertex_info(e.t).lpos)
+            keep = p in junctions
+        if not keep:
+            continue
+        se.add(e)
+        sv1.add(e.t)
+        sv2.add(e.s)
+    if junctions is None:
+        for ee in compute_maximal_edges(gr):
+            se.add(ee)
+            sv1.add(ee.t)
+            sv2.add(ee.s)
+    while True:
+        b = False
+        for e in sorted(se, key=lambda x: x.eid):
+            s, t = e.s, e.t
+            if s not in sv1 and s != 0:
+                ee = gr.max_in_edge(s)
+                se.add(ee)
+                sv1.add(s)
+                sv2.add(ee.s)
+                b = True
+            if t not in sv2 and t != n:
+                ee = gr.max_out_edge(t)
+                se.add(ee)
+                sv1.add(ee.t)
+                sv2.add(t)
+                b = True
+            if b:
+                break
+        if not b:
+            break
+    ve = [e for e in gr.edges() if e not in se]
+    for e in ve:
+        gr.remove_edge(e)
+    return len(ve) >= 1

@@ -361,6 +361,13 @@ def read_gtf(path):
     return out
 
 
+def write_gtf(path, trsts, mode="w"):
+    """Write transcripts to a GTF file (genome::write, gtf/genome.cc)."""
+    with open(path, mode) as fout:
+        for t in trsts:
+            t.write(fout)
+
+
 class Gene:
     """Transcripts grouped by gene_id (gtf/gene.{h,cc})."""
 
