@@ -68,7 +68,7 @@ def simulate_pairs(exons, n_pairs, strand, rng, read_len=100,
 
 
 def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
-    recs = sorted(recs, key=lambda r: (r["pos"],
+    recs = sorted(recs, key=lambda r: (r.get("tid", 0), r["pos"],
                                        sum(l for op, l in r["cigar"])))
     with BamWriter(path, list(names), list(lengths)) as w:
         for r in recs:

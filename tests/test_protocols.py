@@ -1,0 +1,84 @@
+"""Protocol coverage: long reads (ONT/PacBio-style), single-end, chromosome
+filters, multi-chromosome runs."""
+
+import os
+import random
+
+from aletsch_tpu.config import default_params
+from aletsch_tpu.constants import ONT
+from aletsch_tpu.io.gtf import read_gtf
+from aletsch_tpu.meta.incubator import Incubator
+from aletsch_tpu.sim import map_to_genome, write_bam
+
+ISO_X = [(10000, 10300), (15000, 15200), (20000, 20400)]   # chr1 '+'
+ISO_Y = [(50000, 50500), (60000, 60600)]                    # chr2 '-'
+
+
+def long_read_recs(exons, n, strand, rng, prefix):
+    """Full-length single-end long reads covering the whole isoform."""
+    total = sum(b - a for a, b in exons)
+    recs = []
+    for i in range(n):
+        trim_l = rng.randint(0, 20)
+        trim_r = rng.randint(0, 20)
+        length = total - trim_l - trim_r
+        g, cigar = map_to_genome(exons, trim_l, length)
+        flag = 0x10 if strand == "-" else 0
+        recs.append(dict(qname="%s.%d" % (prefix, i), flag=flag, pos=g,
+                         cigar=cigar, mpos=-1, isize=0, xs=strand))
+    return recs
+
+
+def write_ont_sample(path, seed):
+    rng = random.Random(seed)
+    recs = long_read_recs(ISO_X, 12, "+", rng, "x")
+    recs2 = long_read_recs(ISO_Y, 12, "-", rng, "y")
+    write_bam(path, recs, names=("chr1", "chr2"), lengths=(10**6, 10**6))
+    # chr2 records go in the same file
+    allrecs = recs + [dict(r, tid=1, mtid=1) for r in recs2]
+    write_bam(path, allrecs, names=("chr1", "chr2"), lengths=(10**6, 10**6))
+
+
+def run(tmp_path, protocol, chrm_filter=""):
+    bam = str(tmp_path / "ont.bam")
+    write_ont_sample(bam, 5)
+    bl = tmp_path / "bams.list"
+    bl.write_text("%s %s.bai %s\n" % (bam, bam, protocol))
+    out_gtf = str(tmp_path / "meta.gtf")
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir, exist_ok=True)
+    params = default_params()
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = out_gtf
+        p.output_gtf_dir = out_dir
+        p.chrm_list_string = chrm_filter
+        p.verbose = 0
+    inc = Incubator(params)
+    inc.resolve()
+    return read_gtf(out_gtf)
+
+
+def intron_chain(exons):
+    return tuple((exons[k - 1][1], exons[k][0]) for k in range(1, len(exons)))
+
+
+def test_ont_long_reads(tmp_path):
+    trsts = run(tmp_path, "ont")
+    chains = {(t.seqname, intron_chain(t.exons)) for t in trsts}
+    assert ("chr1", intron_chain(ISO_X)) in chains
+    assert ("chr2", intron_chain(ISO_Y)) in chains
+    by = {t.seqname: t for t in trsts}
+    assert by["chr1"].strand == "+"
+    assert by["chr2"].strand == "-"
+
+
+def test_pacbio_ccs(tmp_path):
+    trsts = run(tmp_path, "pacbio_ccs")
+    assert len(trsts) >= 2
+
+
+def test_chromosome_filter(tmp_path):
+    trsts = run(tmp_path, "ont", chrm_filter="chr2")
+    assert len(trsts) >= 1
+    assert all(t.seqname == "chr2" for t in trsts)
