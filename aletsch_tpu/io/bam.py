@@ -44,8 +44,9 @@ class BamHeader:
 
 class BamRec:
     __slots__ = ("tid", "pos", "mapq", "flag", "l_seq", "mtid", "mpos",
-                 "isize", "qname", "cigar", "rpos", "xs", "ts", "hi", "nh",
-                 "nm", "qual")
+                 "isize", "qname", "rpos", "xs", "ts", "hi", "nh",
+                 "nm", "qual", "coords", "mcnt", "scnt", "icnt",
+                 "_cigar", "_rawcig", "_rawoff", "_ncigar", "_totn")
 
     def __init__(self):
         self.xs = "."
@@ -53,10 +54,35 @@ class BamRec:
         self.hi = -1
         self.nh = -1
         self.nm = 0
+        self.coords = None    # preparsed [match pairs | splices | indel pairs]
+        self._cigar = None
+        self._rawcig = None
+        self._ncigar = None
+        self._totn = None
+
+    @property
+    def cigar(self):
+        if self._cigar is None and self._rawcig is not None:
+            off = self._rawoff
+            self._cigar = [(int(c) & 0xF, int(c) >> 4)
+                           for c in self._rawcig[off:off + self._ncigar]]
+        return self._cigar
+
+    @cigar.setter
+    def cigar(self, v):
+        self._cigar = v
+
+    def set_lazy_cigar(self, pool, off, n, totn):
+        self._rawcig = pool
+        self._rawoff = off
+        self._ncigar = n
+        self._totn = totn
 
     @property
     def n_cigar(self):
-        return len(self.cigar)
+        if self._ncigar is not None:
+            return self._ncigar
+        return len(self._cigar) if self._cigar is not None else 0
 
     def ref_len(self):
         n = 0
@@ -67,6 +93,9 @@ class BamRec:
 
     def extract_splices(self):
         """Interior N ops -> [s1, e1, s2, e2, ...] (rnacore/hit.cc:77-104)."""
+        if self.coords is not None:
+            a = 2 * self.mcnt
+            return self.coords[a:a + self.scnt]
         spos = []
         p = self.pos
         cig = self.cigar
@@ -82,10 +111,15 @@ class BamRec:
         return spos
 
     def contain_splices(self):
+        if self._totn is not None:
+            return self._totn > 0
         return any(op == CREF_SKIP for op, _ in self.cigar)
 
     def match_intervals(self):
         """[(s, p)] for every CMATCH op (bundle_base::add_intervals)."""
+        if self.coords is not None:
+            c = self.coords
+            return [(c[2 * i], c[2 * i + 1]) for i in range(self.mcnt)]
         out = []
         p = self.pos
         for op, ln in self.cigar:
@@ -97,6 +131,10 @@ class BamRec:
 
     def indel_intervals(self):
         """imap contributions: I -> [p-1,p+1), D -> [s,p)."""
+        if self.coords is not None:
+            c = self.coords
+            a = 2 * self.mcnt + self.scnt
+            return [(c[a + 2 * i], c[a + 2 * i + 1]) for i in range(self.icnt)]
         out = []
         p = self.pos
         for op, ln in self.cigar:

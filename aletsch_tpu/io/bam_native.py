@@ -1,9 +1,12 @@
 """ctypes binding for the native BAM batch decoder (native/abam.cpp).
 
 Exposes the same reader interface as io.bam.BamReader but decodes records in
-batches through the C++ library; falls back transparently to the pure-Python
-reader when the shared library is unavailable.  Auto-builds native/libabam.so
-with g++ on first use (cached).
+batches through the C++ library: fixed int32 fields, cigar words, qnames and
+preparsed coordinate pools (match intervals, interior splices, indel
+intervals) arrive as flat arrays, so the per-record Python work is object
+assembly only; cigar tuples decode lazily.  Falls back transparently to the
+pure-Python reader when the shared library is unavailable.  Auto-builds
+native/libabam.so with make on first use.
 """
 
 from __future__ import annotations
@@ -24,8 +27,10 @@ _LIB = None
 _LIB_TRIED = False
 
 BATCH = 4096
+FIXED_W = 24
 CIG_CAP = BATCH * 16
 Q_CAP = BATCH * 64
+COORD_CAP = BATCH * 40
 
 
 def _load_lib():
@@ -56,7 +61,8 @@ def _load_lib():
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
-            ctypes.c_char_p, ctypes.c_int64]
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         lib.abam_read_batch.restype = ctypes.c_int
         _LIB = lib
     except Exception:
@@ -66,6 +72,10 @@ def _load_lib():
 
 def native_available():
     return _load_lib() is not None
+
+
+class _Batch:
+    __slots__ = ("fixed", "voffs", "cigars", "qnames", "coords", "count")
 
 
 class NativeBamReader:
@@ -88,11 +98,12 @@ class NativeBamReader:
             names.append(buf.value.decode())
             lengths.append(int(lib.abam_target_len(self._h, i)))
         self.header = BamHeader("", names, lengths)
-        self._fixed = np.zeros((BATCH, 16), dtype=np.int32)
+        self._fixed = np.zeros((BATCH, FIXED_W), dtype=np.int32)
         self._voffs = np.zeros(BATCH, dtype=np.uint64)
         self._cigars = np.zeros(CIG_CAP, dtype=np.uint32)
         self._qnames = ctypes.create_string_buffer(Q_CAP)
-        self._count = 0
+        self._coords = np.zeros(COORD_CAP, dtype=np.int32)
+        self._batch = None
         self._cursor = 0
 
     def close(self):
@@ -106,54 +117,77 @@ class NativeBamReader:
     def __exit__(self, *a):
         self.close()
 
-    def _fill(self):
+    def read_batch_arrays(self):
+        """Decode the next batch; returns a _Batch of owned arrays or None.
+
+        fixed: [n, 24] int32; voffs: [n] uint64; cigars/coords: pools;
+        qnames: bytes pool (NUL-terminated names at fixed[:,10]).
+        """
         lib = self._lib
-        self._count = lib.abam_read_batch(
+        n = lib.abam_read_batch(
             self._h, BATCH,
             self._fixed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self._voffs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             self._cigars.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            CIG_CAP, self._qnames, Q_CAP)
-        self._cursor = 0
-        return self._count > 0
+            CIG_CAP, self._qnames, Q_CAP,
+            self._coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            COORD_CAP)
+        if n <= 0:
+            return None
+        b = _Batch()
+        b.count = n
+        b.fixed = self._fixed[:n].copy()
+        b.voffs = self._voffs[:n].copy()
+        last = b.fixed[n - 1]
+        b.cigars = self._cigars[:int(last[9]) + int(last[8])].copy()
+        b.coords = self._coords[:int(last[17]) + 2 * int(last[18])
+                                + int(last[19]) + 2 * int(last[20])].copy()
+        qend = int(last[10]) + int(last[11]) + 1
+        b.qnames = self._qnames.raw[:qend]
+        return b
 
     def tell(self):
-        if self._cursor < self._count:
-            return int(self._voffs[self._cursor])
+        if self._batch is not None and self._cursor < self._batch.count:
+            return int(self._batch.voffs[self._cursor])
         return int(self._lib.abam_tell(self._h))
 
     def seek(self, voff):
-        self._count = 0
+        self._batch = None
         self._cursor = 0
         self._lib.abam_seek(self._h, voff)
 
     def read_rec(self):
-        if self._cursor >= self._count:
-            if not self._fill():
+        if self._batch is None or self._cursor >= self._batch.count:
+            self._batch = self.read_batch_arrays()
+            self._cursor = 0
+            if self._batch is None:
                 return None
-        f = self._fixed[self._cursor]
+        b = self._batch
+        f = b.fixed[self._cursor].tolist()
         rec = BamRec()
-        rec.tid = int(f[0])
-        rec.pos = int(f[1])
-        rec.rpos = int(f[2])
-        rec.mapq = int(f[3])
-        rec.qual = rec.mapq
-        rec.flag = int(f[4])
-        rec.mtid = int(f[5])
-        rec.mpos = int(f[6])
-        rec.isize = int(f[7])
-        n_cigar = int(f[8])
-        coff = int(f[9])
-        cig = self._cigars[coff:coff + n_cigar]
-        rec.cigar = [(int(c) & 0xF, int(c) >> 4) for c in cig]
-        qoff = int(f[10])
-        qlen = int(f[11])
-        rec.qname = self._qnames.raw[qoff:qoff + qlen].decode()
-        rec.xs = chr(int(f[12]))
-        rec.hi = int(f[13])
-        rec.nh = int(f[14])
-        rec.nm = int(f[15])
+        rec.tid = f[0]
+        rec.pos = f[1]
+        rec.rpos = f[2]
+        rec.mapq = f[3]
+        rec.qual = f[3]
+        rec.flag = f[4]
+        rec.mtid = f[5]
+        rec.mpos = f[6]
+        rec.isize = f[7]
+        rec.set_lazy_cigar(b.cigars, f[9], f[8], f[21])
+        qoff = f[10]
+        rec.qname = b.qnames[qoff:qoff + f[11]].decode()
+        rec.xs = chr(f[12])
+        rec.hi = f[13]
+        rec.nh = f[14]
+        rec.nm = f[15]
         rec.l_seq = 0
+        coff = f[17]
+        cend = coff + 2 * f[18] + f[19] + 2 * f[20]
+        rec.coords = b.coords[coff:cend].tolist()
+        rec.mcnt = f[18]
+        rec.scnt = f[19]
+        rec.icnt = f[20]
         self._cursor += 1
         return rec
 

@@ -30,13 +30,105 @@ class Previewer:
         self.sp = sp
 
     def infer_library_type(self):
-        """previewer.cc:29-148"""
+        """previewer.cc:29-148
+
+        With the native batch decoder the scan is vectorized: per-record
+        filters, splice detection and the flag-predicted orientation are
+        computed on flat arrays; Python touches nothing per record."""
+        with open_bam(self.sp.align_file) as r:
+            if hasattr(r, "read_batch_arrays"):
+                return self._infer_library_type_batched(r)
+            return self._infer_library_type_slow(r)
+
+    def _infer_library_type_batched(self, r):
+        import numpy as np
+        cfg = self.cfg
+        sp = self.sp
+        total = spliced = num_xs = 0
+        n1 = n2 = 0            # len(spn1), len(spn2)
+        first = second = 0
+        cap = cfg.max_preview_spliced_reads
+        while True:
+            if total >= cfg.max_preview_reads:
+                break
+            if n1 >= cap and n2 >= cap:
+                break
+            b = r.read_batch_arrays()
+            if b is None:
+                break
+            f = b.fixed
+            flag = f[:, 4]
+            keep = ((flag & 0x4) == 0) & ((flag & 0x100) == 0) & \
+                (f[:, 8] <= cfg.max_num_cigar) & (f[:, 8] >= 1) & \
+                (f[:, 3] >= cfg.min_mapping_quality)
+            # honor the total cap within the batch
+            kept = np.nonzero(keep)[0]
+            room = cfg.max_preview_reads - total
+            if kept.size > room:
+                kept = kept[:room]
+            total += kept.size
+            sp_mask = f[kept, 16] > 0
+            spl = kept[sp_mask]
+            spliced += spl.size
+            xs = f[spl, 12]
+            has_xs = xs != ord(".")
+            num_xs += int(has_xs.sum())
+            sel = spl[has_xs]
+            if sel.size == 0:
+                continue
+            fl = f[sel, 4]
+            paired = (fl & 0x1) >= 1
+            rev = (fl & 0x10) >= 1
+            mrev = (fl & 0x20) >= 1
+            r1 = (fl & 0x40) >= 1
+            r2 = (fl & 0x80) >= 1
+            pred = np.full(sel.size, ord("."), dtype=np.int32)
+            pred = np.where(paired & ~rev & mrev & r1 & ~r2, ord("-"), pred)
+            pred = np.where(paired & rev & ~mrev & ~r1 & r2, ord("-"), pred)
+            pred = np.where(paired & rev & ~mrev & r1 & ~r2, ord("+"), pred)
+            pred = np.where(paired & ~rev & mrev & ~r1 & r2, ord("+"), pred)
+            pred = np.where(~paired, np.where(rev, ord("+"), ord("-")), pred)
+            tag = f[sel, 12]
+            plus = pred == ord("+")
+            minus = pred == ord("-")
+            agree = pred == tag
+            # apply per-strand caps (order within batch preserved)
+            ci = np.cumsum(plus)
+            cj = np.cumsum(minus)
+            take_p = plus & (n1 + ci <= cap)
+            take_m = minus & (n2 + cj <= cap)
+            n1 += int(take_p.sum())
+            n2 += int(take_m.sum())
+            first += int((take_p & agree).sum() + (take_m & agree).sum())
+            second += int((take_p & ~agree).sum() + (take_m & ~agree).sum())
+        self._finish_library_type(total, spliced, num_xs, n1, n2,
+                                  first, second)
+
+    def _finish_library_type(self, total, spliced, num_xs, n1, n2,
+                             first, second):
+        cfg = self.cfg
+        sp = self.sp
+        spn = (n1 + n2) // 2
+        sp.num_xs = num_xs
+        sp.spn = spn
+        s1 = UNSTRANDED
+        if spn >= cfg.min_preview_spliced_reads and \
+                first > cfg.preview_infer_ratio * 2.0 * spn:
+            s1 = FR_FIRST
+        if spn >= cfg.min_preview_spliced_reads and \
+                second > cfg.preview_infer_ratio * 2.0 * spn:
+            s1 = FR_SECOND
+        sp.library_type = s1
+        sp.bam_with_xs = 1 if spliced > 0 and \
+            num_xs / spliced > cfg.preview_infer_ratio else 0
+
+    def _infer_library_type_slow(self, r):
         cfg = self.cfg
         sp = self.sp
         total = spliced = num_xs = 0
         spn1 = []
         spn2 = []
-        with open_bam(sp.align_file) as r:
+        if True:
             while True:
                 if total >= cfg.max_preview_reads:
                     break

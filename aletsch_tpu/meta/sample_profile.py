@@ -87,24 +87,97 @@ class SampleProfile:
     def set_batch_boundaries(self, min_bundle_gap, max_read_span):
         """One linear sweep recording per-region seek offsets
         (sample_profile.cc:167-252).  Also closes the final open region,
-        which the reference leaves implicitly terminated at EOF."""
+        which the reference leaves implicitly terminated at EOF.
+
+        Uses the native batch decoder's flat arrays when available: the
+        scan is vectorized per batch, touching Python only at coverage
+        gaps and chromosome changes."""
         with open_bam(self.align_file) as r:
-            hdr = r.header
-            self.target_names = list(hdr.names)
-            self.target_lengths = list(hdr.lengths)
-            nt = hdr.n_targets
-            self.start1 = []
-            self.start2 = []
-            self.start_off = []
-            self.end1 = []
-            self.end2 = []
-            for i in range(nt):
-                n = hdr.lengths[i] // self.region_partition_length + 1
-                self.start1.append([0] * n)
-                self.start2.append([0] * n)
-                self.start_off.append([0] * n)
-                self.end1.append([0] * n)
-                self.end2.append([0] * n)
+            if hasattr(r, "read_batch_arrays"):
+                return self._set_batch_boundaries_batched(
+                    r, min_bundle_gap, max_read_span)
+            return self._set_batch_boundaries_slow(
+                r, min_bundle_gap, max_read_span)
+
+    def _init_tables(self, hdr):
+        self.target_names = list(hdr.names)
+        self.target_lengths = list(hdr.lengths)
+        self.start1 = []
+        self.start2 = []
+        self.start_off = []
+        self.end1 = []
+        self.end2 = []
+        for i in range(hdr.n_targets):
+            n = hdr.lengths[i] // self.region_partition_length + 1
+            self.start1.append([0] * n)
+            self.start2.append([0] * n)
+            self.start_off.append([0] * n)
+            self.end1.append([0] * n)
+            self.end2.append([0] * n)
+
+    def _set_batch_boundaries_batched(self, r, min_bundle_gap, max_read_span):
+        import numpy as np
+        self._init_tables(r.header)
+        rl = self.region_partition_length
+        tid = -1
+        rid = 0
+        rpos = 0
+        while True:
+            b = r.read_batch_arrays()
+            if b is None:
+                break
+            f = b.fixed
+            mask = ((f[:, 4] & 0x4) == 0) & \
+                (np.abs(f[:, 1] - f[:, 2]) < max_read_span)
+            idx = np.nonzero(mask)[0]
+            if idx.size == 0:
+                continue
+            tids = f[idx, 0]
+            poss = f[idx, 1]
+            rposs = f[idx, 2]
+            voffs = b.voffs[idx]
+            # split the batch into per-chromosome segments (changes are rare)
+            cuts = [0] + (np.nonzero(tids[1:] != tids[:-1])[0] + 1).tolist() \
+                + [idx.size]
+            for si in range(len(cuts) - 1):
+                a, z = cuts[si], cuts[si + 1]
+                t = int(tids[a])
+                if t != tid:
+                    if tid >= 0:
+                        self.end1[tid][rid] = rpos
+                        self.end2[tid][rid] = rpos
+                    tid = t
+                    rid = 0
+                    self.start1[tid][rid] = int(poss[a])
+                    self.start2[tid][rid] = int(rposs[a])
+                    self.start_off[tid][rid] = int(voffs[a])
+                    rpos = int(rposs[a])
+                seg_r = rposs[a:z]
+                seg_p = poss[a:z]
+                runmax = np.maximum.accumulate(seg_r)
+                prevmax = np.empty_like(runmax)
+                prevmax[0] = rpos
+                if z - a > 1:
+                    prevmax[1:] = np.maximum(runmax[:-1], rpos)
+                # candidate gap rows (region switches only happen here)
+                for k in np.nonzero(seg_p > prevmax + min_bundle_gap)[0].tolist():
+                    p = int(seg_p[k])
+                    if p >= rl * (1 + rid):
+                        pm = int(prevmax[k])
+                        self.end1[tid][rid] = pm
+                        self.end2[tid][rid] = pm
+                        rid = p // rl
+                        self.start1[tid][rid] = p
+                        self.start2[tid][rid] = int(seg_r[k])
+                        self.start_off[tid][rid] = int(voffs[a + k])
+                rpos = max(rpos, int(runmax[-1]))
+        if tid >= 0:
+            self.end1[tid][rid] = rpos
+            self.end2[tid][rid] = rpos
+
+    def _set_batch_boundaries_slow(self, r, min_bundle_gap, max_read_span):
+        if True:
+            self._init_tables(r.header)
             tid = -1
             rid = 0
             rpos = 0

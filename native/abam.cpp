@@ -175,18 +175,27 @@ int abam_seek(BamFile* f, uint64_t voff) {
     return 0;
 }
 
-// fixed layout (per record, 16 int32):
+// fixed layout (per record, 24 int32):
 // 0 tid, 1 pos, 2 rpos, 3 mapq, 4 flag, 5 mtid, 6 mpos, 7 isize,
 // 8 n_cigar, 9 cigar_off, 10 qname_off, 11 qname_len, 12 xs, 13 hi,
-// 14 nh, 15 nm
+// 14 nh, 15 nm, 16 n_splice, 17 coords_off, 18 m_cnt (match-interval
+// pairs), 19 s_cnt (splice coords), 20 i_cnt (indel-interval pairs),
+// 21..23 reserved.
+//
+// coords pool layout per record (int32): m_cnt*2 match-interval bounds,
+// then s_cnt splice coordinates (interior N ops), then i_cnt*2
+// indel-interval bounds (I -> [p-1,p+1), D -> [s,p)), matching
+// hit::extract_splices / bundle_base::add_intervals.
 int abam_read_batch(BamFile* f, int maxn, int32_t* fixed, uint64_t* voffs,
                     uint32_t* cigars, int64_t cig_cap,
-                    char* qnames, int64_t q_cap) {
+                    char* qnames, int64_t q_cap,
+                    int32_t* coords, int64_t coords_cap) {
     static const int CONSUME_REF =
         (1 << 0) | (1 << 2) | (1 << 3) | (1 << 7) | (1 << 8);
     int count = 0;
     int64_t cig_off = 0;
     int64_t q_off = 0;
+    int64_t c_off = 0;
     std::vector<uint8_t> rec;
     while (count < maxn) {
         uint64_t voff = abam_tell(f);
@@ -208,13 +217,14 @@ int abam_read_batch(BamFile* f, int maxn, int32_t* fixed, uint64_t* voffs,
         int32_t next_pos = rd32(p + 24);
         int32_t tlen = rd32(p + 28);
         size_t off = 32;
-        // capacity check
-        if (q_off + l_read_name >= q_cap || cig_off + n_cigar > cig_cap) {
+        // capacity check (coords worst case: 5 slots per cigar op)
+        if (q_off + l_read_name >= q_cap || cig_off + n_cigar > cig_cap ||
+            c_off + 5ll * n_cigar + 4 > coords_cap) {
             // rewind to record start and stop this batch
             abam_seek(f, voff);
             break;
         }
-        int32_t* fx = fixed + (int64_t)count * 16;
+        int32_t* fx = fixed + (int64_t)count * 24;
         voffs[count] = voff;
         fx[0] = refID;
         fx[1] = pos;
@@ -232,12 +242,69 @@ int abam_read_batch(BamFile* f, int maxn, int32_t* fixed, uint64_t* voffs,
         q_off += l_read_name;
         off += l_read_name;
         int32_t ref_len = 0;
+        int32_t total_n_ops = 0;
         for (int k = 0; k < n_cigar; k++) {
             uint32_t c;
             memcpy(&c, p + off + 4 * k, 4);
             cigars[cig_off + k] = c;
             int op = c & 0xF;
+            if (op == 3) total_n_ops++;
             if ((CONSUME_REF >> op) & 1) ref_len += (int32_t)(c >> 4);
+        }
+        // second walk: match intervals, interior splices, indel intervals
+        {
+            int32_t gp = pos;
+            int32_t m_cnt = 0, s_cnt = 0, i_cnt = 0;
+            int64_t mbase = c_off;
+            // match intervals first
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t c = cigars[cig_off + k];
+                int op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if ((CONSUME_REF >> op) & 1) gp += ln;
+                if (op == 0) {  // CMATCH
+                    coords[mbase + 2 * m_cnt] = gp - ln;
+                    coords[mbase + 2 * m_cnt + 1] = gp;
+                    m_cnt++;
+                }
+            }
+            int64_t sbase = mbase + 2 * m_cnt;
+            gp = pos;
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t c = cigars[cig_off + k];
+                int op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if ((CONSUME_REF >> op) & 1) gp += ln;
+                if (k == 0 || k == n_cigar - 1) continue;
+                if (op != 3) continue;  // CREF_SKIP
+                coords[sbase + s_cnt] = gp - ln;
+                coords[sbase + s_cnt + 1] = gp;
+                s_cnt += 2;
+            }
+            int64_t ibase = sbase + s_cnt;
+            gp = pos;
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t c = cigars[cig_off + k];
+                int op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if ((CONSUME_REF >> op) & 1) gp += ln;
+                if (op == 1) {  // CINS
+                    coords[ibase + 2 * i_cnt] = gp - 1;
+                    coords[ibase + 2 * i_cnt + 1] = gp + 1;
+                    i_cnt++;
+                } else if (op == 2) {  // CDEL
+                    coords[ibase + 2 * i_cnt] = gp - ln;
+                    coords[ibase + 2 * i_cnt + 1] = gp;
+                    i_cnt++;
+                }
+            }
+            fx[16] = s_cnt / 2;
+            fx[17] = (int32_t)mbase;
+            fx[18] = m_cnt;
+            fx[19] = s_cnt;
+            fx[20] = i_cnt;
+            fx[21] = total_n_ops;
+            c_off = ibase + 2 * i_cnt;
         }
         cig_off += n_cigar;
         off += 4ull * n_cigar;

@@ -1,0 +1,64 @@
+"""Parity of vectorized batch-array sweeps vs the per-record slow paths."""
+
+import pytest
+
+from aletsch_tpu.config import Parameters
+from aletsch_tpu.constants import PAIRED_END
+from aletsch_tpu.io.bam import BamReader
+from aletsch_tpu.io.bam_native import NativeBamReader, native_available
+from aletsch_tpu.meta.previewer import Previewer
+from aletsch_tpu.meta.sample_profile import SampleProfile
+from simulate import simulate_sample
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="libabam unavailable")
+
+
+def make_bam(tmp_path):
+    p = str(tmp_path / "t.bam")
+    # small region length forces several regions and gap switches
+    simulate_sample(p, seed=21)
+    return p
+
+
+def test_batch_boundaries_parity(tmp_path):
+    p = make_bam(tmp_path)
+    a = SampleProfile(0, 30000)
+    a.align_file = p
+    a.set_batch_boundaries(200, 500000)          # batched (native reader)
+
+    b = SampleProfile(0, 30000)
+    b.align_file = p
+    with BamReader(p) as r:
+        b._init_tables(r.header)
+    with BamReader(p) as r:
+        b._set_batch_boundaries_slow(r, 200, 500000)
+
+    assert a.start1 == b.start1
+    assert a.start2 == b.start2
+    assert a.start_off == b.start_off
+    assert a.end1 == b.end1
+
+
+def test_library_type_parity(tmp_path):
+    p = make_bam(tmp_path)
+    cfg = Parameters()
+
+    sa = SampleProfile(0, 10**6)
+    sa.align_file = p
+    sa.data_type = PAIRED_END
+    pa = Previewer(cfg, sa)
+    with NativeBamReader(p) as r:
+        pa._infer_library_type_batched(r)
+
+    sb = SampleProfile(0, 10**6)
+    sb.align_file = p
+    sb.data_type = PAIRED_END
+    pb = Previewer(cfg, sb)
+    with BamReader(p) as r:
+        pb._infer_library_type_slow(r)
+
+    assert sa.spn == sb.spn
+    assert sa.num_xs == sb.num_xs
+    assert sa.library_type == sb.library_type
+    assert sa.bam_with_xs == sb.bam_with_xs
