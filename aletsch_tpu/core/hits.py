@@ -6,18 +6,21 @@ coordinates, flags, XS/HI/NH/NM tags, library-type-derived strand.
 
 from __future__ import annotations
 
+from zlib import crc32
+
 from ..constants import FR_FIRST, FR_SECOND
 from ..io.bam import FPAIRED, FREAD1, FREAD2, FREVERSE
-from ..utils.seqs import string_hash
 
 
 class Hit:
     __slots__ = ("hid", "tid", "pos", "rpos", "mpos", "mtid", "isize", "flag",
-                 "qual", "qname", "strand", "xs", "ts", "hi", "nh", "nm")
+                 "qual", "qname", "strand", "xs", "ts", "hi", "nh", "nm",
+                 "_qhash")
 
     def __init__(self, rec=None, hid=0):
         self.hid = hid
         self.strand = "."
+        self._qhash = None
         if rec is None:
             return
         self.tid = rec.tid
@@ -67,7 +70,15 @@ class Hit:
             self.strand = "-" if rev else "+"
 
     def get_qhash(self):
-        return string_hash(self.qname)
+        """Deterministic qname hash for mate-pair bucketing (hit.cc:217-220).
+
+        crc32 is C-speed and process-stable; only intra-bundle consistency
+        matters for pairing correctness."""
+        h = self._qhash
+        if h is None:
+            h = crc32(self.qname.encode())
+            self._qhash = h
+        return h
 
     def __repr__(self):
         return "Hit(%s %d-%d %s)" % (self.qname, self.pos, self.rpos, self.strand)
