@@ -47,6 +47,20 @@ class BundleBase:
         if len(v) >= 1:
             self.hcst.add(v, len(self.hits) - 1, ht.xs)
 
+    def add_hit_parsed(self, ht, coords, mcnt, scnt, icnt):
+        """add_hit_intervals from a preparsed coordinate slice
+        (columnar generator path): coords = [match pairs | splice coords |
+        indel pairs]."""
+        if self.add_hit(ht) != 0:
+            return
+        for i in range(mcnt):
+            self.mmap.add(coords[2 * i], coords[2 * i + 1], 1)
+        a = 2 * mcnt + scnt
+        for i in range(icnt):
+            self.imap.add(coords[a + 2 * i], coords[a + 2 * i + 1], 1)
+        if scnt >= 1:
+            self.hcst.add(coords[2 * mcnt:a], len(self.hits) - 1, ht.xs)
+
     def add_hit(self, ht):
         """bundle_base.cc:73-104; returns -1 on consecutive duplicate."""
         if self.hits:

@@ -29,11 +29,141 @@ class Generator:
     def resolve(self):
         """meta/generator.cc:51-201"""
         sp = self.sp
-        cfg = self.cfg
         tid = self.target_id
         rid = self.region_id
         if tid < 0 or rid < 0:
             return
+        with open_bam(sp.align_file) as r:
+            if hasattr(r, "read_batch_arrays"):
+                return self._resolve_batched(r)
+            return self._resolve_slow(r)
+
+    def _resolve_batched(self, r):
+        """Columnar scan: filters and dedup are computed on the decoder's
+        flat arrays; Hit objects are built only for surviving records."""
+        import numpy as np
+        sp = self.sp
+        cfg = self.cfg
+        tid = self.target_id
+        rid = self.region_id
+        end1 = sp.end1[tid][rid]
+        offt = sp.start_off[tid][rid]
+        lt = sp.library_type
+        unstranded = lt == UNSTRANDED
+
+        from ..core.bundle import BundleBase
+        bb1 = BundleBase()
+        bb2 = BundleBase()
+        hid = 0
+        pre_lpos = pre_rpos = -1
+        r.seek(offt)
+        done = False
+        while not done:
+            b = r.read_batch_arrays()
+            if b is None:
+                break
+            f = b.fixed
+            # stop conditions: off-region or off-chromosome
+            stop = (f[:, 1] >= end1) | (f[:, 0] != tid)
+            nstop = np.nonzero(stop)[0]
+            limit = f.shape[0]
+            if nstop.size:
+                limit = int(nstop[0])
+                done = True
+            if limit == 0:
+                break
+            f = f[:limit]
+            keep = ((f[:, 4] & FUNMAP) == 0) & \
+                (f[:, 8] <= cfg.max_num_cigar) & (f[:, 8] >= 1) & \
+                (f[:, 3] >= cfg.min_mapping_quality) & \
+                (np.abs(f[:, 1] - f[:, 2]) < cfg.max_read_span)
+            if not cfg.use_second_alignment:
+                keep &= (f[:, 4] & FSECONDARY) == 0
+            # mate-span filter only when the mate is mapped
+            mate_mapped = (f[:, 4] & 0x8) == 0
+            keep &= ~mate_mapped | (np.abs(f[:, 1] - f[:, 6]) < cfg.max_read_span)
+            idx = np.nonzero(keep)[0]
+            if idx.size == 0:
+                continue
+            ff = f[idx]
+            # consecutive-duplicate collapse among surviving records
+            dup = np.zeros(idx.size, dtype=bool)
+            dup[1:] = (ff[1:, 1] == ff[:-1, 1]) & (ff[1:, 2] == ff[:-1, 2])
+            if pre_lpos >= 0:
+                dup[0] = ff[0, 1] == pre_lpos and ff[0, 2] == pre_rpos
+            pre_lpos = int(ff[-1, 1])
+            pre_rpos = int(ff[-1, 2])
+            idx = idx[~dup]
+            if idx.size == 0:
+                continue
+            rows = f[idx].tolist()
+            for k, row in zip(idx.tolist(), rows):
+                ht = Hit()
+                ht.hid = hid
+                hid += 1
+                ht.tid = row[0]
+                ht.pos = row[1]
+                ht.rpos = row[2]
+                ht.qual = row[3]
+                ht.flag = row[4]
+                ht.mtid = row[5]
+                ht.mpos = row[6]
+                ht.isize = row[7]
+                qoff = row[10]
+                ht.qname = b.qnames[qoff:qoff + row[11]].decode()
+                ht.xs = chr(row[12])
+                ht.ts = "."
+                ht.hi = row[13]
+                ht.nh = row[14]
+                ht.nm = row[15]
+                ht.set_strand(lt)
+
+                if bb1.hits and (ht.tid != bb1.tid or ht.pos > bb1.rpos + cfg.min_bundle_gap):
+                    self._generate(bb1)
+                    bb1 = BundleBase()
+                if bb2.hits and (ht.tid != bb2.tid or ht.pos > bb2.rpos + cfg.min_bundle_gap):
+                    self._generate(bb2)
+                    bb2 = BundleBase()
+
+                if cfg.uniquely_mapped_only and ht.nh != 1:
+                    continue
+                if not unstranded:
+                    if ht.strand == "+" and ht.xs == "-":
+                        continue
+                    if ht.strand == "-" and ht.xs == "+":
+                        continue
+                    if ht.strand == "." and ht.xs != ".":
+                        ht.strand = ht.xs
+                coff = row[17]
+                cend = coff + 2 * row[18] + row[19] + 2 * row[20]
+                coords = b.coords[coff:cend].tolist()
+                mcnt, scnt, icnt = row[18], row[19], row[20]
+                if not unstranded:
+                    if ht.strand == "+":
+                        bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                    if ht.strand == "-":
+                        bb2.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                else:
+                    if ht.xs == "+":
+                        bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                    elif ht.xs == "-":
+                        bb2.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                    elif row[21] == 0:       # no N ops: unspliced
+                        bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                        ht2 = Hit()
+                        for a in ("hid", "tid", "pos", "rpos", "qual", "flag",
+                                  "mtid", "mpos", "isize", "qname", "xs",
+                                  "ts", "hi", "nh", "nm", "strand"):
+                            setattr(ht2, a, getattr(ht, a))
+                        bb2.add_hit_parsed(ht2, coords, mcnt, scnt, icnt)
+        self._generate(bb1)
+        self._generate(bb2)
+
+    def _resolve_slow(self, r):
+        sp = self.sp
+        cfg = self.cfg
+        tid = self.target_id
+        rid = self.region_id
         end1 = sp.end1[tid][rid]
         offt = sp.start_off[tid][rid]
 
@@ -43,7 +173,7 @@ class Generator:
         hid = 0
         pre_lpos = pre_rpos = -1
 
-        with open_bam(sp.align_file) as r:
+        if True:
             r.seek(offt)
             while True:
                 rec = r.read_rec()
@@ -103,7 +233,9 @@ class Generator:
                         bb2.add_hit_intervals(ht, rec)
                     elif not rec.contain_splices():
                         bb1.add_hit_intervals(ht, rec)
-                        bb2.add_hit_intervals(ht, rec)
+                        ht2 = Hit(rec, ht.hid)
+                        ht2.strand = ht.strand
+                        bb2.add_hit_intervals(ht2, rec)
 
         self._generate(bb1)
         self._generate(bb2)

@@ -242,7 +242,9 @@ class Previewer:
                 else:
                     if ht.xs == ".":
                         bb1.add_hit_intervals(ht, rec)
-                        bb2.add_hit_intervals(ht, rec)
+                        ht2 = Hit(rec, ht.hid)
+                        ht2.strand = ht.strand
+                        bb2.add_hit_intervals(ht2, rec)
                     if ht.xs == "+":
                         bb1.add_hit_intervals(ht, rec)
                     if ht.xs == "-":

@@ -62,3 +62,34 @@ def test_library_type_parity(tmp_path):
     assert sa.num_xs == sb.num_xs
     assert sa.library_type == sb.library_type
     assert sa.bam_with_xs == sb.bam_with_xs
+
+
+def test_generator_parity(tmp_path):
+    from aletsch_tpu.config import Parameters
+    from aletsch_tpu.meta.generator import Generator
+    p = make_bam(tmp_path)
+    sp = SampleProfile(0, 10**6)
+    sp.align_file = p
+    sp.set_batch_boundaries(200, 500000)
+    cfg = Parameters()
+
+    va = []
+    ga = Generator(sp, va, cfg, 0, 0)
+    with NativeBamReader(p) as r:
+        ga._resolve_batched(r)
+
+    vb = []
+    gb = Generator(sp, vb, cfg, 0, 0)
+    with BamReader(p) as r:
+        gb._resolve_slow(r)
+
+    assert len(va) == len(vb)
+    for a, b in zip(va, vb):
+        assert (a.lpos, a.rpos, a.strand, a.chrm) == (b.lpos, b.rpos, b.strand, b.chrm)
+        assert len(a.hits) == len(b.hits)
+        assert a.splices == b.splices
+        assert [(h.pos, h.rpos, h.qname) for h in a.hits] == \
+            [(h.pos, h.rpos, h.qname) for h in b.hits]
+        la, _, wa = a.mmap.segments
+        lb, _, wb = b.mmap.segments
+        assert la.tolist() == lb.tolist() and wa.tolist() == wb.tolist()
