@@ -192,6 +192,136 @@ class Previewer:
 
     def infer_insertsize(self):
         """previewer.cc:151-249"""
+        with open_bam(self.sp.align_file) as r:
+            if hasattr(r, "read_batch_arrays"):
+                m = self._collect_insertsizes_batched(r)
+            else:
+                m = self._collect_insertsizes_slow(r)
+        self._finish_insertsize(m)
+
+    def _collect_insertsizes_batched(self, r):
+        """Columnar variant of the insert-size scan: per-record filters on
+        flat arrays, Hit assembly only for surviving records."""
+        import numpy as np
+        cfg = self.cfg
+        sp = self.sp
+        lt = sp.library_type
+        unstranded = lt == UNSTRANDED
+        m = {}
+        cnt = 0
+        hid = 0
+        bb1 = BundleBase()
+        bb1.strand = "+"
+        bb2 = BundleBase()
+        bb2.strand = "-"
+        stop = False
+        while not stop:
+            b = r.read_batch_arrays()
+            if b is None:
+                break
+            f = b.fixed
+            flag = f[:, 4]
+            keep = ((flag & 0x4) == 0) & ((flag & 0x100) == 0) & \
+                (f[:, 8] <= cfg.max_num_cigar) & (f[:, 8] >= 1) & \
+                (f[:, 3] >= cfg.min_mapping_quality)
+            idx = np.nonzero(keep)[0]
+            if idx.size == 0:
+                continue
+            rows = f[idx].tolist()
+            for row in rows:
+                ht = Hit()
+                ht.hid = hid
+                hid += 1
+                ht.tid = row[0]
+                ht.pos = row[1]
+                ht.rpos = row[2]
+                ht.qual = row[3]
+                ht.flag = row[4]
+                ht.mtid = row[5]
+                ht.mpos = row[6]
+                ht.isize = row[7]
+                qoff = row[10]
+                ht.qname = b.qnames[qoff:qoff + row[11]].decode()
+                ht.xs = chr(row[12])
+                ht.ts = "."
+                ht.hi = row[13]
+                ht.nh = row[14]
+                ht.nm = row[15]
+                ht.set_strand(lt)
+                if ht.tid != bb1.tid or ht.pos > bb1.rpos + cfg.min_bundle_gap:
+                    cnt += self._process(bb1, m)
+                    bb1 = BundleBase()
+                    bb1.strand = "+"
+                if ht.tid != bb2.tid or ht.pos > bb2.rpos + cfg.min_bundle_gap:
+                    cnt += self._process(bb2, m)
+                    bb2 = BundleBase()
+                    bb2.strand = "-"
+                if cnt >= cfg.max_preview_reads:
+                    stop = True
+                    break
+                if cfg.uniquely_mapped_only and ht.nh != 1:
+                    continue
+                if not unstranded:
+                    if ht.strand == "+" and ht.xs == "-":
+                        continue
+                    if ht.strand == "-" and ht.xs == "+":
+                        continue
+                    if ht.strand == "." and ht.xs != ".":
+                        ht.strand = ht.xs
+                coff = row[17]
+                cend = coff + 2 * row[18] + row[19] + 2 * row[20]
+                coords = b.coords[coff:cend].tolist()
+                mcnt, scnt, icnt = row[18], row[19], row[20]
+                if not unstranded:
+                    if ht.strand == "+":
+                        bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                    if ht.strand == "-":
+                        bb2.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                else:
+                    if ht.xs == "+":
+                        bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                    elif ht.xs == "-":
+                        bb2.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                    else:
+                        bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
+                        ht2 = Hit()
+                        for a in ("hid", "tid", "pos", "rpos", "qual", "flag",
+                                  "mtid", "mpos", "isize", "qname", "xs",
+                                  "ts", "hi", "nh", "nm", "strand"):
+                            setattr(ht2, a, getattr(ht, a))
+                        bb2.add_hit_parsed(ht2, coords, mcnt, scnt, icnt)
+        return m
+
+    def _finish_insertsize(self, m):
+        cfg = self.cfg
+        sp = self.sp
+        total = sum(m.values())
+        sp.insert_total = total
+        if total < cfg.min_preview_spliced_reads:
+            return
+        n = 0
+        sx2 = 0.0
+        ave = 0.0
+        sp.insertsize_low = -1
+        sp.insertsize_high = -1
+        sp.insertsize_median = -1
+        for d, c in sorted(m.items()):
+            n += c
+            if n >= 0.5 * total and sp.insertsize_median < 0:
+                sp.insertsize_median = d
+            ave += c * d
+            sx2 += c * d * d
+            if sp.insertsize_low == -1 and n >= 0.005 * total:
+                sp.insertsize_low = d
+            if sp.insertsize_high == -1 and n >= 0.990 * total:
+                sp.insertsize_high = d
+            if n >= 0.998 * total:
+                break
+        sp.insertsize_ave = ave / n
+        var = (sx2 - n * sp.insertsize_ave * sp.insertsize_ave) / n
+        sp.insertsize_std = math.sqrt(max(var, 0.0))
+
+    def _collect_insertsizes_slow(self, r):
         cfg = self.cfg
         sp = self.sp
         m = {}
@@ -201,7 +331,7 @@ class Previewer:
         bb1.strand = "+"
         bb2 = BundleBase()
         bb2.strand = "-"
-        with open_bam(sp.align_file) as r:
+        if True:
             while True:
                 rec = r.read_rec()
                 if rec is None:
@@ -249,31 +379,7 @@ class Previewer:
                         bb1.add_hit_intervals(ht, rec)
                     if ht.xs == "-":
                         bb2.add_hit_intervals(ht, rec)
-        total = sum(m.values())
-        sp.insert_total = total
-        if total < cfg.min_preview_spliced_reads:
-            return
-        n = 0
-        sx2 = 0.0
-        ave = 0.0
-        sp.insertsize_low = -1
-        sp.insertsize_high = -1
-        sp.insertsize_median = -1
-        for d, c in sorted(m.items()):
-            n += c
-            if n >= 0.5 * total and sp.insertsize_median < 0:
-                sp.insertsize_median = d
-            ave += c * d
-            sx2 += c * d * d
-            if sp.insertsize_low == -1 and n >= 0.005 * total:
-                sp.insertsize_low = d
-            if sp.insertsize_high == -1 and n >= 0.990 * total:
-                sp.insertsize_high = d
-            if n >= 0.998 * total:
-                break
-        sp.insertsize_ave = ave / n
-        var = (sx2 - n * sp.insertsize_ave * sp.insertsize_ave) / n
-        sp.insertsize_std = math.sqrt(max(var, 0.0))
+        return m
 
     def _process(self, bd, m):
         """previewer.cc:252-305"""

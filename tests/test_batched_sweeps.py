@@ -93,3 +93,29 @@ def test_generator_parity(tmp_path):
         la, _, wa = a.mmap.segments
         lb, _, wb = b.mmap.segments
         assert la.tolist() == lb.tolist() and wa.tolist() == wb.tolist()
+
+
+def test_insertsize_parity(tmp_path):
+    p = make_bam(tmp_path)
+    cfg = Parameters()
+
+    sa = SampleProfile(0, 10**6)
+    sa.align_file = p
+    sa.data_type = PAIRED_END
+    pa = Previewer(cfg, sa)
+    with NativeBamReader(p) as r:
+        ma = pa._collect_insertsizes_batched(r)
+    pa._finish_insertsize(ma)
+
+    sb = SampleProfile(0, 10**6)
+    sb.align_file = p
+    sb.data_type = PAIRED_END
+    pb = Previewer(cfg, sb)
+    with BamReader(p) as r:
+        mb = pb._collect_insertsizes_slow(r)
+    pb._finish_insertsize(mb)
+
+    assert ma == mb
+    assert sa.insert_total == sb.insert_total
+    assert (sa.insertsize_low, sa.insertsize_high, sa.insertsize_median) == \
+        (sb.insertsize_low, sb.insertsize_high, sb.insertsize_median)
