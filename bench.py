@@ -66,11 +66,12 @@ def make_workload(tmpdir):
     return listpath
 
 
-def run_pipeline(tmpdir, listpath):
+def run_pipeline(tmpdir, listpath, sub="run"):
     from aletsch_tpu.config import default_params
     from aletsch_tpu.meta.incubator import Incubator
-    out_gtf = os.path.join(tmpdir, "meta.gtf")
-    out_dir = os.path.join(tmpdir, "gtf")
+    os.makedirs(os.path.join(tmpdir, sub), exist_ok=True)
+    out_gtf = os.path.join(tmpdir, sub, "meta.gtf")
+    out_dir = os.path.join(tmpdir, sub, "gtf")
     os.makedirs(out_dir, exist_ok=True)
     params = default_params()
     for p in params:
@@ -111,16 +112,66 @@ def kernel_probe():
         return 0.0
 
 
+def make_deep_workload(tmpdir):
+    """Fewer genes, much deeper coverage (real-data density)."""
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+    rng = random.Random(11)
+    genes = []
+    pos = 100000
+    for g in range(20):
+        ne = rng.randint(2, 6)
+        exons = []
+        p = pos
+        for e in range(ne):
+            el = rng.randint(150, 500)
+            exons.append((p, p + el))
+            p += el + rng.randint(400, 2000)
+        genes.append(exons)
+        pos = p + rng.randint(30000, 60000)
+    bams = []
+    nreads = 0
+    for s in range(2):
+        recs = []
+        for gi, exons in enumerate(genes):
+            strand = "+" if gi % 2 == 0 else "-"
+            recs += simulate_pairs(exons, 400, strand, rng,
+                                   prefix="d%dg%d" % (s, gi))
+        nreads += len(recs)
+        path = os.path.join(tmpdir, "deep%d.bam" % s)
+        write_bam(path, recs, names=("chr1",), lengths=(40_000_000,))
+        bams.append(path)
+    listpath = os.path.join(tmpdir, "deep.list")
+    with open(listpath, "w") as fh:
+        for b in bams:
+            fh.write("%s %s.bai paired_end\n" % (b, b))
+    return listpath, nreads
+
+
+def scaling_probe():
+    try:
+        from aletsch_tpu.parallel.scaling import format_scaling, measure_scaling
+        return format_scaling(measure_scaling(reps=3))
+    except Exception as e:                    # pragma: no cover
+        return "scaling probe failed: %s" % e
+
+
 def main():
     tmpdir = tempfile.mkdtemp(prefix="aletsch_bench_")
     try:
         listpath = make_workload(tmpdir)
         bundles, dt, n_trst = run_pipeline(tmpdir, listpath)
         bps = bundles / dt if dt > 0 else 0.0
+        deep_list, deep_reads = make_deep_workload(tmpdir)
+        dbundles, ddt, dn = run_pipeline(tmpdir, deep_list, sub="deep")
         kps = kernel_probe()
         print("bench: %d bundles in %.2fs -> %.2f bundles/s; "
               "%d transcripts; kernel probe %.0f graphs/s"
               % (bundles, dt, bps, n_trst, kps), file=sys.stderr)
+        print("bench-deep: %d bundles (%d reads) in %.2fs -> %.1f bundles/s, "
+              "%.0f reads/s; %d transcripts"
+              % (dbundles, deep_reads, ddt, dbundles / ddt,
+                 deep_reads / ddt, dn), file=sys.stderr)
+        print(scaling_probe(), file=sys.stderr)
         print(json.dumps({
             "metric": "bundles_per_second",
             "value": round(bps, 3),
