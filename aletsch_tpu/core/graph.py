@@ -14,6 +14,7 @@ directed_graph.cc:420-451), the bottleneck max-path DP
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from dataclasses import dataclass, field, replace
 
 from ..constants import END_BOUNDARY, LEFT_MIXED, LEFT_SPLICE, MIDDLE_CUT, \
@@ -245,9 +246,20 @@ class SpliceGraph:
                 self.lindex[v.lpos] = i
             if i != n:
                 self.rindex[v.rpos] = i
+        # sorted interior lpos list for C-speed vertex location; valid only
+        # on positional graphs (pre-decomposition), like the reference's
+        # binary search
+        self._llist = [self.vinfo[i].lpos for i in range(1, n)]
 
     def locate_vertex(self, p):
         """Interior vertex covering position p, or -1 (splice_graph.cc:1166)."""
+        ll = getattr(self, "_llist", None)
+        if ll is not None and len(ll) == self.num_vertices() - 2:
+            i = bisect_right(ll, p)
+            if i == 0:
+                return -1
+            v = self.vinfo[i]
+            return i if v.lpos <= p < v.rpos else -1
         m = self._locate(p, 1, self.num_vertices() - 1)
         if m >= self.num_vertices():
             return -1

@@ -152,13 +152,15 @@ class CoverageMap:
         contained mmap segments poured into a join map coalesce when touching.
         """
         l, r, _ = self.contained(ll, rr)
-        runs = []
-        for i in range(l.size):
-            if runs and runs[-1][1] == l[i]:
-                runs[-1][1] = int(r[i])
-            else:
-                runs.append([int(l[i]), int(r[i])])
-        return [(a, b) for a, b in runs]
+        n = l.size
+        if n == 0:
+            return []
+        br = np.nonzero(l[1:] != r[:-1])[0]
+        starts = np.concatenate(([0], br + 1))
+        ends = np.concatenate((br, [n - 1]))
+        ls = l[starts].tolist()
+        rs = r[ends].tolist()
+        return list(zip(ls, rs))
 
     def total_covered_length(self) -> int:
         l, r, _ = self.segments
