@@ -34,16 +34,20 @@ STRANDS = ("+", "-", ".")
 
 
 class Incubator:
-    def __init__(self, params):
+    def __init__(self, params, region_filter=None):
         self.params = params
         self.samples = []
         self.sindex = {}           # chrm -> [(sid, tid)]
         self.tts = {}              # (chrm, strand) -> TranscriptSet
         self.verbose = params[DEFAULT].verbose
         self.stats = {"bundles": 0, "groups": 0, "regions": 0}
+        # region_filter(chrm, rid) -> bool: the multi-host shard predicate
+        # (regions are the shard unit; every host reads all samples for its
+        # regions so combined-graph results are host-count invariant)
+        self.region_filter = region_filter
 
     # ---------------------------------------------------------------- driver
-    def resolve(self):
+    def resolve(self, write_outputs=True):
         """incubator.cc:42-81"""
         self.read_bam_list()
         self.build_sample_index()
@@ -54,8 +58,12 @@ class Incubator:
         for chrm in self.sindex:
             m = self.get_max_region(chrm)
             for rid in range(m):
+                if self.region_filter is not None and \
+                        not self.region_filter(chrm, rid):
+                    continue
                 self.process_region(chrm, rid)
-        self.postprocess()
+        if write_outputs:
+            self.postprocess()
 
     # ---------------------------------------------------------------- inputs
     def read_bam_list(self):
