@@ -2,6 +2,10 @@
 
 Mirrors the reference CLI (aletsch.cc:16-43): one Parameters instance per
 data type, then the incubator drives the full assembly.
+
+Multi-host extension (region sharding, see parallel/distributed.py):
+  --shard <h> <H> --shard_dump <path>   assemble shard h of H, dump sets
+  --merge_shards <p1,p2,...>            merge shard dumps, write outputs
 """
 
 import sys
@@ -10,14 +14,49 @@ from .config import parse_all, print_help
 from .meta.incubator import Incubator
 
 
+def _extract_shard_args(argv):
+    shard = None
+    dump = None
+    merge = None
+    out = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--shard":
+            shard = (int(argv[i + 1]), int(argv[i + 2]))
+            i += 3
+        elif a == "--shard_dump":
+            dump = argv[i + 1]
+            i += 2
+        elif a == "--merge_shards":
+            merge = argv[i + 1].split(",")
+            i += 2
+        else:
+            out.append(a)
+            i += 1
+    return out, shard, dump, merge
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     if len(argv) == 0:
         print_help()
         return 0
+    argv, shard, dump, merge = _extract_shard_args(argv)
     params = parse_all(argv)
     from .constants import DEFAULT
     cfg = params[DEFAULT]
+    if merge is not None:
+        from .parallel.distributed import merge_shards
+        merge_shards(params, merge)
+        return 0
+    if shard is not None:
+        from .parallel.distributed import run_region_shard
+        if not dump:
+            print("--shard requires --shard_dump <path>")
+            return 1
+        run_region_shard(params, shard[0], shard[1], dump)
+        return 0
     if not cfg.profile_only and not cfg.output_gtf_file:
         print_help()
         return 1
