@@ -68,6 +68,10 @@ def simulate_pairs(exons, n_pairs, strand, rng, read_len=100,
 
 
 def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
+    from aletsch_tpu.io.bam import parse_cigar
+    for r in recs:
+        if isinstance(r["cigar"], str):
+            r["cigar"] = parse_cigar(r["cigar"])
     recs = sorted(recs, key=lambda r: (r.get("tid", 0), r["pos"],
                                        sum(l for op, l in r["cigar"])))
     with BamWriter(path, list(names), list(lengths)) as w:
@@ -75,7 +79,7 @@ def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
             w.write_rec(r["qname"], r["flag"], r.get("tid", 0), r["pos"], 60,
                         r["cigar"], mtid=r.get("mtid", r.get("tid", 0)),
                         mpos=r["mpos"], isize=r["isize"],
-                        xs=r.get("xs", "."), nh=1)
+                        xs=r.get("xs", "."), nh=r.get("nh", 1))
 
 
 # standard two-gene test genome on chr1
