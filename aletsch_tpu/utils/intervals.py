@@ -24,13 +24,14 @@ from bisect import bisect_left, bisect_right
 class CoverageMap:
     """Integer-weighted coverage map over int32 genomic coordinates."""
 
-    __slots__ = ("_events", "_bps", "_vals", "_dirty")
+    __slots__ = ("_events", "_bps", "_vals", "_dirty", "_segs")
 
     def __init__(self):
         self._events = []          # list of (pos, delta)
         self._bps = np.empty(0, dtype=np.int64)    # breakpoints, len = S+1
         self._vals = np.empty(0, dtype=np.int64)   # per-segment value, len = S
         self._dirty = False
+        self._segs = None          # cached (l, r, v) of present segments
 
     def add(self, l: int, r: int, w: int = 1):
         """mmap += ([l, r), w); negative w subtracts."""
@@ -39,6 +40,7 @@ class CoverageMap:
         self._events.append((l, w))
         self._events.append((r, -w))
         self._dirty = True
+        self._segs = None
 
     def add_many(self, ls, rs, ws=None):
         if ws is None:
@@ -51,11 +53,13 @@ class CoverageMap:
         self._bps = np.empty(0, dtype=np.int64)
         self._vals = np.empty(0, dtype=np.int64)
         self._dirty = False
+        self._segs = None
 
     def combine(self, other: "CoverageMap"):
         """mmap += other (bundle::combine, meta/bundle.cc:102-103)."""
         self._events.extend(other._events)
         self._dirty = True
+        self._segs = None
 
     # ------------------------------------------------------------------ build
     def _build(self):
@@ -81,15 +85,19 @@ class CoverageMap:
 
     @property
     def segments(self):
-        """(l, r, v) arrays of *present* (nonzero) segments."""
+        """(l, r, v) arrays of *present* (nonzero) segments (cached)."""
+        if self._segs is not None and not self._dirty:
+            return self._segs
         self._build()
         if self._bps.size == 0:
             z = np.empty(0, dtype=np.int64)
-            return z, z, z
-        l = self._bps[:-1]
-        r = self._bps[1:]
-        m = self._vals != 0
-        return l[m], r[m], self._vals[m]
+            self._segs = (z, z, z)
+        else:
+            l = self._bps[:-1]
+            r = self._bps[1:]
+            m = self._vals != 0
+            self._segs = (l[m], r[m], self._vals[m])
+        return self._segs
 
     def __bool__(self):
         l, _, _ = self.segments
