@@ -43,8 +43,13 @@ def map_to_genome(exons, tstart, length):
 
 
 def simulate_pairs(exons, n_pairs, strand, rng, read_len=100,
-                   frag_lo=220, frag_hi=380, prefix="rp"):
-    """Paired-end fragments from one isoform; returns record dicts."""
+                   frag_lo=220, frag_hi=380, prefix="rp", library=None):
+    """Paired-end fragments from one isoform; returns record dicts.
+
+    library=None emits fixed R1-leftmost flags (reads as unstranded);
+    library="fr_first" emits dUTP-convention flags (leftmost read is R2 for
+    '+' transcripts, R1 for '-'), so the previewer infers FR_FIRST.
+    """
     cl = cum_lengths(exons)
     total = cl[-1]
     recs = []
@@ -53,16 +58,24 @@ def simulate_pairs(exons, n_pairs, strand, rng, read_len=100,
         start = rng.randint(0, total - flen)
         g1, c1 = map_to_genome(exons, start, read_len)
         g2, c2 = map_to_genome(exons, start + flen - read_len, read_len)
-        rlen1 = sum(l for op, l in c1 if op != CREF_SKIP)
-        rlen2 = sum(l for op, l in c2 if op != CREF_SKIP)
         end2 = g2 + sum(l for op, l in c2)
         isize = end2 - g1
         qname = "%s.%d" % (prefix, i)
         xs1 = strand if any(op == CREF_SKIP for op, _ in c1) else "."
         xs2 = strand if any(op == CREF_SKIP for op, _ in c2) else "."
-        recs.append(dict(qname=qname, flag=0x1 | 0x2 | 0x20 | 0x40, pos=g1,
+        if library == "fr_first":
+            if strand == "+":
+                fl1 = 0x1 | 0x2 | 0x20 | 0x80       # left: R2 forward
+                fl2 = 0x1 | 0x2 | 0x10 | 0x40       # right: R1 reverse
+            else:
+                fl1 = 0x1 | 0x2 | 0x20 | 0x40       # left: R1 forward
+                fl2 = 0x1 | 0x2 | 0x10 | 0x80       # right: R2 reverse
+        else:
+            fl1 = 0x1 | 0x2 | 0x20 | 0x40
+            fl2 = 0x1 | 0x2 | 0x10 | 0x80
+        recs.append(dict(qname=qname, flag=fl1, pos=g1,
                          cigar=c1, mpos=g2, isize=isize, xs=xs1))
-        recs.append(dict(qname=qname, flag=0x1 | 0x2 | 0x10 | 0x80, pos=g2,
+        recs.append(dict(qname=qname, flag=fl2, pos=g2,
                          cigar=c2, mpos=g1, isize=-isize, xs=xs2))
     return recs
 
