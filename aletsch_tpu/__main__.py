@@ -6,6 +6,7 @@ data type, then the incubator drives the full assembly.
 Multi-host extension (region sharding, see parallel/distributed.py):
   --shard <h> <H> --shard_dump <path>   assemble shard h of H, dump sets
   --merge_shards <p1,p2,...>            merge shard dumps, write outputs
+  --jobs <N>                            single-host N-process execution
 """
 
 import sys
@@ -18,6 +19,7 @@ def _extract_shard_args(argv):
     shard = None
     dump = None
     merge = None
+    jobs = None
     out = []
     i = 0
     while i < len(argv):
@@ -31,10 +33,13 @@ def _extract_shard_args(argv):
         elif a == "--merge_shards":
             merge = argv[i + 1].split(",")
             i += 2
+        elif a == "--jobs":
+            jobs = int(argv[i + 1])
+            i += 2
         else:
             out.append(a)
             i += 1
-    return out, shard, dump, merge
+    return out, shard, dump, merge, jobs
 
 
 def main(argv=None):
@@ -42,7 +47,7 @@ def main(argv=None):
     if len(argv) == 0:
         print_help()
         return 0
-    argv, shard, dump, merge = _extract_shard_args(argv)
+    argv, shard, dump, merge, jobs = _extract_shard_args(argv)
     params = parse_all(argv)
     from .constants import DEFAULT
     cfg = params[DEFAULT]
@@ -60,6 +65,10 @@ def main(argv=None):
     if not cfg.profile_only and not cfg.output_gtf_file:
         print_help()
         return 1
+    if jobs is not None and jobs > 1 and not cfg.profile_only:
+        from .parallel.jobs import run_parallel
+        run_parallel(params, jobs)
+        return 0
     inc = Incubator(params)
     inc.resolve()
     return 0

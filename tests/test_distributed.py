@@ -83,3 +83,18 @@ def test_two_shards_equal_single_host(tmp_path):
         a = (tmp_path / "single_gtf" / ("%d.gtf" % sid)).read_text()
         b = (tmp_path / "merged_gtf" / ("%d.gtf" % sid)).read_text()
         assert a == b
+
+
+def test_parallel_jobs_equal_single(tmp_path):
+    from aletsch_tpu.parallel.jobs import run_parallel
+    bl, region_len = make_cohort(tmp_path, n_samples=2, n_genes=5)
+
+    params1 = make_params(bl, region_len, str(tmp_path / "j1.gtf"),
+                          str(tmp_path / "j1_gtf"))
+    run_parallel(params1, 1)
+
+    params2 = make_params(bl, region_len, str(tmp_path / "j2.gtf"),
+                          str(tmp_path / "j2_gtf"))
+    run_parallel(params2, 2)
+
+    assert open(tmp_path / "j1.gtf").read() == open(tmp_path / "j2.gtf").read()
