@@ -97,7 +97,7 @@ class Generator:
             if idx.size == 0:
                 continue
             rows = f[idx].tolist()
-            for k, row in zip(idx.tolist(), rows):
+            for row in rows:
                 ht = Hit()
                 ht.hid = hid
                 hid += 1
