@@ -33,6 +33,27 @@ from .transcript_store import new_transcript_set
 STRANDS = ("+", "-", ".")
 
 
+def _prep_sample(args):
+    """Process-pool worker: profile one sample, return the filled profile."""
+    sp, params = args
+    cfg = params[sp.data_type]
+    if cfg.profile_only:
+        pre = Previewer(cfg, sp)
+        pre.infer_library_type()
+        if sp.data_type == PAIRED_END:
+            pre.infer_insertsize()
+        return sp
+    if cfg.profile_dir and sp.load_profile(cfg.profile_dir):
+        pass
+    else:
+        pre = Previewer(cfg, sp)
+        pre.infer_library_type()
+        if sp.data_type == PAIRED_END:
+            pre.infer_insertsize()
+    sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+    return sp
+
+
 class Incubator:
     def __init__(self, params, region_filter=None):
         self.params = params
@@ -128,9 +149,25 @@ class Incubator:
                     pre.infer_insertsize()
             sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
 
-        if cfg0.max_threads > 1 and len(self.samples) > 1:
-            with ThreadPoolExecutor(max_workers=cfg0.max_threads) as ex:
-                list(ex.map(prep, self.samples))
+        nw = min(cfg0.max_threads, len(self.samples), os.cpu_count() or 1)
+        total_bytes = sum(os.path.getsize(sp.align_file)
+                          for sp in self.samples
+                          if os.path.exists(sp.align_file))
+        # worker startup only pays off for real inputs
+        if nw > 1 and total_bytes >= 16 * 1024 * 1024:
+            # previewing is Python-heavy: fork real processes (the reference
+            # uses its thread pool here, incubator.cc:120-151)
+            try:
+                import multiprocessing as mp
+                # fork is fastest but unsafe once JAX's threads exist
+                method = "spawn" if "jax" in sys.modules else "fork"
+                ctx = mp.get_context(method)
+                with ctx.Pool(nw) as pool:
+                    self.samples = pool.map(_prep_sample,
+                                            [(sp, self.params) for sp in self.samples])
+            except Exception:
+                with ThreadPoolExecutor(max_workers=nw) as ex:
+                    list(ex.map(prep, self.samples))
         else:
             for sp in self.samples:
                 prep(sp)

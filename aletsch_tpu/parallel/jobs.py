@@ -54,7 +54,8 @@ def run_parallel(params, n_jobs):
                 p.profile_dir = prof_dir
             wparams.append(ps)
         dumps = [os.path.join(tmp, "shard%d.pkl" % h) for h in range(n_jobs)]
-        ctx = mp.get_context("fork")
+        import sys as _sys
+        ctx = mp.get_context("spawn" if "jax" in _sys.modules else "fork")
         with ctx.Pool(n_jobs) as pool:
             pool.map(_worker, [(wparams[h], h, n_jobs, dumps[h])
                                for h in range(n_jobs)])

@@ -42,7 +42,8 @@ def test_profile_only_writes_profiles(tmp_path):
     for sid in range(2):
         path = os.path.join(pdir, "%d.profile" % sid)
         assert os.path.exists(path)
-        content = open(path).read()
+        with open(path) as fh:
+            content = fh.read()
         assert "library_type" in content
         assert "insertsize_low" in content
     # no assembly output in profile-only mode
@@ -57,10 +58,12 @@ def test_profile_cache_reused(tmp_path):
     Incubator(params).resolve()
     # plant a recognizable cached value; the run must load it, not re-infer
     prof = os.path.join(pdir, "0.profile")
-    lines = open(prof).read().splitlines()
+    with open(prof) as fh:
+        lines = fh.read().splitlines()
     lines = [("insertsize_high 444" if l.startswith("insertsize_high") else l)
              for l in lines]
-    open(prof, "w").write("\n".join(lines) + "\n")
+    with open(prof, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
     params = make_params(bl, tmp_path, profile_dir=pdir)
     inc = Incubator(params)
     inc.resolve()
