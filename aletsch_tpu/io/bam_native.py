@@ -75,7 +75,8 @@ def native_available():
 
 
 class _Batch:
-    __slots__ = ("fixed", "voffs", "cigars", "qnames", "coords", "count")
+    __slots__ = ("fixed", "voffs", "cigars", "qnames", "coords", "count",
+                 "rows")
 
 
 class NativeBamReader:
@@ -137,6 +138,7 @@ class NativeBamReader:
         b = _Batch()
         b.count = n
         b.fixed = self._fixed[:n].copy()
+        b.rows = None
         b.voffs = self._voffs[:n].copy()
         last = b.fixed[n - 1]
         b.cigars = self._cigars[:int(last[9]) + int(last[8])].copy()
@@ -163,7 +165,9 @@ class NativeBamReader:
             if self._batch is None:
                 return None
         b = self._batch
-        f = b.fixed[self._cursor].tolist()
+        if b.rows is None:
+            b.rows = b.fixed.tolist()
+        f = b.rows[self._cursor]
         rec = BamRec()
         rec.tid = f[0]
         rec.pos = f[1]
