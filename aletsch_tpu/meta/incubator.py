@@ -33,6 +33,39 @@ from .transcript_store import new_transcript_set
 STRANDS = ("+", "-", ".")
 
 
+def _prep_samples_subprocess(params, samples, nw):
+    """Profile samples in parallel worker subprocesses."""
+    import pickle
+    import subprocess
+    import tempfile
+    with tempfile.TemporaryDirectory(prefix="aletsch_prof_") as tmp:
+        payload_path = os.path.join(tmp, "payload.pkl")
+        with open(payload_path, "wb") as fh:
+            pickle.dump({"params": params, "samples": samples}, fh)
+        outs = [os.path.join(tmp, "out%d.pkl" % i) for i in range(len(samples))]
+        pending = list(range(len(samples)))
+        running = []
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        while pending or running:
+            while pending and len(running) < nw:
+                i = pending.pop(0)
+                p = subprocess.Popen(
+                    [sys.executable, "-m", "aletsch_tpu.parallel.worker",
+                     "profile", payload_path, str(i), outs[i]],
+                    cwd=repo_root)
+                running.append((i, p))
+            i, p = running.pop(0)
+            rc = p.wait()
+            if rc != 0:
+                raise RuntimeError("profile worker %d failed (%d)" % (i, rc))
+        result = []
+        for i in range(len(samples)):
+            with open(outs[i], "rb") as fh:
+                result.append(pickle.load(fh))
+        return result
+
+
 def _prep_sample(args):
     """Process-pool worker: profile one sample, return the filled profile."""
     sp, params = args
@@ -153,18 +186,12 @@ class Incubator:
         total_bytes = sum(os.path.getsize(sp.align_file)
                           for sp in self.samples
                           if os.path.exists(sp.align_file))
-        # worker startup only pays off for real inputs
+        # worker startup only pays off for real inputs; workers are plain
+        # subprocesses (see parallel/worker.py for why not multiprocessing)
         if nw > 1 and total_bytes >= 16 * 1024 * 1024:
-            # previewing is Python-heavy: fork real processes (the reference
-            # uses its thread pool here, incubator.cc:120-151)
             try:
-                import multiprocessing as mp
-                # fork is fastest but unsafe once JAX's threads exist
-                method = "spawn" if "jax" in sys.modules else "fork"
-                ctx = mp.get_context(method)
-                with ctx.Pool(nw) as pool:
-                    self.samples = pool.map(_prep_sample,
-                                            [(sp, self.params) for sp in self.samples])
+                self.samples = _prep_samples_subprocess(self.params,
+                                                        self.samples, nw)
             except Exception:
                 with ThreadPoolExecutor(max_workers=nw) as ex:
                     list(ex.map(prep, self.samples))

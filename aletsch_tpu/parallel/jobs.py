@@ -2,30 +2,37 @@
 
 Replaces the reference's thread pool (boost::asio, meta/incubator.cc:24)
 with process-level data parallelism over the region grid: profile once into
-a cache, fork one worker per job for a disjoint region shard, merge the
-per-shard transcript sets deterministically (same machinery as the
+a cache, launch one subprocess per job for a disjoint region shard, merge
+the per-shard transcript sets deterministically (same machinery as the
 multi-host path, parallel/distributed.py) — output is job-count invariant.
+
+Workers are plain subprocesses (parallel/worker.py), not multiprocessing
+forks: this runtime imports JAX into every interpreter via sitecustomize,
+which makes fork unsafe after backend init and spawn re-execute __main__.
 """
 
 from __future__ import annotations
 
 import copy
-import multiprocessing as mp
 import os
+import pickle
+import subprocess
+import sys
 import tempfile
 
 from ..constants import DEFAULT
-from .distributed import merge_shards, run_region_shard
+from .distributed import merge_shards
 
 
-def _worker(args):
-    params, host_id, n_jobs, dump = args
-    run_region_shard(params, host_id, n_jobs, dump)
-    return dump
+def _spawn_worker(args):
+    return subprocess.Popen([sys.executable, "-m",
+                             "aletsch_tpu.parallel.worker"] + args,
+                            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                                os.path.abspath(__file__)))))
 
 
 def run_parallel(params, n_jobs):
-    """Full assembly using n_jobs processes; writes the configured outputs."""
+    """Full assembly using n_jobs worker subprocesses; writes outputs."""
     if n_jobs <= 1:
         from ..meta.incubator import Incubator
         inc = Incubator(params)
@@ -47,18 +54,20 @@ def run_parallel(params, n_jobs):
             pinc.resolve()
             for sp in pinc.samples:
                 sp.save_profile(prof_dir)
-        wparams = []
-        for h in range(n_jobs):
-            ps = [copy.deepcopy(p) for p in params]
-            for p in ps:
-                p.profile_dir = prof_dir
-            wparams.append(ps)
+        wparams = [copy.deepcopy(p) for p in params]
+        for p in wparams:
+            p.profile_dir = prof_dir
+        params_path = os.path.join(tmp, "params.pkl")
+        with open(params_path, "wb") as fh:
+            pickle.dump(wparams, fh)
         dumps = [os.path.join(tmp, "shard%d.pkl" % h) for h in range(n_jobs)]
-        import sys as _sys
-        ctx = mp.get_context("spawn" if "jax" in _sys.modules else "fork")
-        with ctx.Pool(n_jobs) as pool:
-            pool.map(_worker, [(wparams[h], h, n_jobs, dumps[h])
-                               for h in range(n_jobs)])
+        procs = [_spawn_worker(["shard", params_path, str(h), str(n_jobs),
+                                dumps[h]])
+                 for h in range(n_jobs)]
+        for p in procs:
+            rc = p.wait()
+            if rc != 0:
+                raise RuntimeError("shard worker failed with exit %d" % rc)
         mparams = [copy.deepcopy(p) for p in params]
         for p in mparams:
             p.profile_dir = prof_dir
