@@ -83,7 +83,16 @@ def _prep_sample(args):
         pre.infer_library_type()
         if sp.data_type == PAIRED_END:
             pre.infer_insertsize()
-    sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+    if not (cfg.profile_dir and
+            sp.load_regions(cfg.profile_dir, cfg.min_bundle_gap,
+                            cfg.max_read_span)):
+        sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+        if cfg.profile_dir:
+            try:
+                sp.save_regions(cfg.profile_dir, cfg.min_bundle_gap,
+                                cfg.max_read_span)
+            except OSError:
+                pass
     return sp
 
 
@@ -180,7 +189,16 @@ class Incubator:
                 pre.infer_library_type()
                 if sp.data_type == PAIRED_END:
                     pre.infer_insertsize()
-            sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+            if not (cfg.profile_dir and
+                    sp.load_regions(cfg.profile_dir, cfg.min_bundle_gap,
+                                    cfg.max_read_span)):
+                sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+                if cfg.profile_dir:
+                    try:
+                        sp.save_regions(cfg.profile_dir, cfg.min_bundle_gap,
+                                        cfg.max_read_span)
+                    except OSError:
+                        pass
 
         nw = min(cfg0.max_threads, len(self.samples), os.cpu_count() or 1)
         total_bytes = sum(os.path.getsize(sp.align_file)
@@ -296,7 +314,9 @@ class Incubator:
                            self.samples[0].region_partition_length
                            if self.samples else cfg.region_partition_length)
         self.samples.append(sn)
-        with open(cfg.output_gtf_file, "a") as fout:
+        # truncate like the reference's ofstream (incubator.cc:676): a rerun
+        # with the same -o must replace the output, not append to it
+        with open(cfg.output_gtf_file, "w") as fout:
             self.write_combined_gtf(fout)
         if cfg.output_gtf_dir:
             for i in range(len(self.samples)):
@@ -316,7 +336,7 @@ class Incubator:
         cfg = self.params[DEFAULT]
         gtf_path = os.path.join(cfg.output_gtf_dir, "%d.gtf" % sid)
         ftr_path = os.path.join(cfg.output_gtf_dir, "%d.trstFeature.csv" % sid)
-        with open(gtf_path, "a") as fg, open(ftr_path, "a") as ff:
+        with open(gtf_path, "w") as fg, open(ftr_path, "w") as ff:
             for (chrm, strand), tm in sorted(self.tts.items()):
                 for h in sorted(tm.mt.keys()):
                     for item in tm.mt[h]:

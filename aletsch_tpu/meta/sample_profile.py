@@ -83,6 +83,69 @@ class SampleProfile:
                 setattr(self, c[0], c[1](parts[1]))
         return True
 
+    # ------------------------------------------------- region-table sidecar
+    # The reference recomputes set_batch_boundaries on every run (it has one
+    # long-lived process); our multi-process path (--jobs / --shard) would
+    # repeat the full-BAM sweep per worker, so the tables are cached next to
+    # the profile as ``<sid>.regions.npz``, keyed on the sweep parameters and
+    # the BAM size so stale caches miss.
+    def regions_path(self, d):
+        return os.path.join(d, "%d.regions.npz" % self.sample_id)
+
+    def _regions_key(self, min_bundle_gap, max_read_span):
+        try:
+            sz = os.path.getsize(self.align_file)
+        except OSError:
+            sz = -1
+        return [self.region_partition_length, min_bundle_gap,
+                max_read_span, sz]
+
+    def save_regions(self, d, min_bundle_gap, max_read_span):
+        import numpy as np
+        arrs = {
+            "meta": np.array(self._regions_key(min_bundle_gap, max_read_span),
+                             dtype=np.int64),
+            "names": np.array(self.target_names),
+            "lengths": np.array(self.target_lengths, dtype=np.int64),
+        }
+        for i in range(len(self.target_names)):
+            arrs["t%d" % i] = np.array(
+                [self.start1[i], self.start2[i], self.start_off[i],
+                 self.end1[i], self.end2[i]], dtype=np.int64)
+        path = self.regions_path(d)
+        tmp = path + ".tmp.%d" % os.getpid()
+        np.savez(tmp, **arrs)
+        # np.savez appends .npz when missing
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
+
+    def load_regions(self, d, min_bundle_gap, max_read_span):
+        import numpy as np
+        path = self.regions_path(d)
+        if not os.path.exists(path):
+            return False
+        try:
+            z = np.load(path, allow_pickle=False)
+            if z["meta"].tolist() != \
+                    self._regions_key(min_bundle_gap, max_read_span):
+                return False
+            names = [str(x) for x in z["names"]]
+            lengths = z["lengths"].tolist()
+            s1, s2, so, e1, e2 = [], [], [], [], []
+            for i in range(len(names)):
+                t = z["t%d" % i]
+                s1.append(t[0].tolist())
+                s2.append(t[1].tolist())
+                so.append(t[2].tolist())
+                e1.append(t[3].tolist())
+                e2.append(t[4].tolist())
+        except Exception:
+            return False
+        self.target_names = names
+        self.target_lengths = lengths
+        self.start1, self.start2, self.start_off = s1, s2, so
+        self.end1, self.end2 = e1, e2
+        return True
+
     # -------------------------------------------------- region partitioning
     def set_batch_boundaries(self, min_bundle_gap, max_read_span):
         """One linear sweep recording per-region seek offsets

@@ -25,10 +25,14 @@ from .distributed import merge_shards
 
 
 def _spawn_worker(args):
+    # keep the caller's cwd (relative paths in the BAM list must resolve);
+    # make the package importable in the child via PYTHONPATH instead
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen([sys.executable, "-m",
-                             "aletsch_tpu.parallel.worker"] + args,
-                            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                                os.path.abspath(__file__)))))
+                             "aletsch_tpu.parallel.worker"] + args, env=env)
 
 
 def run_parallel(params, n_jobs):
@@ -54,6 +58,12 @@ def run_parallel(params, n_jobs):
             pinc.resolve()
             for sp in pinc.samples:
                 sp.save_profile(prof_dir)
+                # sweep region tables once here so every shard worker can
+                # load the sidecar instead of re-scanning the whole BAM
+                cfg = pparams[sp.data_type]
+                sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
+                sp.save_regions(prof_dir, cfg.min_bundle_gap,
+                                cfg.max_read_span)
         wparams = [copy.deepcopy(p) for p in params]
         for p in wparams:
             p.profile_dir = prof_dir
@@ -64,10 +74,15 @@ def run_parallel(params, n_jobs):
         procs = [_spawn_worker(["shard", params_path, str(h), str(n_jobs),
                                 dumps[h]])
                  for h in range(n_jobs)]
-        for p in procs:
+        for h, p in enumerate(procs):
             rc = p.wait()
             if rc != 0:
                 raise RuntimeError("shard worker failed with exit %d" % rc)
+            if not os.path.exists(dumps[h]):
+                # e.g. the worker exited cleanly after failing to open inputs
+                raise RuntimeError(
+                    "shard worker %d produced no output (%s); check its "
+                    "stderr above for input errors" % (h, dumps[h]))
         mparams = [copy.deepcopy(p) for p in params]
         for p in mparams:
             p.profile_dir = prof_dir

@@ -84,3 +84,50 @@ def test_chrm_list_file(tmp_path):
     inc = Incubator(params)
     inc.resolve()
     assert inc.stats["bundles"] > 0
+
+
+def test_region_sidecar_roundtrip_and_invalidation(tmp_path):
+    from aletsch_tpu.meta.sample_profile import SampleProfile
+    bl = setup_cohort(tmp_path)
+    bam = bl and open(bl).read().split()[0]
+    sp = SampleProfile(0, 1000000)
+    sp.align_file = bam
+    sp.set_batch_boundaries(50, 500000)
+    d = str(tmp_path / "profiles")
+    os.makedirs(d, exist_ok=True)
+    sp.save_regions(d, 50, 500000)
+    sp2 = SampleProfile(0, 1000000)
+    sp2.align_file = bam
+    assert sp2.load_regions(d, 50, 500000)
+    assert sp2.target_names == sp.target_names
+    assert sp2.start1 == sp.start1 and sp2.start_off == sp.start_off
+    assert sp2.end1 == sp.end1 and sp2.end2 == sp.end2
+    # different sweep parameters must miss
+    sp3 = SampleProfile(0, 1000000)
+    sp3.align_file = bam
+    assert not sp3.load_regions(d, 999, 500000)
+    # changed BAM size must miss
+    with open(bam, "ab") as fh:
+        fh.write(b"\x00" * 64)
+    sp4 = SampleProfile(0, 1000000)
+    sp4.align_file = bam
+    assert not sp4.load_regions(d, 50, 500000)
+
+
+def test_region_sidecar_used_on_assembly(tmp_path):
+    """A cached-regions run must produce the same GTF as a cold run."""
+    bl = setup_cohort(tmp_path)
+    pdir = str(tmp_path / "profiles")
+    os.makedirs(pdir)
+    params = make_params(bl, tmp_path, profile_only=True, profile_dir=pdir)
+    Incubator(params).resolve()
+    params = make_params(bl, tmp_path, profile_dir=pdir)
+    Incubator(params).resolve()
+    cold = open(str(tmp_path / "meta.gtf")).read()
+    # sidecars now exist; rerun loads them
+    for sid in range(2):
+        assert os.path.exists(os.path.join(pdir, "%d.regions.npz" % sid))
+    os.remove(str(tmp_path / "meta.gtf"))
+    params = make_params(bl, tmp_path, profile_dir=pdir)
+    Incubator(params).resolve()
+    assert open(str(tmp_path / "meta.gtf")).read() == cold
