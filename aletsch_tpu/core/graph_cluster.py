@@ -8,7 +8,8 @@ clusters with averaged bounds and shared chains.
 
 from __future__ import annotations
 
-from .essential import align_hit_to_splice_graph
+from .essential import build_path_from_intron_coordinates
+from ..utils.seqs import check_increasing
 
 
 class PereadsCluster:
@@ -37,11 +38,40 @@ def build_pereads_clusters(gr, bd, max_partition_gap, store_hits=False):
     return vc
 
 
+def _align_with_bounds(gr, hit, chain, u1, u2):
+    """align_hit_to_splice_graph with the endpoint vertices pre-located.
+
+    Returns (first_vertex, last_vertex, key) or None; key identifies the
+    vertex path — contiguous ranges collapse to ('r', first, last) so the
+    unspliced fast path and a chain that happens to map to a contiguous
+    range group together exactly as tuple keys would (graph_cluster.cc:52).
+    """
+    if u1 < 0 or u2 < 0 or u1 > u2:
+        return None
+    if not chain:
+        if hit.pos > hit.rpos:
+            return None
+        return (u1, u2, ("r", u1, u2))
+    v = [hit.pos] + list(chain) + [hit.rpos]
+    if not check_increasing(v):
+        return None
+    ok, uu = build_path_from_intron_coordinates(gr, v[1:-1])
+    if not ok or len(uu) == 0:
+        return None
+    vv = list(range(u1, uu[0])) + uu + list(range(uu[-1] + 1, u2 + 1))
+    if vv == list(range(vv[0], vv[-1] + 1)):
+        return (vv[0], vv[-1], ("r", vv[0], vv[-1]))
+    return (vv[0], vv[-1], tuple(vv))
+
+
 def _group_pereads(gr, bd):
-    """graph_cluster.cc:28-91"""
+    """graph_cluster.cc:28-91, with all four endpoint vertex locations done
+    in one batched searchsorted instead of per-hit binary searches."""
+    import numpy as np
     findex = {}
     groups = []
     extend = []
+    cand = []
     for i, f in enumerate(bd.frgs):
         if f[2] >= 1 or f[2] <= -1:
             continue
@@ -51,21 +81,43 @@ def _group_pereads(gr, bd):
         assert hit1.hid >= 0 and hit2.hid >= 0
         if hit1.pos > hit2.pos or hit1.rpos > hit2.rpos:
             continue
-        chain1 = bd.hcst.get_chain(h1)
-        chain2 = bd.hcst.get_chain(h2)
-        b1, v1 = align_hit_to_splice_graph(hit1, chain1, gr)
-        b2, v2 = align_hit_to_splice_graph(hit2, chain2, gr)
-        if not b1 or not b2 or len(v1) == 0 or len(v2) == 0:
+        cand.append((i, f, h1, h2, hit1, hit2))
+    n = gr.num_vertices()
+    if not cand or n < 3:
+        return groups, extend
+    starts = np.fromiter((gr.vinfo[k].lpos for k in range(1, n - 1)),
+                         dtype=np.int64, count=n - 2)
+    ends = np.fromiter((gr.vinfo[k].rpos for k in range(1, n - 1)),
+                       dtype=np.int64, count=n - 2)
+    pts = np.empty((len(cand), 4), dtype=np.int64)
+    for j, (_, _, _, _, hit1, hit2) in enumerate(cand):
+        pts[j, 0] = hit1.pos
+        pts[j, 1] = hit1.rpos - 1
+        pts[j, 2] = hit2.pos
+        pts[j, 3] = hit2.rpos - 1
+    # locate_vertex, batched: vertex i covers p iff starts[i-1] <= p < ends[i-1]
+    idx = np.searchsorted(starts, pts, side="right")
+    i0 = np.maximum(idx - 1, 0)
+    ok = (idx > 0) & (pts >= starts[i0]) & (pts < ends[i0])
+    uu = np.where(ok, idx, -1)
+    for j, (i, f, h1, h2, hit1, hit2) in enumerate(cand):
+        r1 = _align_with_bounds(gr, hit1, bd.hcst.get_chain(h1),
+                                int(uu[j, 0]), int(uu[j, 1]))
+        if r1 is None:
+            continue
+        r2 = _align_with_bounds(gr, hit2, bd.hcst.get_chain(h2),
+                                int(uu[j, 2]), int(uu[j, 3]))
+        if r2 is None:
             continue
         f[2] = 0           # to be bridged
-        key = (tuple(v1), tuple(v2))
+        key = (r1[2], r2[2])
         k = findex.get(key)
         if k is None:
             findex[key] = len(groups)
-            p1 = gr.get_vertex_info(v1[0]).lpos
-            p2 = gr.get_vertex_info(v1[-1]).rpos
-            p3 = gr.get_vertex_info(v2[0]).lpos
-            p4 = gr.get_vertex_info(v2[-1]).rpos
+            p1 = gr.get_vertex_info(r1[0]).lpos
+            p2 = gr.get_vertex_info(r1[1]).rpos
+            p3 = gr.get_vertex_info(r2[0]).lpos
+            p4 = gr.get_vertex_info(r2[1]).rpos
             extend.append((p1, p2, p3, p4))
             groups.append([i])
         else:

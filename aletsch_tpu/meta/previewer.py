@@ -17,7 +17,7 @@ from ..core.bundle import BundleBase
 from ..core.graph import SpliceGraph
 from ..core.graph_builder import GraphBuilder
 from ..core.graph_cluster import build_pereads_clusters
-from ..core.hits import Hit
+from ..core.hits import Hit, hit_from_row, strand_from_flag
 from ..core.essential import get_total_length_of_introns
 from ..io.bam import FSECONDARY, FUNMAP
 from ..io.bam_native import open_bam
@@ -229,67 +229,51 @@ class Previewer:
                 continue
             rows = f[idx].tolist()
             for row in rows:
-                ht = Hit()
-                ht.hid = hid
+                rtid, rpos = row[0], row[1]
+                rhid = hid
                 hid += 1
-                ht.tid = row[0]
-                ht.pos = row[1]
-                ht.rpos = row[2]
-                ht.qual = row[3]
-                ht.flag = row[4]
-                ht.mtid = row[5]
-                ht.mpos = row[6]
-                ht.isize = row[7]
-                qoff = row[10]
-                ht.qname = b.qnames[qoff:qoff + row[11]].decode()
-                ht.xs = chr(row[12])
-                ht.ts = "."
-                ht.hi = row[13]
-                ht.nh = row[14]
-                ht.nm = row[15]
-                ht.set_strand(lt)
-                if ht.tid != bb1.tid or ht.pos > bb1.rpos + cfg.min_bundle_gap:
+                if rtid != bb1.tid or rpos > bb1.rpos + cfg.min_bundle_gap:
                     cnt += self._process(bb1, m)
                     bb1 = BundleBase()
                     bb1.strand = "+"
-                if ht.tid != bb2.tid or ht.pos > bb2.rpos + cfg.min_bundle_gap:
+                if rtid != bb2.tid or rpos > bb2.rpos + cfg.min_bundle_gap:
                     cnt += self._process(bb2, m)
                     bb2 = BundleBase()
                     bb2.strand = "-"
                 if cnt >= cfg.max_preview_reads:
                     stop = True
                     break
-                if cfg.uniquely_mapped_only and ht.nh != 1:
+                if cfg.uniquely_mapped_only and row[14] != 1:
                     continue
+                xs = chr(row[12])
+                strand = strand_from_flag(row[4], lt)
                 if not unstranded:
-                    if ht.strand == "+" and ht.xs == "-":
+                    if strand == "+" and xs == "-":
                         continue
-                    if ht.strand == "-" and ht.xs == "+":
+                    if strand == "-" and xs == "+":
                         continue
-                    if ht.strand == "." and ht.xs != ".":
-                        ht.strand = ht.xs
+                    if strand == "." and xs != ".":
+                        strand = xs
                 coff = row[17]
                 cend = coff + 2 * row[18] + row[19] + 2 * row[20]
                 coords = b.coords[coff:cend].tolist()
                 mcnt, scnt, icnt = row[18], row[19], row[20]
+                ht = hit_from_row(row, b.qnames, rhid)
+                ht.strand = strand
                 if not unstranded:
-                    if ht.strand == "+":
+                    if strand == "+":
                         bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
-                    if ht.strand == "-":
+                    if strand == "-":
                         bb2.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
                 else:
-                    if ht.xs == "+":
+                    if xs == "+":
                         bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
-                    elif ht.xs == "-":
+                    elif xs == "-":
                         bb2.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
                     else:
                         bb1.add_hit_parsed(ht, coords, mcnt, scnt, icnt)
-                        ht2 = Hit()
-                        for a in ("hid", "tid", "pos", "rpos", "qual", "flag",
-                                  "mtid", "mpos", "isize", "qname", "xs",
-                                  "ts", "hi", "nh", "nm", "strand"):
-                            setattr(ht2, a, getattr(ht, a))
-                        bb2.add_hit_parsed(ht2, coords, mcnt, scnt, icnt)
+                        bb2.add_hit_parsed(ht.clone(), coords, mcnt,
+                                           scnt, icnt)
         return m
 
     def _finish_insertsize(self, m):
