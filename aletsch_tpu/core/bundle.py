@@ -19,6 +19,37 @@ from .chain_set import ChainSet, PhaseSet
 MATE_EXTEND_CAP = 500000   # bundle_base.cc:92
 
 
+def materialize_bundle(sb):
+    """BundleBase from a native ScanBundle (io/bam_native.py): the C++
+    scanner already applied the add_hit dedup/extension rules, so hits are
+    appended directly and the coverage maps build from the pre-concatenated
+    interval arrays in bulk."""
+    from .hits import hit_from_row
+    bb = BundleBase()
+    bb.tid = sb.tid
+    bb.lpos = sb.lpos
+    bb.rpos = sb.rpos
+    rows = sb.fixed.tolist()
+    qnames = sb.qnames
+    hits = []
+    for row in rows:
+        ht = hit_from_row(row, qnames, row[24])
+        ht.strand = chr(row[22])
+        hits.append(ht)
+    bb.hits = hits
+    if hits:
+        bb.strand = hits[0].strand      # add_hit sets strand from hit 0
+    bb.mmap.add_pairs(sb.mev.reshape(-1, 2))
+    bb.imap.add_pairs(sb.iev.reshape(-1, 2))
+    coords = sb.coords
+    for j, row in enumerate(rows):
+        sc = row[19]
+        if sc:
+            off = row[17] + 2 * row[18]
+            bb.hcst.add(coords[off:off + sc].tolist(), j, hits[j].xs)
+    return bb
+
+
 class BundleBase:
     def __init__(self):
         self.tid = -1

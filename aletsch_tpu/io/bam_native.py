@@ -64,6 +64,21 @@ def _load_lib():
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         lib.abam_read_batch.restype = ctypes.c_int
+        lib.abam_scan_open.restype = ctypes.c_void_p
+        lib.abam_scan_open.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 10
+        lib.abam_scan_free.argtypes = [ctypes.c_void_p]
+        lib.abam_scan_drop.argtypes = [ctypes.c_void_p]
+        lib.abam_scan_nbundles.argtypes = [ctypes.c_void_p]
+        lib.abam_scan_nbundles.restype = ctypes.c_int
+        lib.abam_scan_bundle_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                              ctypes.POINTER(ctypes.c_int64)]
+        lib.abam_scan_bundle_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.abam_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.abam_scan_next.restype = ctypes.c_int
         _LIB = lib
     except Exception:
         _LIB = None
@@ -148,6 +163,25 @@ class NativeBamReader:
         b.qnames = self._qnames.raw[:qend]
         return b
 
+    def scan_region(self, tid, end1, voff, params, chunk_records=262144):
+        """Native record->bundle scan of one region (generator loop); yields
+        lists of ScanBundle.  The caller must not use the reader until the
+        generator is exhausted or closed."""
+        self.seek(voff)
+        sc = self._lib.abam_scan_open(
+            self._h, 0, tid, end1, params.min_mapq, params.max_num_cigar,
+            params.max_read_span, params.min_bundle_gap, params.use_second,
+            params.uniq_only, params.library_type)
+        return _scan_chunks(self._lib, sc, chunk_records)
+
+    def scan_preview(self, params, chunk_records=262144):
+        """Native whole-file preview scan (previewer insert-size loop)."""
+        sc = self._lib.abam_scan_open(
+            self._h, 1, -1, 0, params.min_mapq, params.max_num_cigar,
+            params.max_read_span, params.min_bundle_gap, params.use_second,
+            params.uniq_only, params.library_type)
+        return _scan_chunks(self._lib, sc, chunk_records)
+
     def tell(self):
         if self._batch is not None and self._cursor < self._batch.count:
             return int(self._batch.voffs[self._cursor])
@@ -194,6 +228,72 @@ class NativeBamReader:
         rec.icnt = f[20]
         self._cursor += 1
         return rec
+
+
+class ScanBundle:
+    """One flushed bundle from the native scanner: fixed rows are 25 int32
+    (24 decoder fields + routed strand in slot 22 + hid in slot 24)."""
+    __slots__ = ("strand", "tid", "lpos", "rpos", "epoch", "fixed",
+                 "qnames", "coords", "mev", "iev")
+
+
+def _scan_chunks(lib, sc, chunk_records):
+    """Yield lists of ScanBundle per processed chunk until the scan ends."""
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    try:
+        while True:
+            more = lib.abam_scan_next(sc, chunk_records)
+            nb = lib.abam_scan_nbundles(sc)
+            out = []
+            for b in range(nb):
+                info = (ctypes.c_int64 * 10)()
+                lib.abam_scan_bundle_info(sc, b, info)
+                sb = ScanBundle()
+                sb.strand = "+" if info[0] == 0 else "-"
+                sb.tid = int(info[1])
+                sb.lpos = int(info[2])
+                sb.rpos = int(info[3])
+                sb.epoch = int(info[9])
+                n = int(info[4])
+                sb.fixed = np.zeros((n, 25), dtype=np.int32)
+                qn = ctypes.create_string_buffer(max(int(info[5]), 1))
+                sb.coords = np.zeros(max(int(info[6]), 1), dtype=np.int32)
+                sb.mev = np.zeros(max(int(info[7]), 1), dtype=np.int32)
+                sb.iev = np.zeros(max(int(info[8]), 1), dtype=np.int32)
+                lib.abam_scan_bundle_fill(
+                    sc, b, sb.fixed.ctypes.data_as(i32p), qn,
+                    sb.coords.ctypes.data_as(i32p),
+                    sb.mev.ctypes.data_as(i32p),
+                    sb.iev.ctypes.data_as(i32p))
+                sb.qnames = qn.raw[:int(info[5])]
+                sb.mev = sb.mev[:int(info[7])]
+                sb.iev = sb.iev[:int(info[8])]
+                out.append(sb)
+            lib.abam_scan_drop(sc)
+            if out:
+                yield out
+            if more == 0:
+                break
+    finally:
+        lib.abam_scan_free(sc)
+
+
+class _ScanParams:
+    """Filter bundle passed to scan_region/scan_preview."""
+    __slots__ = ("min_mapq", "max_num_cigar", "max_read_span",
+                 "min_bundle_gap", "use_second", "uniq_only", "library_type")
+
+
+def scan_params(cfg, library_type):
+    p = _ScanParams()
+    p.min_mapq = cfg.min_mapping_quality
+    p.max_num_cigar = cfg.max_num_cigar
+    p.max_read_span = cfg.max_read_span
+    p.min_bundle_gap = cfg.min_bundle_gap
+    p.use_second = 1 if cfg.use_second_alignment else 0
+    p.uniq_only = 1 if cfg.uniquely_mapped_only else 0
+    p.library_type = library_type
+    return p
 
 
 def open_bam(path):

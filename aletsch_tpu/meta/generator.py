@@ -34,9 +34,27 @@ class Generator:
         if tid < 0 or rid < 0:
             return
         with open_bam(sp.align_file) as r:
+            if hasattr(r, "scan_region"):
+                return self._resolve_scan(r)
             if hasattr(r, "read_batch_arrays"):
                 return self._resolve_batched(r)
             return self._resolve_slow(r)
+
+    def _resolve_scan(self, r):
+        """Native scan: the filter/route/split loop runs in C++
+        (native/abam.cpp abam_scan_next); Python materializes each flushed
+        bundle with bulk coverage-map builds."""
+        from ..core.bundle import materialize_bundle
+        from ..io.bam_native import scan_params
+        sp = self.sp
+        cfg = self.cfg
+        tid = self.target_id
+        rid = self.region_id
+        pr = scan_params(cfg, sp.library_type)
+        for chunk in r.scan_region(tid, sp.end1[tid][rid],
+                                   sp.start_off[tid][rid], pr):
+            for sb in chunk:
+                self._generate(materialize_bundle(sb))
 
     def _resolve_batched(self, r):
         """Columnar scan: filters and dedup are computed on the decoder's

@@ -193,11 +193,35 @@ class Previewer:
     def infer_insertsize(self):
         """previewer.cc:151-249"""
         with open_bam(self.sp.align_file) as r:
-            if hasattr(r, "read_batch_arrays"):
+            if hasattr(r, "scan_preview"):
+                m = self._collect_insertsizes_scan(r)
+            elif hasattr(r, "read_batch_arrays"):
                 m = self._collect_insertsizes_batched(r)
             else:
                 m = self._collect_insertsizes_slow(r)
         self._finish_insertsize(m)
+
+    def _collect_insertsizes_scan(self, r):
+        """Native-scanner variant: bundle splitting runs in C++; Python only
+        runs _process per flushed bundle.  The max_preview_reads cap stops
+        after the last bundle flushed by the capping record (epoch ties)."""
+        from ..core.bundle import materialize_bundle
+        from ..io.bam_native import scan_params
+        cfg = self.cfg
+        m = {}
+        cnt = 0
+        capped_epoch = None
+        pr = scan_params(cfg, self.sp.library_type)
+        gen = r.scan_preview(pr)
+        for chunk in gen:
+            for sb in chunk:
+                if capped_epoch is not None and sb.epoch != capped_epoch:
+                    gen.close()
+                    return m
+                cnt += self._process(materialize_bundle(sb), m)
+                if capped_epoch is None and cnt >= cfg.max_preview_reads:
+                    capped_epoch = sb.epoch
+        return m
 
     def _collect_insertsizes_batched(self, r):
         """Columnar variant of the insert-size scan: per-record filters on

@@ -24,10 +24,11 @@ from bisect import bisect_left, bisect_right
 class CoverageMap:
     """Integer-weighted coverage map over int32 genomic coordinates."""
 
-    __slots__ = ("_events", "_bps", "_vals", "_dirty", "_segs")
+    __slots__ = ("_events", "_chunks", "_bps", "_vals", "_dirty", "_segs")
 
     def __init__(self):
         self._events = []          # list of (pos, delta)
+        self._chunks = []          # bulk unit-weight interval arrays (N, 2)
         self._bps = np.empty(0, dtype=np.int64)    # breakpoints, len = S+1
         self._vals = np.empty(0, dtype=np.int64)   # per-segment value, len = S
         self._dirty = False
@@ -48,8 +49,23 @@ class CoverageMap:
         for l, r, w in zip(ls, rs, ws):
             self.add(int(l), int(r), int(w))
 
+    def add_pairs(self, arr):
+        """Bulk add of unit-weight [l, r) intervals from an (N, 2) array
+        (native scanner output); degenerate rows (l >= r) are ignored like
+        add()."""
+        arr = np.asarray(arr, dtype=np.int64).reshape(-1, 2)
+        if arr.size == 0:
+            return
+        arr = arr[arr[:, 0] < arr[:, 1]]
+        if arr.size == 0:
+            return
+        self._chunks.append(arr)
+        self._dirty = True
+        self._segs = None
+
     def clear(self):
         self._events.clear()
+        self._chunks = []
         self._bps = np.empty(0, dtype=np.int64)
         self._vals = np.empty(0, dtype=np.int64)
         self._dirty = False
@@ -58,6 +74,7 @@ class CoverageMap:
     def combine(self, other: "CoverageMap"):
         """mmap += other (bundle::combine, meta/bundle.cc:102-103)."""
         self._events.extend(other._events)
+        self._chunks.extend(other._chunks)
         self._dirty = True
         self._segs = None
 
@@ -66,13 +83,24 @@ class CoverageMap:
         if not self._dirty:
             return
         self._dirty = False
-        if not self._events:
+        if not self._events and not self._chunks:
             self._bps = np.empty(0, dtype=np.int64)
             self._vals = np.empty(0, dtype=np.int64)
             return
-        ev = np.asarray(self._events, dtype=np.int64)
-        pos = ev[:, 0]
-        dlt = ev[:, 1]
+        parts_p = []
+        parts_d = []
+        if self._events:
+            ev = np.asarray(self._events, dtype=np.int64)
+            parts_p.append(ev[:, 0])
+            parts_d.append(ev[:, 1])
+        for ch in self._chunks:
+            parts_p.append(ch.reshape(-1))
+            d = np.empty(ch.shape[0] * 2, dtype=np.int64)
+            d[0::2] = 1
+            d[1::2] = -1
+            parts_d.append(d)
+        pos = np.concatenate(parts_p)
+        dlt = np.concatenate(parts_d)
         order = np.argsort(pos, kind="stable")
         pos = pos[order]
         dlt = dlt[order]

@@ -365,3 +365,419 @@ int abam_read_batch(BamFile* f, int maxn, int32_t* fixed, uint64_t* voffs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Region/preview scanner: the record->bundle routing loop of
+// meta/generator.cc:51-201 (region mode) and previewer.cc:151-249 (preview
+// mode) runs natively.  Records are filtered, strand-routed and split into
+// per-strand bundles exactly like the Python batched loops in
+// aletsch_tpu/meta/{generator,previewer}.py; each flushed bundle carries its
+// own record rows (24 fixed fields + routed strand in slot 22 + hid as a
+// 25th int), qname/coords pools, and pre-concatenated match/indel interval
+// pair arrays so the Python side builds coverage maps in bulk.
+
+namespace {
+
+struct PendingBundle {
+    int32_t tid = -1;
+    int64_t lpos = ((int64_t)1) << 40;
+    int64_t rpos = 0;
+    int32_t last_pos = -1, last_rpos = -1;
+    bool has_last = false;
+    int32_t n = 0;
+    std::vector<int32_t> fixed;     // 25 ints per assignment
+    std::vector<char> qnames;
+    std::vector<int32_t> coords;
+    std::vector<int32_t> mev;       // match-interval pairs
+    std::vector<int32_t> iev;       // indel-interval pairs
+    void reset() {
+        tid = -1; lpos = ((int64_t)1) << 40; rpos = 0;
+        last_pos = last_rpos = -1; has_last = false; n = 0;
+        fixed.clear(); qnames.clear(); coords.clear();
+        mev.clear(); iev.clear();
+    }
+};
+
+struct FlushedBundle {
+    int32_t strand;                 // 0 = '+', 1 = '-'
+    int32_t tid;
+    int32_t lpos, rpos;
+    int32_t epoch;                  // hid counter at flush time: bundles
+                                    // flushed by the same record share it
+    std::vector<int32_t> fixed;
+    std::vector<char> qnames;
+    std::vector<int32_t> coords;
+    std::vector<int32_t> mev;
+    std::vector<int32_t> iev;
+};
+
+// strand inference from flags (rnacore/hit.cc:152-185); returns '.', '+', '-'
+int32_t strand_of(uint16_t flag, int32_t libtype) {
+    bool paired = (flag & 0x1) != 0;
+    bool rev = (flag & 0x10) != 0;
+    bool r1 = (flag & 0x40) != 0;
+    bool r2 = (flag & 0x80) != 0;
+    if (libtype == 1) {            // FR_FIRST
+        if (!paired) return rev ? '+' : '-';
+        if (r1 && !r2) return rev ? '+' : '-';
+        if (r2 && !r1) return rev ? '-' : '+';
+        return '.';
+    }
+    if (libtype == 2) {            // FR_SECOND
+        if (!paired) return rev ? '-' : '+';
+        if (r1 && !r2) return rev ? '-' : '+';
+        if (r2 && !r1) return rev ? '+' : '-';
+        return '.';
+    }
+    return '.';
+}
+
+}  // namespace
+
+struct Scanner {
+    BamFile* f = nullptr;
+    // mode + region
+    int32_t preview = 0;
+    int32_t tid = -1;
+    int32_t end1 = 0;
+    // filters
+    int32_t min_mapq = 0, max_num_cigar = 0, max_read_span = 0;
+    int32_t min_bundle_gap = 0;
+    int32_t use_second = 0, uniq_only = 0, library_type = 0;
+    // state
+    PendingBundle bb[2];
+    std::vector<FlushedBundle> out;
+    int32_t pre_lpos = -1, pre_rpos = -1;
+    int32_t hid = 0;
+    bool done = false;
+    std::vector<uint8_t> rec;
+    std::vector<uint32_t> cig;
+};
+
+namespace {
+
+void flush_bundle(Scanner* s, int k) {
+    PendingBundle& B = s->bb[k];
+    if (B.n > 0) {
+        FlushedBundle fb;
+        fb.strand = k;
+        fb.epoch = s->hid;
+        fb.tid = B.tid;
+        fb.lpos = (int32_t)B.lpos;
+        fb.rpos = (int32_t)B.rpos;
+        fb.fixed = std::move(B.fixed);
+        fb.qnames = std::move(B.qnames);
+        fb.coords = std::move(B.coords);
+        fb.mev = std::move(B.mev);
+        fb.iev = std::move(B.iev);
+        s->out.push_back(std::move(fb));
+    }
+    B.reset();
+}
+
+// append one routed record to bundle k; mirrors BundleBase.add_hit +
+// add_hit_parsed (core/bundle.py)
+void add_to(Scanner* s, int k, const int32_t* fx24, int32_t strand_char,
+            int32_t my_hid, const char* qname, int32_t qlen,
+            const int32_t* coords, int32_t clen,
+            int32_t m_cnt, int32_t s_cnt, int32_t i_cnt) {
+    PendingBundle& B = s->bb[k];
+    int32_t pos = fx24[1], rpos = fx24[2], mpos = fx24[6];
+    if (B.has_last && B.last_pos == pos && B.last_rpos == rpos)
+        return;                    // consecutive duplicate within the bundle
+    size_t fb = B.fixed.size();
+    B.fixed.resize(fb + 25);
+    int32_t* o = B.fixed.data() + fb;
+    memcpy(o, fx24, 24 * sizeof(int32_t));
+    o[10] = (int32_t)B.qnames.size();      // qname_off relative to pool
+    o[17] = (int32_t)B.coords.size();      // coords_off relative to pool
+    o[22] = strand_char;
+    o[24] = my_hid;
+    B.qnames.insert(B.qnames.end(), qname, qname + qlen);
+    B.qnames.push_back(0);
+    B.coords.insert(B.coords.end(), coords, coords + clen);
+    B.mev.insert(B.mev.end(), coords, coords + 2 * m_cnt);
+    B.iev.insert(B.iev.end(), coords + 2 * m_cnt + s_cnt,
+                 coords + 2 * m_cnt + s_cnt + 2 * i_cnt);
+    B.has_last = true;
+    B.last_pos = pos;
+    B.last_rpos = rpos;
+    if (B.tid == -1) B.tid = fx24[0];
+    if (pos < B.lpos) B.lpos = pos;
+    int64_t p = rpos;
+    if (mpos > rpos && mpos <= (int64_t)rpos + 500000) p = mpos;
+    if (p > B.rpos) B.rpos = p;
+    B.n++;
+}
+
+}  // namespace
+
+extern "C" {
+
+Scanner* abam_scan_open(BamFile* f, int32_t preview, int32_t tid,
+                        int32_t end1, int32_t min_mapq, int32_t max_num_cigar,
+                        int32_t max_read_span, int32_t min_bundle_gap,
+                        int32_t use_second, int32_t uniq_only,
+                        int32_t library_type) {
+    Scanner* s = new Scanner();
+    s->f = f;
+    s->preview = preview;
+    s->tid = tid;
+    s->end1 = end1;
+    s->min_mapq = min_mapq;
+    s->max_num_cigar = max_num_cigar;
+    s->max_read_span = max_read_span;
+    s->min_bundle_gap = min_bundle_gap;
+    s->use_second = use_second;
+    s->uniq_only = uniq_only;
+    s->library_type = library_type;
+    return s;
+}
+
+void abam_scan_free(Scanner* s) { delete s; }
+
+void abam_scan_drop(Scanner* s) { s->out.clear(); }
+
+int abam_scan_nbundles(Scanner* s) { return (int)s->out.size(); }
+
+void abam_scan_bundle_info(Scanner* s, int b, int64_t* out10) {
+    const FlushedBundle& fb = s->out[b];
+    out10[0] = fb.strand;
+    out10[1] = fb.tid;
+    out10[2] = fb.lpos;
+    out10[3] = fb.rpos;
+    out10[4] = (int64_t)fb.fixed.size() / 25;
+    out10[5] = (int64_t)fb.qnames.size();
+    out10[6] = (int64_t)fb.coords.size();
+    out10[7] = (int64_t)fb.mev.size();
+    out10[8] = (int64_t)fb.iev.size();
+    out10[9] = fb.epoch;
+}
+
+void abam_scan_bundle_fill(Scanner* s, int b, int32_t* fixed, char* qnames,
+                           int32_t* coords, int32_t* mev, int32_t* iev) {
+    const FlushedBundle& fb = s->out[b];
+    memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
+    memcpy(qnames, fb.qnames.data(), fb.qnames.size());
+    memcpy(coords, fb.coords.data(), fb.coords.size() * sizeof(int32_t));
+    memcpy(mev, fb.mev.data(), fb.mev.size() * sizeof(int32_t));
+    memcpy(iev, fb.iev.data(), fb.iev.size() * sizeof(int32_t));
+}
+
+// Process up to max_records records.  Returns 1 while more input remains,
+// 0 once the region/file is exhausted (open bundles are flushed in region
+// mode; preview mode leaves trailing bundles unprocessed, matching
+// previewer.cc which stops collecting at EOF).
+int abam_scan_next(Scanner* s, int64_t max_records) {
+    static const int CONSUME_REF =
+        (1 << 0) | (1 << 2) | (1 << 3) | (1 << 7) | (1 << 8);
+    BamFile* f = s->f;
+    std::vector<int32_t> coords;
+    coords.reserve(64);
+    for (int64_t processed = 0; processed < max_records; processed++) {
+        if (s->done) break;
+        uint8_t b4[4];
+        if (bread(f, b4, 4) < 4) {
+            s->done = true;
+            if (!s->preview) { flush_bundle(s, 0); flush_bundle(s, 1); }
+            break;
+        }
+        int32_t block_size = rd32(b4);
+        if (block_size <= 0) {
+            s->done = true;
+            if (!s->preview) { flush_bundle(s, 0); flush_bundle(s, 1); }
+            break;
+        }
+        s->rec.resize(block_size);
+        if ((int)bread(f, s->rec.data(), block_size) < block_size) {
+            s->done = true;
+            if (!s->preview) { flush_bundle(s, 0); flush_bundle(s, 1); }
+            break;
+        }
+        const uint8_t* p = s->rec.data();
+        int32_t refID = rd32(p + 0);
+        int32_t pos = rd32(p + 4);
+        uint8_t l_read_name = p[8];
+        uint8_t mapq = p[9];
+        uint16_t n_cigar = p[12] | (p[13] << 8);
+        uint16_t flag = p[14] | (p[15] << 8);
+        int32_t l_seq = rd32(p + 16);
+        int32_t next_pos = rd32(p + 24);
+        if (!s->preview && (pos >= s->end1 || refID != s->tid)) {
+            s->done = true;
+            flush_bundle(s, 0);
+            flush_bundle(s, 1);
+            break;
+        }
+        // filters (generator.py keep mask / previewer.py keep mask)
+        if (flag & 0x4) continue;
+        if ((flag & 0x100) && (s->preview || !s->use_second)) continue;
+        if (n_cigar > s->max_num_cigar || n_cigar < 1) continue;
+        if (mapq < s->min_mapq) continue;
+        size_t off = 32 + l_read_name;
+        s->cig.resize(n_cigar);
+        memcpy(s->cig.data(), p + off, 4ull * n_cigar);
+        int32_t ref_len = 0, total_n_ops = 0;
+        for (int k = 0; k < n_cigar; k++) {
+            uint32_t c = s->cig[k];
+            int op = c & 0xF;
+            if (op == 3) total_n_ops++;
+            if ((CONSUME_REF >> op) & 1) ref_len += (int32_t)(c >> 4);
+        }
+        int32_t rpos = pos + ref_len;
+        if (!s->preview) {
+            if (llabs((int64_t)pos - rpos) >= s->max_read_span) continue;
+            if (!(flag & 0x8) &&
+                llabs((int64_t)pos - next_pos) >= s->max_read_span) continue;
+            bool dup = (pos == s->pre_lpos && rpos == s->pre_rpos);
+            s->pre_lpos = pos;
+            s->pre_rpos = rpos;
+            if (dup) continue;
+        }
+        int32_t my_hid = s->hid++;
+        // bundle flushes before routing (order: '+', then '-')
+        for (int k = 0; k < 2; k++) {
+            if (s->bb[k].n > 0 &&
+                (refID != s->bb[k].tid ||
+                 (int64_t)pos > s->bb[k].rpos + s->min_bundle_gap))
+                flush_bundle(s, k);
+        }
+        // aux tags
+        int32_t xs = '.', ts = '.', hi = -1, nh = -1, nm = 0;
+        {
+            size_t aoff = off + 4ull * n_cigar + (l_seq + 1) / 2 + l_seq;
+            while (aoff + 3 <= (size_t)block_size) {
+                char t0 = (char)p[aoff], t1 = (char)p[aoff + 1];
+                char typ = (char)p[aoff + 2];
+                aoff += 3;
+                int64_t val = 0;
+                bool have = false;
+                switch (typ) {
+                    case 'A': val = p[aoff]; aoff += 1; have = true; break;
+                    case 'c': val = (int8_t)p[aoff]; aoff += 1; have = true; break;
+                    case 'C': val = p[aoff]; aoff += 1; have = true; break;
+                    case 's': { int16_t v; memcpy(&v, p + aoff, 2); val = v; aoff += 2; have = true; break; }
+                    case 'S': { uint16_t v; memcpy(&v, p + aoff, 2); val = v; aoff += 2; have = true; break; }
+                    case 'i': { int32_t v; memcpy(&v, p + aoff, 4); val = v; aoff += 4; have = true; break; }
+                    case 'I': { uint32_t v; memcpy(&v, p + aoff, 4); val = v; aoff += 4; have = true; break; }
+                    case 'f': aoff += 4; break;
+                    case 'Z': case 'H': {
+                        while (aoff < (size_t)block_size && p[aoff] != 0) aoff++;
+                        aoff++;
+                        break;
+                    }
+                    case 'B': {
+                        char sub = (char)p[aoff];
+                        int32_t cnt; memcpy(&cnt, p + aoff + 1, 4);
+                        int sz = (sub == 'c' || sub == 'C') ? 1 :
+                                 (sub == 's' || sub == 'S') ? 2 : 4;
+                        aoff += 5 + (int64_t)cnt * sz;
+                        break;
+                    }
+                    default: aoff = block_size; break;
+                }
+                if (!have) continue;
+                if (t0 == 'X' && t1 == 'S' && typ == 'A') xs = (int32_t)val;
+                else if (t0 == 't' && t1 == 's' && typ == 'A') ts = (int32_t)val;
+                else if (t0 == 'H' && t1 == 'I') hi = (int32_t)val;
+                else if (t0 == 'N' && t1 == 'H') nh = (int32_t)val;
+                else if ((t0 == 'N' || t0 == 'n') && (t1 == 'M' || t1 == 'm')) nm = (int32_t)val;
+            }
+            if (xs == '.' && ts != '.') {
+                bool rev = (flag & 0x10) != 0;
+                if (ts == '+') xs = rev ? '-' : '+';
+                else if (ts == '-') xs = rev ? '+' : '-';
+            }
+        }
+        if (s->uniq_only && nh != 1) continue;
+        int32_t strand = strand_of(flag, s->library_type);
+        bool unstranded = (s->library_type == 0);
+        if (!unstranded) {
+            if (strand == '+' && xs == '-') continue;
+            if (strand == '-' && xs == '+') continue;
+            if (strand == '.' && xs != '.') strand = xs;
+        } else if (!s->preview && xs == '.' && total_n_ops != 0) {
+            continue;              // spliced without XS: dropped (generator)
+        }
+        // coordinate layout: match pairs | interior splices | indel pairs
+        coords.clear();
+        int32_t m_cnt = 0, s_cnt = 0, i_cnt = 0;
+        {
+            int32_t gp = pos;
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t c = s->cig[k];
+                int op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if ((CONSUME_REF >> op) & 1) gp += ln;
+                if (op == 0) {
+                    coords.push_back(gp - ln);
+                    coords.push_back(gp);
+                    m_cnt++;
+                }
+            }
+            gp = pos;
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t c = s->cig[k];
+                int op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if ((CONSUME_REF >> op) & 1) gp += ln;
+                if (k == 0 || k == n_cigar - 1) continue;
+                if (op != 3) continue;
+                coords.push_back(gp - ln);
+                coords.push_back(gp);
+                s_cnt += 2;
+            }
+            gp = pos;
+            for (int k = 0; k < n_cigar; k++) {
+                uint32_t c = s->cig[k];
+                int op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if ((CONSUME_REF >> op) & 1) gp += ln;
+                if (op == 1) {
+                    coords.push_back(gp - 1);
+                    coords.push_back(gp + 1);
+                    i_cnt++;
+                } else if (op == 2) {
+                    coords.push_back(gp - ln);
+                    coords.push_back(gp);
+                    i_cnt++;
+                }
+            }
+        }
+        int32_t fx[24];
+        fx[0] = refID; fx[1] = pos; fx[2] = rpos; fx[3] = mapq;
+        fx[4] = flag; fx[5] = rd32(p + 20); fx[6] = next_pos;
+        fx[7] = rd32(p + 28); fx[8] = n_cigar; fx[9] = 0;
+        fx[10] = 0; fx[11] = l_read_name - 1; fx[12] = xs; fx[13] = hi;
+        fx[14] = nh; fx[15] = nm; fx[16] = s_cnt / 2; fx[17] = 0;
+        fx[18] = m_cnt; fx[19] = s_cnt; fx[20] = i_cnt; fx[21] = total_n_ops;
+        fx[22] = '.'; fx[23] = 0;
+        const char* qn = (const char*)(p + 32);
+        int32_t qlen = l_read_name - 1;
+        int32_t clen = (int32_t)coords.size();
+        if (!unstranded) {
+            if (strand == '+')
+                add_to(s, 0, fx, strand, my_hid, qn, qlen, coords.data(),
+                       clen, m_cnt, s_cnt, i_cnt);
+            if (strand == '-')
+                add_to(s, 1, fx, strand, my_hid, qn, qlen, coords.data(),
+                       clen, m_cnt, s_cnt, i_cnt);
+        } else {
+            if (xs == '+')
+                add_to(s, 0, fx, strand, my_hid, qn, qlen, coords.data(),
+                       clen, m_cnt, s_cnt, i_cnt);
+            else if (xs == '-')
+                add_to(s, 1, fx, strand, my_hid, qn, qlen, coords.data(),
+                       clen, m_cnt, s_cnt, i_cnt);
+            else {
+                add_to(s, 0, fx, strand, my_hid, qn, qlen, coords.data(),
+                       clen, m_cnt, s_cnt, i_cnt);
+                add_to(s, 1, fx, strand, my_hid, qn, qlen, coords.data(),
+                       clen, m_cnt, s_cnt, i_cnt);
+            }
+        }
+    }
+    return s->done ? 0 : 1;
+}
+
+}  // extern "C"
