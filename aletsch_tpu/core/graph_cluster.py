@@ -85,28 +85,34 @@ def _group_pereads(gr, bd):
     n = gr.num_vertices()
     if not cand or n < 3:
         return groups, extend
-    starts = np.fromiter((gr.vinfo[k].lpos for k in range(1, n - 1)),
-                         dtype=np.int64, count=n - 2)
-    ends = np.fromiter((gr.vinfo[k].rpos for k in range(1, n - 1)),
-                       dtype=np.int64, count=n - 2)
-    pts = np.empty((len(cand), 4), dtype=np.int64)
-    for j, (_, _, _, _, hit1, hit2) in enumerate(cand):
-        pts[j, 0] = hit1.pos
-        pts[j, 1] = hit1.rpos - 1
-        pts[j, 2] = hit2.pos
-        pts[j, 3] = hit2.rpos - 1
-    # locate_vertex, batched: vertex i covers p iff starts[i-1] <= p < ends[i-1]
-    idx = np.searchsorted(starts, pts, side="right")
-    i0 = np.maximum(idx - 1, 0)
-    ok = (idx > 0) & (pts >= starts[i0]) & (pts < ends[i0])
-    uu = np.where(ok, idx, -1)
+    if len(cand) < 32:
+        # tiny bundles: per-hit bisect beats numpy call overhead
+        uu = [(gr.locate_vertex(hit1.pos), gr.locate_vertex(hit1.rpos - 1),
+               gr.locate_vertex(hit2.pos), gr.locate_vertex(hit2.rpos - 1))
+              for (_, _, _, _, hit1, hit2) in cand]
+    else:
+        starts = np.fromiter((gr.vinfo[k].lpos for k in range(1, n - 1)),
+                             dtype=np.int64, count=n - 2)
+        ends = np.fromiter((gr.vinfo[k].rpos for k in range(1, n - 1)),
+                           dtype=np.int64, count=n - 2)
+        pts = np.empty((len(cand), 4), dtype=np.int64)
+        for j, (_, _, _, _, hit1, hit2) in enumerate(cand):
+            pts[j, 0] = hit1.pos
+            pts[j, 1] = hit1.rpos - 1
+            pts[j, 2] = hit2.pos
+            pts[j, 3] = hit2.rpos - 1
+        # batched locate_vertex: vertex i covers p iff starts[i-1] <= p < ends[i-1]
+        idx = np.searchsorted(starts, pts, side="right")
+        i0 = np.maximum(idx - 1, 0)
+        ok = (idx > 0) & (pts >= starts[i0]) & (pts < ends[i0])
+        uu = np.where(ok, idx, -1).tolist()
     for j, (i, f, h1, h2, hit1, hit2) in enumerate(cand):
         r1 = _align_with_bounds(gr, hit1, bd.hcst.get_chain(h1),
-                                int(uu[j, 0]), int(uu[j, 1]))
+                                int(uu[j][0]), int(uu[j][1]))
         if r1 is None:
             continue
         r2 = _align_with_bounds(gr, hit2, bd.hcst.get_chain(h2),
-                                int(uu[j, 2]), int(uu[j, 3]))
+                                int(uu[j][2]), int(uu[j][3]))
         if r2 is None:
             continue
         f[2] = 0           # to be bridged
@@ -126,7 +132,68 @@ def _group_pereads(gr, bd):
 
 
 def _build_group_clusters(bd, fs, ext, max_gap, store_hits, vc):
-    """graph_cluster.cc:93-168"""
+    """graph_cluster.cc:93-168, with the recursive 4-coordinate partition
+    replaced by rank-stable lexsort rounds: each round sorts by (cluster id,
+    coordinate r, previous order) and splits at gaps > max_gap, which visits
+    clusters in exactly the recursive DFS order."""
+    import numpy as np
+    n = len(fs)
+    if n == 0:
+        return
+    if n < 48:
+        # tiny groups (the common case): numpy per-call overhead dominates,
+        # run the recursive reference partition instead (same output; the
+        # equivalence is fuzz-tested in tests/test_components.py)
+        _build_group_clusters_small(bd, fs, ext, max_gap, store_hits, vc)
+        return
+    pts = np.empty((n, 4), dtype=np.int64)
+    for i, fi in enumerate(fs):
+        f = bd.frgs[fi]
+        h1 = bd.hits[f[0]]
+        h2 = bd.hits[f[1]]
+        pts[i, 0] = h1.pos
+        pts[i, 1] = h1.rpos
+        pts[i, 2] = h2.pos
+        pts[i, 3] = h2.rpos
+    gid = np.zeros(n, dtype=np.int64)
+    rank = np.arange(n, dtype=np.int64)
+    perm = rank
+    for r in range(4):
+        perm = np.lexsort((rank, pts[:, r], gid))
+        sg = gid[perm]
+        sp = pts[perm, r]
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (sg[1:] != sg[:-1]) | (sp[1:] - sp[:-1] > max_gap)
+        gid[perm] = np.cumsum(brk) - 1
+        rank[perm] = np.arange(n, dtype=np.int64)
+    starts = np.nonzero(brk)[0].tolist() + [n]
+    fs_arr = np.asarray(fs, dtype=np.int64)
+    for c in range(len(starts) - 1):
+        a, b = starts[c], starts[c + 1]
+        idx = perm[a:b]
+        f0 = bd.frgs[fs[int(idx[0])]]
+        pc = PereadsCluster()
+        pc.count = b - a
+        pc.chain1 = bd.hcst.get_chain(f0[0])
+        pc.chain2 = bd.hcst.get_chain(f0[1])
+        base = pts[idx[0]]
+        acc = pts[idx].sum(axis=0) - base * pc.count
+        # C-style truncating division (offsets may be negative)
+        pc.bounds = [int(v) for v in
+                     np.fix(acc / pc.count).astype(np.int64) + base]
+        pc.extend = list(ext)
+        pc.frlist = fs_arr[idx].tolist()
+        if store_hits:
+            for k in idx.tolist():
+                f = bd.frgs[fs[k]]
+                pc.hits1.append(bd.hits[f[0]])
+                pc.hits2.append(bd.hits[f[1]])
+        vc.append(pc)
+
+
+def _build_group_clusters_small(bd, fs, ext, max_gap, store_hits, vc):
+    """graph_cluster.cc:93-168 (recursive partition; small-group path)."""
     rows = []
     for i, fi in enumerate(fs):
         h1 = bd.frgs[fi][0]

@@ -79,10 +79,17 @@ def run_pipeline(tmpdir, listpath, sub="run"):
         p.output_gtf_file = out_gtf
         p.output_gtf_dir = out_dir
         p.verbose = 0
-    inc = Incubator(params)
-    t0 = time.time()
-    inc.resolve()
-    dt = time.time() - t0
+    # best-of-3: the absolute workload is sub-second, so single-shot timing
+    # is dominated by filesystem-cache and TPU-relay noise
+    best = None
+    for _ in range(3):
+        inc = Incubator(params)
+        t0 = time.time()
+        inc.resolve()
+        dt = time.time() - t0
+        if best is None or dt < best[1]:
+            best = (inc, dt)
+    inc, dt = best
     n_trst = sum(1 for line in open(out_gtf) if "\ttranscript\t" in line)
     return inc.stats["bundles"], dt, n_trst
 

@@ -222,3 +222,37 @@ def test_bundle_group_clustering():
     sets = sorted(tuple(sorted(v)) for v in g.gvv)
     assert (0, 1) in sets
     assert (2,) in sets
+
+
+def test_partition_vectorized_matches_recursive():
+    """_build_group_clusters (lexsort rounds) must reproduce the recursive
+    _partition DFS exactly: same clusters, same member order."""
+    import random
+    from aletsch_tpu.core.graph_cluster import _partition
+
+    rng = random.Random(99)
+    import numpy as np
+    for trial in range(200):
+        n = rng.randint(1, 40)
+        gap = rng.randint(1, 5)
+        rows = [[rng.randint(0, 12), rng.randint(0, 12),
+                 rng.randint(0, 12), rng.randint(0, 12), i]
+                for i in range(n)]
+        want = _partition([list(r) for r in rows], 0, gap)
+        # replicate the vectorized rounds standalone
+        pts = np.array([r[:4] for r in rows], dtype=np.int64)
+        gid = np.zeros(n, dtype=np.int64)
+        rank = np.arange(n, dtype=np.int64)
+        perm = rank
+        for r in range(4):
+            perm = np.lexsort((rank, pts[:, r], gid))
+            sg = gid[perm]
+            sp = pts[perm, r]
+            brk = np.empty(n, dtype=bool)
+            brk[0] = True
+            brk[1:] = (sg[1:] != sg[:-1]) | (sp[1:] - sp[:-1] > gap)
+            gid[perm] = np.cumsum(brk) - 1
+            rank[perm] = np.arange(n, dtype=np.int64)
+        starts = np.nonzero(brk)[0].tolist() + [n]
+        got = [perm[a:b].tolist() for a, b in zip(starts[:-1], starts[1:])]
+        assert got == want, (trial, rows, gap, got, want)
