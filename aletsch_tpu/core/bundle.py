@@ -35,6 +35,7 @@ def materialize_bundle(sb):
     for row in rows:
         ht = hit_from_row(row, qnames, row[24])
         ht.strand = chr(row[22])
+        ht._qhash = row[23] & 0xFFFFFFFF    # scanner precomputes zlib crc32
         hits.append(ht)
     bb.hits = hits
     if hits:

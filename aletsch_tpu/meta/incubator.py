@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import sys
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 from ..constants import (DEFAULT, PAIRED_END,
@@ -108,6 +109,12 @@ class Incubator:
         # (regions are the shard unit; every host reads all samples for its
         # regions so combined-graph results are host-count invariant)
         self.region_filter = region_filter
+        self._pool = None
+
+    def _region_pool(self, nw):
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=nw)
+        return self._pool
 
     # ---------------------------------------------------------------- driver
     def resolve(self, write_outputs=True):
@@ -264,15 +271,43 @@ class Incubator:
         ts_imm = {s: new_transcript_set(chrm, rid, cfg) for s in STRANDS}
         imm_counts = {s: 0 for s in STRANDS}
         index = 0
+        entries = []
         for sid, tid in self.sindex[chrm]:
             sp = self.samples[sid]
             if rid >= len(sp.start1[tid]):
                 continue
             if sp.start1[tid][rid] >= sp.end1[tid][rid]:
                 continue
+            entries.append((sid, tid))
+
+        def generate(sid, tid):
+            sp = self.samples[sid]
             v = []
-            gt = Generator(sp, v, self.params[sp.data_type], tid, rid)
-            gt.resolve()
+            Generator(sp, v, self.params[sp.data_type], tid, rid).resolve()
+            return v
+
+        # overlap the native BAM scans of different samples (the C++
+        # scanner releases the GIL); results are consumed in sample order
+        # so the output stays deterministic.  A sliding window bounds how
+        # many samples' bundles are in flight at once.
+        def iter_results():
+            if len(entries) <= 1 or (os.cpu_count() or 1) <= 1:
+                for e in entries:
+                    yield e, generate(*e)
+                return
+            nw = min(cfg.max_threads, len(entries), 4)
+            pool = self._region_pool(nw)
+            pending = deque()
+            ei = 0
+            while pending or ei < len(entries):
+                while ei < len(entries) and len(pending) <= nw:
+                    e = entries[ei]
+                    pending.append((e, pool.submit(generate, *e)))
+                    ei += 1
+                e, f = pending.popleft()
+                yield e, f.result()
+
+        for (sid, tid), v in iter_results():
             self.stats["bundles"] += len(v)
             for bd in v:
                 if len(bd.splices) >= 1:

@@ -751,9 +751,12 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
         fx[10] = 0; fx[11] = l_read_name - 1; fx[12] = xs; fx[13] = hi;
         fx[14] = nh; fx[15] = nm; fx[16] = s_cnt / 2; fx[17] = 0;
         fx[18] = m_cnt; fx[19] = s_cnt; fx[20] = i_cnt; fx[21] = total_n_ops;
-        fx[22] = '.'; fx[23] = 0;
         const char* qn = (const char*)(p + 32);
         int32_t qlen = l_read_name - 1;
+        fx[22] = '.';
+        // qname hash for mate-pair bucketing, identical to Python
+        // zlib.crc32 (core/hits.py get_qhash)
+        fx[23] = (int32_t)crc32(0L, (const Bytef*)qn, (uInt)qlen);
         int32_t clen = (int32_t)coords.size();
         if (!unstranded) {
             if (strand == '+')
