@@ -82,3 +82,71 @@ def test_chromosome_filter(tmp_path):
     trsts = run(tmp_path, "ont", chrm_filter="chr2")
     assert len(trsts) >= 1
     assert all(t.seqname == "chr2" for t in trsts)
+
+
+def test_pacbio_sub(tmp_path):
+    trsts = run(tmp_path, "pacbio_sub")
+    assert len(trsts) >= 2
+
+
+def test_single_end(tmp_path):
+    """single_end short reads: unpaired records, strand from XS only."""
+    rng = random.Random(9)
+    recs = []
+    total = sum(b - a for a, b in ISO_X)
+    for i in range(120):
+        L = 100
+        s = rng.randint(0, total - L)
+        g, cigar = map_to_genome(ISO_X, s, L)
+        from aletsch_tpu.io.bam import CREF_SKIP
+        xs = "+" if any(op == CREF_SKIP for op, _ in cigar) else "."
+        flag = 0x10 if rng.random() < 0.5 else 0
+        recs.append(dict(qname="s.%d" % i, flag=flag, pos=g, cigar=cigar,
+                         mpos=-1, isize=0, xs=xs))
+    bam = str(tmp_path / "se.bam")
+    write_bam(bam, recs, names=("chr1",), lengths=(10**6,))
+    bl = tmp_path / "bams.list"
+    bl.write_text("%s x single_end\n" % bam)
+    out_gtf = str(tmp_path / "meta.gtf")
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir, exist_ok=True)
+    params = default_params()
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = out_gtf
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    Incubator(params).resolve()
+    trsts = read_gtf(out_gtf)
+    chains = {intron_chain(t.exons) for t in trsts}
+    assert intron_chain(ISO_X) in chains
+
+
+def test_mixed_cohort(tmp_path):
+    """paired_end and ont samples in one list: per-sample protocol overlays
+    (incubator.cc reads a data type per line)."""
+    from aletsch_tpu.sim import simulate_sample
+    pe = str(tmp_path / "pe.bam")
+    simulate_sample(pe, seed=3, names=("chr1", "chr2"),
+                    lengths=(10**6, 10**6))
+    lr = str(tmp_path / "lr.bam")
+    write_ont_sample(lr, 7)
+    bl = tmp_path / "bams.list"
+    bl.write_text("%s x paired_end\n%s x ont\n" % (pe, lr))
+    out_gtf = str(tmp_path / "meta.gtf")
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir, exist_ok=True)
+    params = default_params()
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = out_gtf
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    inc = Incubator(params)
+    inc.resolve()
+    assert inc.samples[0].data_type != inc.samples[1].data_type
+    trsts = read_gtf(out_gtf)
+    chains = {(t.seqname, intron_chain(t.exons)) for t in trsts}
+    # ISO_X is supported by both samples; count2 should reflect both
+    assert ("chr1", intron_chain(ISO_X)) in chains
+    assert ("chr2", intron_chain(ISO_Y)) in chains
