@@ -30,6 +30,7 @@ from .generator import Generator
 from .previewer import Previewer
 from .sample_profile import SampleProfile
 from .transcript_store import new_transcript_set
+from ..utils.tracing import Tracer
 
 STRANDS = ("+", "-", ".")
 
@@ -105,6 +106,9 @@ class Incubator:
         self.tts = {}              # (chrm, strand) -> TranscriptSet
         self.verbose = params[DEFAULT].verbose
         self.stats = {"bundles": 0, "groups": 0, "regions": 0}
+        self.tracer = Tracer(self.verbose,
+                             jax_profile_dir=getattr(
+                                 params[DEFAULT], "jax_profile_dir", ""))
         # region_filter(chrm, rid) -> bool: the multi-host shard predicate
         # (regions are the shard unit; every host reads all samples for its
         # regions so combined-graph results are host-count invariant)
@@ -118,22 +122,36 @@ class Incubator:
 
     # ---------------------------------------------------------------- driver
     def resolve(self, write_outputs=True):
-        """incubator.cc:42-81"""
-        self.read_bam_list()
-        self.build_sample_index()
-        self.init_samples()
+        """incubator.cc:42-81 (phase lines mirror incubator.cc:73-78)"""
+        tr = self.tracer
+        with tr.phase("index-inputs"):
+            self.read_bam_list()
+            self.build_sample_index()
+        with tr.phase("profile-samples"):
+            self.init_samples()
         if self.params[DEFAULT].profile_only:
+            tr.summary()
             return
         self.init_transcript_sets()
-        for chrm in self.sindex:
-            m = self.get_max_region(chrm)
-            for rid in range(m):
-                if self.region_filter is not None and \
-                        not self.region_filter(chrm, rid):
-                    continue
-                self.process_region(chrm, rid)
+        tr.start_jax_trace()
+        with tr.phase("assemble-regions"):
+            for chrm in self.sindex:
+                m = self.get_max_region(chrm)
+                for rid in range(m):
+                    if self.region_filter is not None and \
+                            not self.region_filter(chrm, rid):
+                        continue
+                    b0 = self.stats["bundles"]
+                    g0 = self.stats["groups"]
+                    self.process_region(chrm, rid)
+                    tr.region_line(chrm, rid, self.stats["bundles"] - b0,
+                                   self.stats["groups"] - g0)
+        tr.stop_jax_trace()
         if write_outputs:
-            self.postprocess()
+            with tr.phase("write-output"):
+                self.postprocess()
+        tr.counters["bundles"] = self.stats["bundles"]
+        tr.summary()
 
     # ---------------------------------------------------------------- inputs
     def read_bam_list(self):
@@ -325,6 +343,7 @@ class Incubator:
                 g.num_assembled += imm_counts[s]
                 g.tmerge.add(ts_imm[s], TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
             g.resolve()
+            self.tracer.group_line(chrm, s, rid, len(g.gset), len(g.gvv))
             instance = g.num_assembled + 1
             gi = STRANDS.index(s)
             for gv_idx in g.gvv:
@@ -354,6 +373,9 @@ class Incubator:
         with open(cfg.output_gtf_file, "w") as fout:
             self.write_combined_gtf(fout)
         if cfg.output_gtf_dir:
+            # the reference's ofstream silently writes nothing when the
+            # directory is missing (incubator.cc:745+); create it instead
+            os.makedirs(cfg.output_gtf_dir, exist_ok=True)
             for i in range(len(self.samples)):
                 self.write_individual_gtf(i)
 

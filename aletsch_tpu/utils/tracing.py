@@ -1,0 +1,117 @@
+"""Phase tracing, counters, and memory probes (SURVEY §5).
+
+The reference's observability is printf-based: wall-clock `ctime` lines at
+phase boundaries (meta/incubator.cc:73-78), an RSS probe `check_memory_usage`
+(meta/generator.cc:27-31), and per-group stats summaries gated on `verbose`
+(meta/bundle_group.cc:360-393).  This module re-expresses that as a Tracer
+with nested phase timers and counters, plus an optional JAX profiler capture
+(a TPU-build addition: traces open in TensorBoard / Perfetto).
+
+Verbose levels follow the reference convention (util/parameters.cc:28):
+  0 silent, 1 phase lines + final summary, 2 per-region lines,
+  3 per-group stats.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from contextlib import contextmanager
+
+
+def rss_mb():
+    """Resident set size in MB (check_memory_usage, meta/generator.cc:27-31)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+class Tracer:
+    def __init__(self, verbose=0, stream=None, jax_profile_dir=""):
+        self.verbose = verbose
+        self.stream = stream if stream is not None else sys.stderr
+        self.counters = {}
+        self.phase_times = {}
+        self.t0 = time.perf_counter()
+        self._jax_dir = jax_profile_dir
+        self._jax_active = False
+
+    # ----------------------------------------------------------------- phases
+    @contextmanager
+    def phase(self, name):
+        t = time.perf_counter()
+        if self.verbose >= 1:
+            print("[aletsch] %s ..." % name, file=self.stream)
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t
+            self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
+            if self.verbose >= 1:
+                print("[aletsch] %s done in %.2fs (rss %.0f MB)"
+                      % (name, dt, rss_mb()), file=self.stream)
+
+    # --------------------------------------------------------------- counters
+    def add(self, key, n=1):
+        self.counters[key] = self.counters.get(key, 0) + n
+
+    def region_line(self, chrm, rid, nbundles, ngroups):
+        if self.verbose >= 2:
+            print("[aletsch] region %s:%d  bundles=%d groups=%d rss=%.0fMB"
+                  % (chrm, rid, nbundles, ngroups, rss_mb()),
+                  file=self.stream)
+
+    def group_line(self, chrm, strand, rid, ngraphs, nclusters):
+        if self.verbose >= 3:
+            print("[aletsch] group %s%s:%d  graphs=%d clusters=%d"
+                  % (chrm, strand, rid, ngraphs, nclusters),
+                  file=self.stream)
+
+    # ---------------------------------------------------------------- summary
+    def summary(self):
+        if self.verbose < 1:
+            return
+        total = time.perf_counter() - self.t0
+        print("[aletsch] total %.2fs, peak-phase breakdown:" % total,
+              file=self.stream)
+        for name, dt in sorted(self.phase_times.items(),
+                               key=lambda kv: -kv[1]):
+            print("[aletsch]   %-12s %6.2fs" % (name, dt), file=self.stream)
+        bundles = self.counters.get("bundles", 0)
+        if bundles and total > 0:
+            print("[aletsch] %d bundles -> %.1f bundles/s" %
+                  (bundles, bundles / total), file=self.stream)
+
+    # ----------------------------------------------------- JAX profiler hooks
+    def start_jax_trace(self):
+        """Optional device trace (TPU addition; opens in TensorBoard)."""
+        if not self._jax_dir:
+            return
+        try:
+            import jax
+            jax.profiler.start_trace(self._jax_dir)
+            self._jax_active = True
+        except Exception as e:                # pragma: no cover
+            print("[aletsch] jax trace unavailable: %s" % e, file=self.stream)
+
+    def stop_jax_trace(self):
+        if not self._jax_active:
+            return
+        try:
+            import jax
+            jax.profiler.stop_trace()
+        except Exception:                     # pragma: no cover
+            pass
+        self._jax_active = False
+
+
+class NullTracer(Tracer):
+    """verbose=0 tracer with no stream setup cost."""
+
+    def __init__(self):
+        super().__init__(verbose=0)

@@ -256,3 +256,59 @@ def test_partition_vectorized_matches_recursive():
         starts = np.nonzero(brk)[0].tolist() + [n]
         got = [perm[a:b].tolist() for a, b in zip(starts[:-1], starts[1:])]
         assert got == want, (trial, rows, gap, got, want)
+
+
+def test_tracer_output(tmp_path, capsys):
+    """Verbose phase lines / region lines / summary (SURVEY §5 tracing)."""
+    import io
+    from aletsch_tpu.utils.tracing import Tracer, rss_mb
+
+    buf = io.StringIO()
+    tr = Tracer(verbose=2, stream=buf)
+    with tr.phase("profile-samples"):
+        tr.add("bundles", 5)
+    tr.region_line("chr1", 0, 5, 2)
+    tr.counters["bundles"] = 5
+    tr.summary()
+    out = buf.getvalue()
+    assert "profile-samples done" in out
+    assert "region chr1:0" in out
+    assert "bundles/s" in out
+    assert rss_mb() > 0
+
+    quiet = io.StringIO()
+    tq = Tracer(verbose=0, stream=quiet)
+    with tq.phase("x"):
+        pass
+    tq.summary()
+    assert quiet.getvalue() == ""
+
+
+def test_incubator_verbose_lines(tmp_path, capsys):
+    """End-to-end: verbose=2 emits phase + region lines on stderr."""
+    import io
+    import os
+    from aletsch_tpu.config import default_params
+    from aletsch_tpu.meta.incubator import Incubator
+    from simulate import simulate_sample
+
+    bam = str(tmp_path / "s.bam")
+    simulate_sample(bam, seed=4)
+    bl = tmp_path / "b.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    params = default_params()
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir)
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = str(tmp_path / "meta.gtf")
+        p.output_gtf_dir = out_dir
+        p.verbose = 2
+    inc = Incubator(params)
+    inc.tracer.stream = buf = io.StringIO()
+    inc.resolve()
+    out = buf.getvalue()
+    assert "index-inputs done" in out
+    assert "assemble-regions done" in out
+    assert "region chr1:0" in out
+    assert "bundles/s" in out
