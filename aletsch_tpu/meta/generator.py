@@ -97,9 +97,12 @@ class Generator:
                 (np.abs(f[:, 1] - f[:, 2]) < cfg.max_read_span)
             if not cfg.use_second_alignment:
                 keep &= (f[:, 4] & FSECONDARY) == 0
-            # mate-span filter only when the mate is mapped
-            mate_mapped = (f[:, 4] & 0x8) == 0
-            keep &= ~mate_mapped | (np.abs(f[:, 1] - f[:, 6]) < cfg.max_read_span)
+            # mate-span filter only for paired reads with a mapped mate
+            # (generator.cc:95 applies it to any read with 0x8 unset, which
+            # drops single-end/long reads past max_read_span; divergence
+            # documented in docs/DESIGN.md)
+            paired_mate = ((f[:, 4] & 0x1) != 0) & ((f[:, 4] & 0x8) == 0)
+            keep &= ~paired_mate | (np.abs(f[:, 1] - f[:, 6]) < cfg.max_read_span)
             idx = np.nonzero(keep)[0]
             if idx.size == 0:
                 continue
@@ -200,7 +203,8 @@ class Generator:
                 hid += 1
                 if abs(ht.pos - ht.rpos) >= cfg.max_read_span:
                     continue
-                if (rec.flag & 0x8) == 0 and abs(ht.pos - ht.mpos) >= cfg.max_read_span:
+                if (rec.flag & 0x1) and (rec.flag & 0x8) == 0 and \
+                        abs(ht.pos - ht.mpos) >= cfg.max_read_span:
                     continue
                 if ht.pos == pre_lpos and ht.rpos == pre_rpos:
                     continue

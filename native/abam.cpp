@@ -627,7 +627,12 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
         int32_t rpos = pos + ref_len;
         if (!s->preview) {
             if (llabs((int64_t)pos - rpos) >= s->max_read_span) continue;
-            if (!(flag & 0x8) &&
+            // mate-span filter only for paired reads with a mapped mate:
+            // the reference applies it whenever 0x8 is unset
+            // (generator.cc:95), which on single-end/long-read BAMs
+            // (mpos = -1, 0x8 meaningless without 0x1) drops every read
+            // past coordinate max_read_span — documented divergence
+            if ((flag & 0x1) && !(flag & 0x8) &&
                 llabs((int64_t)pos - next_pos) >= s->max_read_span) continue;
             bool dup = (pos == s->pre_lpos && rpos == s->pre_rpos);
             s->pre_lpos = pos;

@@ -150,3 +150,28 @@ def test_mixed_cohort(tmp_path):
     # ISO_X is supported by both samples; count2 should reflect both
     assert ("chr1", intron_chain(ISO_X)) in chains
     assert ("chr2", intron_chain(ISO_Y)) in chains
+
+
+def test_long_reads_beyond_max_read_span(tmp_path):
+    """Unpaired reads past coordinate max_read_span (~500 kb) must survive:
+    the reference's mate-span filter (generator.cc:95) silently drops them
+    (mpos=-1, 0x8 unset without 0x1) — documented divergence."""
+    iso = [(700000, 700400), (705000, 705300), (710000, 710500)]
+    rng = random.Random(13)
+    recs = long_read_recs(iso, 15, "+", rng, "far")
+    bam = str(tmp_path / "far.bam")
+    write_bam(bam, recs, names=("chr1",), lengths=(2 * 10**6,))
+    bl = tmp_path / "bams.list"
+    bl.write_text("%s x ont\n" % bam)
+    out_gtf = str(tmp_path / "meta.gtf")
+    params = default_params()
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir)
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = out_gtf
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    Incubator(params).resolve()
+    trsts = read_gtf(out_gtf)
+    assert intron_chain(iso) in {intron_chain(t.exons) for t in trsts}
