@@ -312,3 +312,70 @@ def test_incubator_verbose_lines(tmp_path, capsys):
     assert "assemble-regions done" in out
     assert "region chr1:0" in out
     assert "bundles/s" in out
+
+
+def _flag_cohort(tmp_path):
+    from simulate import simulate_sample
+    bam = str(tmp_path / "s.bam")
+    simulate_sample(bam, seed=11)
+    bl = tmp_path / "b.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    return str(bl), bam
+
+
+def _run_flags(tmp_path, bl, tag, **kw):
+    import os
+    from aletsch_tpu.config import default_params
+    from aletsch_tpu.meta.incubator import Incubator
+    from aletsch_tpu.io.gtf import read_gtf
+    params = default_params()
+    out_dir = str(tmp_path / (tag + "_gtf"))
+    os.makedirs(out_dir, exist_ok=True)
+    for p in params:
+        p.input_bam_list = bl
+        p.output_gtf_file = str(tmp_path / (tag + ".gtf"))
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+        for k, v in kw.items():
+            setattr(p, k, v)
+    Incubator(params).resolve()
+    return read_gtf(str(tmp_path / (tag + ".gtf")))
+
+
+def test_uniquely_mapped_only_drops_multimappers(tmp_path):
+    """NH>1 hits are dropped only under --uniquely_mapped_only; with every
+    read marked NH=2 the stranded genes disappear entirely."""
+    import random
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+    rng = random.Random(5)
+    from aletsch_tpu.sim import GENE_A_ISO1
+    recs = simulate_pairs(GENE_A_ISO1, 60, "+", rng, prefix="m")
+    for r in recs:
+        r["nh"] = 2
+    bam = str(tmp_path / "mm.bam")
+    write_bam(bam, recs)
+    bl = tmp_path / "mm.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    keep = _run_flags(tmp_path, str(bl), "keep")
+    drop = _run_flags(tmp_path, str(bl), "drop", uniquely_mapped_only=True)
+    assert len(keep) >= 1
+    assert len(drop) == 0
+
+
+def test_use_second_alignment_flag(tmp_path):
+    """Secondary alignments participate only under --use_second_alignment."""
+    import random
+    from aletsch_tpu.sim import simulate_pairs, write_bam, GENE_A_ISO1
+    rng = random.Random(6)
+    recs = simulate_pairs(GENE_A_ISO1, 60, "+", rng, prefix="p")
+    for r in recs:
+        r["flag"] |= 0x100          # everything secondary
+    bam = str(tmp_path / "sec.bam")
+    write_bam(bam, recs)
+    bl = tmp_path / "sec.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    # reference default is use_second_alignment = true (parameters.cc:58)
+    off = _run_flags(tmp_path, str(bl), "off", use_second_alignment=False)
+    on = _run_flags(tmp_path, str(bl), "on")
+    assert len(off) == 0
+    assert len(on) >= 1
