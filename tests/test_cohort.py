@@ -98,3 +98,55 @@ def test_fuzz_recovery(tmp_path):
         assert intron_chain(t.exons) in truth, t.exons
     found = {intron_chain(t.exons) for t in trsts if len(t.exons) >= 2}
     assert len(found & truth) == len(truth)
+
+
+def test_exon_skip_isoform_resolution(tmp_path):
+    """Two isoforms per gene (full chain + exon-skip) at 60:25 depth must
+    both be recovered — the phasing-path decomposition's core claim
+    (scallop.cc resolution ladder + hyper-set paths)."""
+    import random
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+
+    def make_gene(g, rng):
+        off = 50000 + g * 100000
+        exons, p = [], off
+        for e in range(rng.randint(3, 5)):
+            el = rng.randint(150, 400)
+            exons.append((p, p + el))
+            p += el + rng.randint(500, 2000)
+        skip = rng.randint(1, len(exons) - 2)
+        return exons, exons[:skip] + exons[skip + 1:]
+
+    def chain(exons):
+        return tuple((exons[k - 1][1], exons[k][0])
+                     for k in range(1, len(exons)))
+
+    rng = random.Random(777)
+    genes = [make_gene(g, rng) for g in range(8)]
+    bams = []
+    for s in range(2):
+        srng = random.Random(40 + s)
+        recs = []
+        for g, (A, B) in enumerate(genes):
+            st = "+" if g % 2 == 0 else "-"
+            recs += simulate_pairs(A, 60, st, srng, prefix="a%d_%d" % (s, g))
+            recs += simulate_pairs(B, 25, st, srng, prefix="b%d_%d" % (s, g))
+        p = str(tmp_path / ("s%d.bam" % s))
+        write_bam(p, recs, ("chr1",), (10**7,))
+        bams.append(p)
+    bl = tmp_path / "bams.list"
+    bl.write_text("".join("%s x paired_end\n" % b for b in bams))
+    params = default_params()
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir)
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = str(tmp_path / "meta.gtf")
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    Incubator(params).resolve()
+    got = {chain(t.exons) for t in read_gtf(str(tmp_path / "meta.gtf"))
+           if len(t.exons) > 1}
+    for A, B in genes:
+        assert chain(A) in got, "major isoform missing"
+        assert chain(B) in got, "exon-skip isoform missing"
