@@ -150,3 +150,53 @@ def test_exon_skip_isoform_resolution(tmp_path):
     for A, B in genes:
         assert chain(A) in got, "major isoform missing"
         assert chain(B) in got, "exon-skip isoform missing"
+
+
+def test_antisense_overlap_and_alt_ends(tmp_path):
+    """Adversarial structures: (a) '+' and '-' genes overlapping the same
+    coordinates (strand routing must separate them); (b) isoforms with
+    alternative first/last exons (boundary grouping must keep both)."""
+    import random
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+
+    def chain(exons):
+        return tuple((exons[k - 1][1], exons[k][0])
+                     for k in range(1, len(exons)))
+
+    # (a) antisense pair sharing an interval
+    fwd = [(50000, 50400), (55000, 55300), (60000, 60500)]
+    rev = [(54000, 54350), (58000, 58300), (62000, 62400)]
+    # (b) alt-TSS / alt-polyA: shared middle exon, different first and last
+    altA = [(200000, 200300), (205000, 205200), (210000, 210400)]
+    altB = [(202000, 202250), (205000, 205200), (213000, 213350)]
+    bams = []
+    for s in range(2):
+        rng = random.Random(90 + s)
+        recs = []
+        recs += simulate_pairs(fwd, 50, "+", rng, prefix="f%d" % s)
+        recs += simulate_pairs(rev, 50, "-", rng, prefix="r%d" % s)
+        recs += simulate_pairs(altA, 50, "+", rng, prefix="x%d" % s)
+        recs += simulate_pairs(altB, 50, "+", rng, prefix="y%d" % s)
+        p = str(tmp_path / ("s%d.bam" % s))
+        write_bam(p, recs, ("chr1",), (10**6,))
+        bams.append(p)
+    bl = tmp_path / "bams.list"
+    bl.write_text("".join("%s x paired_end\n" % b for b in bams))
+    params = default_params()
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir)
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = str(tmp_path / "meta.gtf")
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    Incubator(params).resolve()
+    trsts = read_gtf(str(tmp_path / "meta.gtf"))
+    by_strand = {}
+    for t in trsts:
+        if len(t.exons) > 1:
+            by_strand.setdefault(t.strand, set()).add(chain(t.exons))
+    assert chain(fwd) in by_strand.get("+", set())
+    assert chain(rev) in by_strand.get("-", set())
+    assert chain(altA) in by_strand.get("+", set())
+    assert chain(altB) in by_strand.get("+", set())
