@@ -12,12 +12,11 @@ util/parameters.cc:508-518 (long reads loosen bundle/junction thresholds).
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 from dataclasses import dataclass, field
 
-from .constants import (DEFAULT, NUM_DATA_TYPES, ONT, PACBIO_CCS, PACBIO_SUB,
-                        PAIRED_END, SINGLE_END)
+from .constants import (DEFAULT, NUM_DATA_TYPES, ONT, PACBIO_CCS,
+                        PACBIO_SUB)
 
 VERSION = "0.1.0"
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pickle
 
-from ..constants import DEFAULT, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
+from ..constants import TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
 from ..meta.incubator import Incubator
 
 

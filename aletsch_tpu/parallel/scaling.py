@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import time
 
-import numpy as np
 
 from .mesh import build_sharded_step, example_batch, make_mesh
 

@@ -18,8 +18,8 @@ import argparse
 import numpy as np
 
 from ..io.gtf import read_gtf
-from .forest import ForestArrays, train_forest
-from .score import CSV_COLUMNS, MODEL_FEATURES, NORMALIZE, load_feature_rows
+from .forest import train_forest
+from .score import load_feature_rows
 
 
 def _chain_key(t):
@@ -28,7 +28,6 @@ def _chain_key(t):
 
 def label_rows(input_dir, meta_gtf, truth_gtf, sample_size):
     """(X, y, meta_tids): feature matrix + chain-match labels."""
-    import os
     truth = {_chain_key(t) for t in read_gtf(truth_gtf) if len(t.exons) >= 2}
     by_tid = {}
     for t in read_gtf(meta_gtf):

@@ -18,7 +18,6 @@ finalized arrays are directly consumable by batched JAX kernels.
 from __future__ import annotations
 
 import numpy as np
-from bisect import bisect_left, bisect_right
 
 
 class CoverageMap:
