@@ -42,6 +42,8 @@ def materialize_bundle(sb):
         bb.strand = hits[0].strand      # add_hit sets strand from hit 0
     bb.mmap.add_pairs(sb.mev.reshape(-1, 2))
     bb.imap.add_pairs(sb.iev.reshape(-1, 2))
+    bb.frgs = [[int(a), int(b), 0] for a, b in sb.frgs.reshape(-1, 2)]
+    bb.frgs_ready = True
     coords = sb.coords
     for j, row in enumerate(rows):
         sc = row[19]
@@ -60,6 +62,7 @@ class BundleBase:
         self.strand = "."
         self.hits = []            # list[Hit]
         self.frgs = []            # list[[h1, h2, type]]
+        self.frgs_ready = False   # True when the native scanner paired them
         self.splices = []         # sorted unique splice positions
         self.hcst = ChainSet()    # per-hit intron chains
         self.fcst = ChainSet()    # per-fragment bridge chains
@@ -132,6 +135,7 @@ class BundleBase:
         self.strand = "."
         self.hits = []
         self.frgs = []
+        self.frgs_ready = False
         self.splices = []
         self.hcst = ChainSet()
         self.fcst = ChainSet()
@@ -154,7 +158,10 @@ class BundleBase:
     # -------------------------------------------------------------- pairing
     def build_fragments(self):
         """Mate pairing by (qname-hash, pos, isize) buckets
-        (bundle_base.cc:267-323)."""
+        (bundle_base.cc:267-323).  The native scanner pre-pairs its bundles
+        (pair_fragments in native/abam.cpp, bit-exact with this code)."""
+        if self.frgs_ready:
+            return
         self.frgs = []
         if not self.hits:
             return

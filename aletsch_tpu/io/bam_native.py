@@ -76,7 +76,7 @@ def _load_lib():
             ctypes.c_void_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32)]
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.abam_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.abam_scan_next.restype = ctypes.c_int
         _LIB = lib
@@ -234,7 +234,7 @@ class ScanBundle:
     """One flushed bundle from the native scanner: fixed rows are 25 int32
     (24 decoder fields + routed strand in slot 22 + hid in slot 24)."""
     __slots__ = ("strand", "tid", "lpos", "rpos", "epoch", "fixed",
-                 "qnames", "coords", "mev", "iev")
+                 "qnames", "coords", "mev", "iev", "frgs")
 
 
 def _scan_chunks(lib, sc, chunk_records):
@@ -246,7 +246,7 @@ def _scan_chunks(lib, sc, chunk_records):
             nb = lib.abam_scan_nbundles(sc)
             out = []
             for b in range(nb):
-                info = (ctypes.c_int64 * 10)()
+                info = (ctypes.c_int64 * 11)()
                 lib.abam_scan_bundle_info(sc, b, info)
                 sb = ScanBundle()
                 sb.strand = "+" if info[0] == 0 else "-"
@@ -260,14 +260,17 @@ def _scan_chunks(lib, sc, chunk_records):
                 sb.coords = np.zeros(max(int(info[6]), 1), dtype=np.int32)
                 sb.mev = np.zeros(max(int(info[7]), 1), dtype=np.int32)
                 sb.iev = np.zeros(max(int(info[8]), 1), dtype=np.int32)
+                sb.frgs = np.zeros(max(int(info[10]), 1), dtype=np.int32)
                 lib.abam_scan_bundle_fill(
                     sc, b, sb.fixed.ctypes.data_as(i32p), qn,
                     sb.coords.ctypes.data_as(i32p),
                     sb.mev.ctypes.data_as(i32p),
-                    sb.iev.ctypes.data_as(i32p))
+                    sb.iev.ctypes.data_as(i32p),
+                    sb.frgs.ctypes.data_as(i32p))
                 sb.qnames = qn.raw[:int(info[5])]
                 sb.mev = sb.mev[:int(info[7])]
                 sb.iev = sb.iev[:int(info[8])]
+                sb.frgs = sb.frgs[:int(info[10])]
                 out.append(sb)
             lib.abam_scan_drop(sc)
             if out:

@@ -409,7 +409,57 @@ struct FlushedBundle {
     std::vector<int32_t> coords;
     std::vector<int32_t> mev;
     std::vector<int32_t> iev;
+    std::vector<int32_t> frgs;      // mate pairs: (h1, h2) per fragment
 };
+
+// Python floor-mod (non-negative for positive modulus)
+static inline int64_t pymod(int64_t x, int64_t m) {
+    int64_t r = x % m;
+    return r < 0 ? r + m : r;
+}
+
+// bundle_base.cc:267-323 build_fragments, bit-exact with the Python port
+// in core/bundle.py (qhash buckets keyed by crc32/pos/isize; first match
+// in bucket order wins)
+static void pair_fragments(const std::vector<int32_t>& fixed,
+                           const std::vector<char>& qnames,
+                           std::vector<int32_t>& out) {
+    int n = (int)(fixed.size() / 25);
+    if (n == 0) return;
+    int64_t M = n + 1 < 1000000 ? n + 1 : 1000000;
+    std::vector<std::vector<int32_t>> vv(M);
+    std::vector<char> paired(n, 0);
+    for (int i = 0; i < n; i++) {
+        const int32_t* fx = fixed.data() + (size_t)i * 25;
+        uint32_t qh = (uint32_t)fx[23];
+        int64_t k = pymod(pymod((int64_t)qh, M) + pymod(fx[1], M) +
+                          pymod(-(int64_t)fx[7], M), M);
+        vv[k].push_back(i);
+    }
+    for (int i = 0; i < n; i++) {
+        if (paired[i]) continue;
+        const int32_t* fx = fixed.data() + (size_t)i * 25;
+        uint32_t qh = (uint32_t)fx[23];
+        int64_t k = pymod(pymod((int64_t)qh, M) + pymod(fx[6], M) +
+                          pymod((int64_t)fx[7], M), M);
+        int x = -1;
+        for (int32_t u : vv[k]) {
+            if (u == i || paired[u]) continue;
+            const int32_t* fz = fixed.data() + (size_t)u * 25;
+            if (fz[1] != fx[6]) continue;                 // z.pos == h.mpos
+            if ((int64_t)fz[7] + fx[7] != 0) continue;    // isize sum 0
+            if (strcmp(qnames.data() + fz[10],
+                       qnames.data() + fx[10]) != 0) continue;
+            x = u;
+            break;
+        }
+        if (x < 0) continue;
+        out.push_back(i);
+        out.push_back(x);
+        paired[i] = 1;
+        paired[x] = 1;
+    }
+}
 
 // strand inference from flags (rnacore/hit.cc:152-185); returns '.', '+', '-'
 int32_t strand_of(uint16_t flag, int32_t libtype) {
@@ -462,6 +512,7 @@ void flush_bundle(Scanner* s, int k) {
         FlushedBundle fb;
         fb.strand = k;
         fb.epoch = s->hid;
+        pair_fragments(B.fixed, B.qnames, fb.frgs);
         fb.tid = B.tid;
         fb.lpos = (int32_t)B.lpos;
         fb.rpos = (int32_t)B.rpos;
@@ -552,16 +603,19 @@ void abam_scan_bundle_info(Scanner* s, int b, int64_t* out10) {
     out10[7] = (int64_t)fb.mev.size();
     out10[8] = (int64_t)fb.iev.size();
     out10[9] = fb.epoch;
+    out10[10] = (int64_t)fb.frgs.size();
 }
 
 void abam_scan_bundle_fill(Scanner* s, int b, int32_t* fixed, char* qnames,
-                           int32_t* coords, int32_t* mev, int32_t* iev) {
+                           int32_t* coords, int32_t* mev, int32_t* iev,
+                           int32_t* frgs) {
     const FlushedBundle& fb = s->out[b];
     memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
     memcpy(qnames, fb.qnames.data(), fb.qnames.size());
     memcpy(coords, fb.coords.data(), fb.coords.size() * sizeof(int32_t));
     memcpy(mev, fb.mev.data(), fb.mev.size() * sizeof(int32_t));
     memcpy(iev, fb.iev.data(), fb.iev.size() * sizeof(int32_t));
+    memcpy(frgs, fb.frgs.data(), fb.frgs.size() * sizeof(int32_t));
 }
 
 // Process up to max_records records.  Returns 1 while more input remains,
