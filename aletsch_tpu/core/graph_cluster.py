@@ -118,6 +118,9 @@ def _group_pereads(gr, bd):
         f[2] = 0           # to be bridged
         key = (r1[2], r2[2])
         k = findex.get(key)
+        # carry the four mate coordinates so the partition stage does not
+        # re-read them from the hit objects
+        entry = (i, hit1.pos, hit1.rpos, hit2.pos, hit2.rpos)
         if k is None:
             findex[key] = len(groups)
             p1 = gr.get_vertex_info(r1[0]).lpos
@@ -125,9 +128,9 @@ def _group_pereads(gr, bd):
             p3 = gr.get_vertex_info(r2[0]).lpos
             p4 = gr.get_vertex_info(r2[1]).rpos
             extend.append((p1, p2, p3, p4))
-            groups.append([i])
+            groups.append([entry])
         else:
-            groups[k].append(i)
+            groups[k].append(entry)
     return groups, extend
 
 
@@ -146,15 +149,7 @@ def _build_group_clusters(bd, fs, ext, max_gap, store_hits, vc):
         # equivalence is fuzz-tested in tests/test_components.py)
         _build_group_clusters_small(bd, fs, ext, max_gap, store_hits, vc)
         return
-    pts = np.empty((n, 4), dtype=np.int64)
-    for i, fi in enumerate(fs):
-        f = bd.frgs[fi]
-        h1 = bd.hits[f[0]]
-        h2 = bd.hits[f[1]]
-        pts[i, 0] = h1.pos
-        pts[i, 1] = h1.rpos
-        pts[i, 2] = h2.pos
-        pts[i, 3] = h2.rpos
+    pts = np.asarray([e[1:] for e in fs], dtype=np.int64)
     gid = np.zeros(n, dtype=np.int64)
     rank = np.arange(n, dtype=np.int64)
     perm = rank
@@ -168,11 +163,11 @@ def _build_group_clusters(bd, fs, ext, max_gap, store_hits, vc):
         gid[perm] = np.cumsum(brk) - 1
         rank[perm] = np.arange(n, dtype=np.int64)
     starts = np.nonzero(brk)[0].tolist() + [n]
-    fs_arr = np.asarray(fs, dtype=np.int64)
+    fs_arr = np.asarray([e[0] for e in fs], dtype=np.int64)
     for c in range(len(starts) - 1):
         a, b = starts[c], starts[c + 1]
         idx = perm[a:b]
-        f0 = bd.frgs[fs[int(idx[0])]]
+        f0 = bd.frgs[fs[int(idx[0])][0]]
         pc = PereadsCluster()
         pc.count = b - a
         pc.chain1 = bd.hcst.get_chain(f0[0])
@@ -186,45 +181,40 @@ def _build_group_clusters(bd, fs, ext, max_gap, store_hits, vc):
         pc.frlist = fs_arr[idx].tolist()
         if store_hits:
             for k in idx.tolist():
-                f = bd.frgs[fs[k]]
+                f = bd.frgs[fs[k][0]]
                 pc.hits1.append(bd.hits[f[0]])
                 pc.hits2.append(bd.hits[f[1]])
         vc.append(pc)
 
 
 def _build_group_clusters_small(bd, fs, ext, max_gap, store_hits, vc):
-    """graph_cluster.cc:93-168 (recursive partition; small-group path)."""
-    rows = []
-    for i, fi in enumerate(fs):
-        h1 = bd.frgs[fi][0]
-        h2 = bd.frgs[fi][1]
-        rows.append([bd.hits[h1].pos, bd.hits[h1].rpos,
-                     bd.hits[h2].pos, bd.hits[h2].rpos, i])
+    """graph_cluster.cc:93-168 (recursive partition; small-group path).
+    fs entries are (frag_index, p1, r1, p2, r2) from _group_pereads."""
+    rows = [[e[1], e[2], e[3], e[4], i] for i, e in enumerate(fs)]
     zz = _partition(rows, 0, max_gap)
     for z in zz:
         if len(z) == 0:
             continue
-        h1 = bd.frgs[fs[z[0]]][0]
-        h2 = bd.frgs[fs[z[0]]][1]
+        e0 = fs[z[0]]
+        f0 = bd.frgs[e0[0]]
         pc = PereadsCluster()
         pc.count = 0
-        pc.chain1 = bd.hcst.get_chain(h1)
-        pc.chain2 = bd.hcst.get_chain(h2)
-        base = (bd.hits[h1].pos, bd.hits[h1].rpos,
-                bd.hits[h2].pos, bd.hits[h2].rpos)
+        pc.chain1 = bd.hcst.get_chain(f0[0])
+        pc.chain2 = bd.hcst.get_chain(f0[1])
+        base = e0[1:]
         acc = [0, 0, 0, 0]
         for k in z:
-            h1 = bd.frgs[fs[k]][0]
-            h2 = bd.frgs[fs[k]][1]
-            acc[0] += bd.hits[h1].pos - base[0]
-            acc[1] += bd.hits[h1].rpos - base[1]
-            acc[2] += bd.hits[h2].pos - base[2]
-            acc[3] += bd.hits[h2].rpos - base[3]
-            pc.frlist.append(fs[k])
+            e = fs[k]
+            acc[0] += e[1] - base[0]
+            acc[1] += e[2] - base[1]
+            acc[2] += e[3] - base[2]
+            acc[3] += e[4] - base[3]
+            pc.frlist.append(e[0])
             pc.count += 1
             if store_hits:
-                pc.hits1.append(bd.hits[h1])
-                pc.hits2.append(bd.hits[h2])
+                f = bd.frgs[e[0]]
+                pc.hits1.append(bd.hits[f[0]])
+                pc.hits2.append(bd.hits[f[1]])
         if pc.count <= 0:
             continue
         # C-style truncating division (offsets may be negative)
