@@ -33,9 +33,8 @@ def materialize_bundle(sb):
     qnames = sb.qnames
     hits = []
     for row in rows:
-        ht = hit_from_row(row, qnames, row[24])
+        ht = hit_from_row(row, qnames, row[24], qhash=row[23] & 0xFFFFFFFF)
         ht.strand = chr(row[22])
-        ht._qhash = row[23] & 0xFFFFFFFF    # scanner precomputes zlib crc32
         hits.append(ht)
     bb.hits = hits
     if hits:

@@ -104,9 +104,10 @@ def strand_from_flag(flag, libtype):
     return "."
 
 
-def hit_from_row(row, qnames, hid):
+def hit_from_row(row, qnames, hid, qhash=None):
     """Build a Hit from a native-decoder fixed-layout row (io/bam_native.py);
-    strand is left '.' — callers assign it from strand_from_flag."""
+    strand is left '.' — callers assign it from strand_from_flag.  qhash, if
+    given, seeds the crc32 qname hash (the native scanner precomputes it)."""
     h = Hit.__new__(Hit)
     h.hid = hid
     h.tid = row[0]
@@ -125,5 +126,5 @@ def hit_from_row(row, qnames, hid):
     h.hi = row[13]
     h.nh = row[14]
     h.nm = row[15]
-    h._qhash = None
+    h._qhash = qhash
     return h
