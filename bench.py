@@ -79,10 +79,10 @@ def run_pipeline(tmpdir, listpath, sub="run"):
         p.output_gtf_file = out_gtf
         p.output_gtf_dir = out_dir
         p.verbose = 0
-    # best-of-3: the absolute workload is sub-second, so single-shot timing
+    # best-of-5: the absolute workload is sub-second, so single-shot timing
     # is dominated by filesystem-cache and TPU-relay noise
     best = None
-    for _ in range(3):
+    for _ in range(5):
         inc = Incubator(params)
         t0 = time.time()
         inc.resolve()
