@@ -49,6 +49,10 @@ def materialize_bundle(sb):
         if sc:
             off = row[17] + 2 * row[18]
             bb.hcst.add(coords[off:off + sc].tolist(), j, hits[j].xs)
+    # keep the scanner arrays: the native cluster engine derives its
+    # hit-coordinate and chain exports from them zero-copy
+    bb._scan_fixed = sb.fixed
+    bb._scan_coords = coords
     return bb
 
 

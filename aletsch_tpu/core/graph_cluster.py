@@ -29,12 +29,118 @@ class PereadsCluster:
 
 
 def build_pereads_clusters(gr, bd, max_partition_gap, store_hits=False):
-    """graph_cluster ctor + build_pereads_clusters (graph_cluster.cc:13-168)."""
+    """graph_cluster ctor + build_pereads_clusters (graph_cluster.cc:13-168).
+
+    Runs the native engine (abam_cluster_pereads in native/abam.cpp) when
+    available; the Python pipeline below is the fallback and differential
+    oracle (byte-parity fuzz-tested)."""
+    vc = _build_clusters_native(gr, bd, max_partition_gap, store_hits)
+    if vc is not None:
+        return vc
     groups, extend = _group_pereads(gr, bd)
     vc = []
     for g, fs in enumerate(groups):
         _build_group_clusters(bd, fs, extend[g], max_partition_gap,
                               store_hits, vc)
+    return vc
+
+
+def _build_clusters_native(gr, bd, max_gap, store_hits):
+    """Export the graph/hits/chains as flat arrays and run the C++ engine;
+    returns None when the native library is unavailable."""
+    try:
+        from ..io.bam_native import cluster_pereads_native, native_available
+        if not native_available():
+            return None
+    except Exception:
+        return None
+    import numpy as np
+    cand = []
+    for i, f in enumerate(bd.frgs):
+        if f[2] >= 1 or f[2] <= -1:
+            continue
+        f[2] = -1          # assume cannot be bridged
+        h1, h2 = f[0], f[1]
+        hit1, hit2 = bd.hits[h1], bd.hits[h2]
+        if hit1.pos > hit2.pos or hit1.rpos > hit2.rpos:
+            continue
+        cand.append((i, h1, h2))
+    n = gr.num_vertices()
+    if not cand or n < 3:
+        return []
+    ni = n - 2
+    vstarts = np.fromiter((gr.vinfo[k].lpos for k in range(1, n - 1)),
+                          dtype=np.int32, count=ni)
+    vends = np.fromiter((gr.vinfo[k].rpos for k in range(1, n - 1)),
+                        dtype=np.int32, count=ni)
+    adj = np.zeros(max(ni - 1, 1), dtype=np.uint8)
+    for k in range(1, n - 2):
+        if gr.edge(k, k + 1) is not None:
+            adj[k - 1] = 1
+    ritems = sorted(gr.rindex.items())
+    litems = sorted(gr.lindex.items())
+    rkeys = np.asarray([p for p, _ in ritems], dtype=np.int32)
+    rvals = np.asarray([v for _, v in ritems], dtype=np.int32)
+    lkeys = np.asarray([p for p, _ in litems], dtype=np.int32)
+    lvals = np.asarray([v for _, v in litems], dtype=np.int32)
+    nh = len(bd.hits)
+    sf = getattr(bd, "_scan_fixed", None)
+    if sf is not None and sf.shape[0] == nh:
+        # scanner-produced bundle: hit coordinates and chains come straight
+        # from the flushed arrays (chain of hit j = coords slice at
+        # row[17] + 2*row[18], length row[19] — same data hcst stores)
+        hpos = np.ascontiguousarray(sf[:, 1])
+        hrpos = np.ascontiguousarray(sf[:, 2])
+        chain_off = np.ascontiguousarray(sf[:, 17] + 2 * sf[:, 18])
+        chain_len = np.ascontiguousarray(sf[:, 19])
+        chain_pool = bd._scan_coords
+    else:
+        hpos = np.fromiter((h.pos for h in bd.hits), dtype=np.int32,
+                           count=nh)
+        hrpos = np.fromiter((h.rpos for h in bd.hits), dtype=np.int32,
+                            count=nh)
+        chain_off = np.zeros(nh, dtype=np.int32)
+        chain_len = np.zeros(nh, dtype=np.int32)
+        pool = []
+        for h, p in bd.hcst.hmap.items():
+            ch = bd.hcst.chains[p[0]][p[1]][0]
+            chain_off[h] = len(pool)
+            chain_len[h] = len(ch)
+            pool.extend(ch)
+        chain_pool = np.asarray(pool if pool else [0], dtype=np.int32)
+    cand_frag = np.asarray([c[0] for c in cand], dtype=np.int32)
+    cand_h1 = np.asarray([c[1] for c in cand], dtype=np.int32)
+    cand_h2 = np.asarray([c[2] for c in cand], dtype=np.int32)
+    res = cluster_pereads_native(vstarts, vends, adj, rkeys, rvals,
+                                 lkeys, lvals, hpos, hrpos, chain_off,
+                                 chain_len, chain_pool, cand_frag,
+                                 cand_h1, cand_h2, max_gap)
+    if res is None:
+        return None
+    meta, moff, members, aligned = res
+    for j in np.nonzero(aligned)[0].tolist():
+        bd.frgs[cand[j][0]][2] = 0      # to be bridged
+    vc = []
+    nm = len(members)
+    mlist = members.tolist()
+    for c in range(meta.shape[0]):
+        rep, cnt = int(meta[c, 0]), int(meta[c, 1])
+        f0 = bd.frgs[rep]
+        pc = PereadsCluster()
+        pc.count = cnt
+        pc.chain1 = bd.hcst.get_chain(f0[0])
+        pc.chain2 = bd.hcst.get_chain(f0[1])
+        pc.bounds = [int(x) for x in meta[c, 2:6]]
+        pc.extend = [int(x) for x in meta[c, 6:10]]
+        a = int(moff[c])
+        b = int(moff[c + 1]) if c + 1 < meta.shape[0] else nm
+        pc.frlist = mlist[a:b]
+        if store_hits:
+            for fi in pc.frlist:
+                f = bd.frgs[fi]
+                pc.hits1.append(bd.hits[f[0]])
+                pc.hits2.append(bd.hits[f[1]])
+        vc.append(pc)
     return vc
 
 

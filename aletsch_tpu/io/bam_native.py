@@ -79,6 +79,22 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.abam_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.abam_scan_next.restype = ctypes.c_int
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.abam_cluster_pereads.restype = ctypes.c_void_p
+        lib.abam_cluster_pereads.argtypes = [
+            ctypes.c_int32, i32p, i32p, u8p,
+            ctypes.c_int32, i32p, i32p,
+            ctypes.c_int32, i32p, i32p,
+            i32p, i32p,
+            i32p, i32p, i32p,
+            ctypes.c_int32, i32p, i32p, i32p,
+            ctypes.c_int32]
+        lib.abam_cluster_sizes.argtypes = [ctypes.c_void_p,
+                                           ctypes.POINTER(ctypes.c_int64)]
+        lib.abam_cluster_fill.argtypes = [ctypes.c_void_p, i32p, i32p,
+                                          i32p, u8p]
+        lib.abam_cluster_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -297,6 +313,43 @@ def scan_params(cfg, library_type):
     p.uniq_only = 1 if cfg.uniquely_mapped_only else 0
     p.library_type = library_type
     return p
+
+
+def cluster_pereads_native(vstarts, vends, adj_next, rkeys, rvals,
+                           lkeys, lvals, hpos, hrpos, chain_off, chain_len,
+                           chain_pool, cand_frag, cand_h1, cand_h2, max_gap):
+    """Native build_pereads_clusters core; returns (meta[n,10], moff,
+    members, aligned) or None when the library is unavailable."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "abam_cluster_pereads"):
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def ip(a):
+        return a.ctypes.data_as(i32p)
+
+    h = lib.abam_cluster_pereads(
+        len(vstarts), ip(vstarts), ip(vends),
+        adj_next.ctypes.data_as(u8p),
+        len(rkeys), ip(rkeys), ip(rvals),
+        len(lkeys), ip(lkeys), ip(lvals),
+        ip(hpos), ip(hrpos),
+        ip(chain_off), ip(chain_len), ip(chain_pool),
+        len(cand_frag), ip(cand_frag), ip(cand_h1), ip(cand_h2),
+        max_gap)
+    sizes = (ctypes.c_int64 * 3)()
+    lib.abam_cluster_sizes(h, sizes)
+    nc, nm, na = int(sizes[0]), int(sizes[1]), int(sizes[2])
+    meta = np.zeros(max(nc * 10, 1), dtype=np.int32)
+    moff = np.zeros(max(nc, 1), dtype=np.int32)
+    members = np.zeros(max(nm, 1), dtype=np.int32)
+    aligned = np.zeros(max(na, 1), dtype=np.uint8)
+    lib.abam_cluster_fill(h, ip(meta), ip(moff),
+                          ip(members), aligned.ctypes.data_as(u8p))
+    lib.abam_cluster_free(h)
+    return (meta[:nc * 10].reshape(nc, 10), moff[:nc],
+            members[:nm], aligned[:na])
 
 
 def open_bam(path):

@@ -843,3 +843,260 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pereads clustering: build_pereads_clusters (rnacore/graph_cluster.cc:13-203)
+// natively.  The caller exports the positional splice graph as flat arrays
+// (interior vertex intervals, next-vertex adjacency, lpos/rpos boundary maps)
+// plus hit coordinates, per-hit intron chains and candidate fragments; the
+// engine aligns both mates to vertex paths, groups identical path pairs,
+// recursively partitions each group on the four mate coordinates, and
+// returns clusters (representative fragment, count, averaged bounds, extend,
+// member list) plus which fragments became bridgeable.  Semantics mirror
+// aletsch_tpu/core/graph_cluster.py exactly (fuzz-tested differentially).
+
+#include <algorithm>
+#include <array>
+#include <map>
+
+namespace {
+
+struct ClusterOut {
+    std::vector<int32_t> meta;     // per cluster: rep_frag, count, bounds[4], extend[4]
+    std::vector<int32_t> members;  // frlist pool
+    std::vector<int32_t> moff;     // per cluster offset into members
+    std::vector<uint8_t> aligned;  // per input fragment: 1 if both mates aligned
+};
+
+struct CGraph {
+    int32_t n_interior;
+    const int32_t* vstarts;        // lpos of vertex i+1
+    const int32_t* vends;          // rpos of vertex i+1
+    const uint8_t* adj_next;       // edge (i+1)->(i+2) exists, len n_interior-1
+    int32_t n_r;
+    const int32_t* rkeys;          // sorted rpos keys
+    const int32_t* rvals;          // vertex for each key
+    int32_t n_l;
+    const int32_t* lkeys;
+    const int32_t* lvals;
+};
+
+int32_t bfind(const int32_t* keys, const int32_t* vals, int32_t n, int32_t p) {
+    const int32_t* it = std::lower_bound(keys, keys + n, p);
+    if (it == keys + n || *it != p) return -1;
+    return vals[it - keys];
+}
+
+// locate_vertex (splice_graph.cc:1166): interior vertex covering p, or -1
+int32_t locate(const CGraph& g, int32_t p) {
+    // index of first start > p
+    const int32_t* it = std::upper_bound(g.vstarts, g.vstarts + g.n_interior, p);
+    int64_t i = it - g.vstarts;        // == bisect_right
+    if (i == 0) return -1;
+    if (g.vstarts[i - 1] <= p && p < g.vends[i - 1]) return (int32_t)i;
+    return -1;
+}
+
+bool continuous(const CGraph& g, int32_t x, int32_t y) {
+    // essential.cc:436-446 over interior vertices (x, y are vertex ids)
+    if (x >= y) return true;
+    for (int32_t v = x; v < y; v++) {
+        if (!g.adj_next[v - 1]) return false;
+        if (g.vends[v - 1] != g.vstarts[v]) return false;
+    }
+    return true;
+}
+
+// align one mate; returns false on failure; on success fills first/last and
+// the grouping key ({-1, a, b} for contiguous vertex ranges)
+bool align_mate(const CGraph& g, int32_t pos, int32_t rpos,
+                const int32_t* chain, int32_t clen,
+                int32_t u1, int32_t u2,
+                int32_t& first, int32_t& last, std::vector<int32_t>& key) {
+    if (u1 < 0 || u2 < 0 || u1 > u2) return false;
+    key.clear();
+    if (clen == 0) {
+        if (pos > rpos) return false;
+        first = u1; last = u2;
+        key.push_back(-1); key.push_back(u1); key.push_back(u2);
+        return true;
+    }
+    // check_increasing over [pos, chain..., rpos] (non-strict)
+    int32_t prev = pos;
+    for (int32_t k = 0; k < clen; k++) {
+        if (chain[k] < prev) return false;
+        prev = chain[k];
+    }
+    if (rpos < prev) return false;
+    // build_path_from_intron_coordinates (essential.cc:368-403)
+    std::vector<int32_t> pa, pb;
+    int32_t n = clen / 2;
+    for (int32_t k = 0; k < n; k++) {
+        int32_t p = chain[2 * k], q = chain[2 * k + 1];
+        if (p >= q) return false;
+        int32_t a = bfind(g.rkeys, g.rvals, g.n_r, p);
+        int32_t b = bfind(g.lkeys, g.lvals, g.n_l, q);
+        if (a < 0 || b < 0) return false;
+        pa.push_back(a); pb.push_back(b);
+    }
+    std::vector<int32_t> uu;
+    uu.push_back(pa[0]);
+    for (int32_t k = 0; k + 1 < n; k++) {
+        int32_t a = pb[k], b = pa[k + 1];
+        if (a > b) return false;
+        if (!continuous(g, a, b)) return false;
+        for (int32_t v = a; v <= b; v++) uu.push_back(v);
+    }
+    uu.push_back(pb[n - 1]);
+    // vv = range(u1, uu[0]) + uu + range(uu[-1]+1, u2+1)
+    std::vector<int32_t> vv;
+    for (int32_t v = u1; v < uu.front(); v++) vv.push_back(v);
+    vv.insert(vv.end(), uu.begin(), uu.end());
+    for (int32_t v = uu.back() + 1; v <= u2; v++) vv.push_back(v);
+    first = vv.front(); last = vv.back();
+    bool contig = ((int64_t)vv.size() == (int64_t)last - first + 1);
+    if (contig) {
+        for (size_t k = 0; k < vv.size(); k++)
+            if (vv[k] != first + (int32_t)k) { contig = false; break; }
+    }
+    if (contig) {
+        key.push_back(-1); key.push_back(first); key.push_back(last);
+    } else {
+        key = vv;
+    }
+    return true;
+}
+
+// recursive four-coordinate partition (graph_cluster.cc:170-203):
+// rows of (c0..c3, original index), stable-sorted per level, split at gaps
+void partition_rec(std::vector<std::array<int32_t, 5>>& rows,
+                   size_t lo, size_t hi, int r, int32_t max_gap,
+                   std::vector<std::vector<int32_t>>& out) {
+    if (lo >= hi) return;
+    if (r >= 4) {
+        std::vector<int32_t> z;
+        for (size_t k = lo; k < hi; k++) z.push_back(rows[k][4]);
+        out.push_back(std::move(z));
+        return;
+    }
+    std::stable_sort(rows.begin() + lo, rows.begin() + hi,
+                     [r](const std::array<int32_t, 5>& a,
+                         const std::array<int32_t, 5>& b) {
+                         return a[r] < b[r];
+                     });
+    size_t pre = lo;
+    for (size_t k = lo + 1; k <= hi; k++) {
+        if (k < hi && rows[k][r] - rows[k - 1][r] <= max_gap) continue;
+        partition_rec(rows, pre, k, r + 1, max_gap, out);
+        pre = k;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+ClusterOut* abam_cluster_pereads(
+    int32_t n_interior, const int32_t* vstarts, const int32_t* vends,
+    const uint8_t* adj_next,
+    int32_t n_r, const int32_t* rkeys, const int32_t* rvals,
+    int32_t n_l, const int32_t* lkeys, const int32_t* lvals,
+    const int32_t* hpos, const int32_t* hrpos,
+    const int32_t* chain_off, const int32_t* chain_len,
+    const int32_t* chain_pool,
+    int32_t n_cand, const int32_t* cand_frag, const int32_t* cand_h1,
+    const int32_t* cand_h2,
+    int32_t max_gap) {
+    CGraph g{n_interior, vstarts, vends, adj_next,
+             n_r, rkeys, rvals, n_l, lkeys, lvals};
+    ClusterOut* out = new ClusterOut();
+    out->aligned.assign(n_cand, 0);
+    // grouping: key pair -> group id (first-seen order, like the dict)
+    std::map<std::pair<std::vector<int32_t>, std::vector<int32_t>>, int32_t> findex;
+    struct Group {
+        std::array<int32_t, 4> extend;
+        // member entries: frag index + the four mate coordinates
+        std::vector<std::array<int32_t, 5>> rows;
+        std::vector<int32_t> frags;
+    };
+    std::vector<Group> groups;
+    std::vector<int32_t> k1(2), k2v(2);
+    for (int32_t c = 0; c < n_cand; c++) {
+        int32_t h1 = cand_h1[c], h2 = cand_h2[c];
+        int32_t p1 = hpos[h1], r1p = hrpos[h1];
+        int32_t p2 = hpos[h2], r2p = hrpos[h2];
+        int32_t u1a = locate(g, p1), u2a = locate(g, r1p - 1);
+        int32_t u1b = locate(g, p2), u2b = locate(g, r2p - 1);
+        int32_t f1, l1, f2, l2;
+        std::vector<int32_t> key1, key2;
+        if (!align_mate(g, p1, r1p, chain_pool + chain_off[h1],
+                        chain_len[h1], u1a, u2a, f1, l1, key1))
+            continue;
+        if (!align_mate(g, p2, r2p, chain_pool + chain_off[h2],
+                        chain_len[h2], u1b, u2b, f2, l2, key2))
+            continue;
+        out->aligned[c] = 1;
+        auto kk = std::make_pair(std::move(key1), std::move(key2));
+        auto it = findex.find(kk);
+        int32_t gi;
+        if (it == findex.end()) {
+            gi = (int32_t)groups.size();
+            findex.emplace(std::move(kk), gi);
+            groups.push_back(Group());
+            groups[gi].extend = {g.vstarts[f1 - 1], g.vends[l1 - 1],
+                                 g.vstarts[f2 - 1], g.vends[l2 - 1]};
+        } else {
+            gi = it->second;
+        }
+        Group& G = groups[gi];
+        int32_t idx = (int32_t)G.rows.size();
+        G.rows.push_back({p1, r1p, p2, r2p, idx});
+        G.frags.push_back(cand_frag[c]);
+    }
+    // per group: recursive partition, then cluster stats
+    for (auto& G : groups) {
+        std::vector<std::vector<int32_t>> zz;
+        partition_rec(G.rows, 0, G.rows.size(), 0, max_gap, zz);
+        // rows were re-sorted; rebuild coordinate lookup by original idx
+        std::vector<std::array<int32_t, 4>> coords(G.rows.size());
+        for (auto& row : G.rows)
+            coords[row[4]] = {row[0], row[1], row[2], row[3]};
+        for (auto& z : zz) {
+            if (z.empty()) continue;
+            const auto& base = coords[z[0]];
+            int64_t acc[4] = {0, 0, 0, 0};
+            for (int32_t k : z)
+                for (int d = 0; d < 4; d++)
+                    acc[d] += coords[k][d] - base[d];
+            int32_t cnt = (int32_t)z.size();
+            out->meta.push_back(G.frags[z[0]]);
+            out->meta.push_back(cnt);
+            for (int d = 0; d < 4; d++)
+                out->meta.push_back((int32_t)(acc[d] / cnt) + base[d]);
+            for (int d = 0; d < 4; d++)
+                out->meta.push_back(G.extend[d]);
+            out->moff.push_back((int32_t)out->members.size());
+            for (int32_t k : z)
+                out->members.push_back(G.frags[k]);
+        }
+    }
+    return out;
+}
+
+void abam_cluster_sizes(ClusterOut* o, int64_t* out3) {
+    out3[0] = (int64_t)o->moff.size();       // clusters
+    out3[1] = (int64_t)o->members.size();
+    out3[2] = (int64_t)o->aligned.size();
+}
+
+void abam_cluster_fill(ClusterOut* o, int32_t* meta, int32_t* moff,
+                       int32_t* members, uint8_t* aligned) {
+    memcpy(meta, o->meta.data(), o->meta.size() * sizeof(int32_t));
+    memcpy(moff, o->moff.data(), o->moff.size() * sizeof(int32_t));
+    memcpy(members, o->members.data(), o->members.size() * sizeof(int32_t));
+    memcpy(aligned, o->aligned.data(), o->aligned.size());
+}
+
+void abam_cluster_free(ClusterOut* o) { delete o; }
+
+}  // extern "C"
