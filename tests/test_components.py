@@ -379,3 +379,58 @@ def test_use_second_alignment_flag(tmp_path):
     on = _run_flags(tmp_path, str(bl), "on")
     assert len(off) == 0
     assert len(on) >= 1
+
+
+def test_region_boundary_duplicate_suppression(tmp_path):
+    """bundle_group.remove_duplicates (bundle_group.cc:58-91): a gene whose
+    reads are re-read by the next region's seek overlap must not yield a
+    doubled transcript.  Force tiny regions so a gene straddles a region
+    line, then check the combined output has exactly one copy per chain."""
+    import random
+    from collections import Counter
+    from aletsch_tpu.meta.incubator import Incubator
+    from aletsch_tpu.io.gtf import read_gtf
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+    from aletsch_tpu.config import default_params
+    import os
+
+    def chain(exons):
+        return tuple((exons[k - 1][1], exons[k][0])
+                     for k in range(1, len(exons)))
+
+    # genes placed around multiples of the (shrunken) region length
+    region_len = 20000
+    genes = []
+    for g in range(6):
+        base = 15000 + g * region_len   # straddles every region line
+        genes.append([(base, base + 400), (base + 3000, base + 3300),
+                      (base + 7000, base + 7400)])
+    rng = random.Random(12)
+    recs = []
+    for gi, exons in enumerate(genes):
+        recs += simulate_pairs(exons, 40, "+" if gi % 2 == 0 else "-",
+                               rng, prefix="g%d" % gi)
+    bam = str(tmp_path / "rb.bam")
+    write_bam(bam, recs, ("chr1",), (10**6,))
+    bl = tmp_path / "rb.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    params = default_params()
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir)
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = str(tmp_path / "meta.gtf")
+        p.output_gtf_dir = out_dir
+        p.region_partition_length = region_len
+        p.verbose = 0
+    inc = Incubator(params)
+    inc.resolve()
+    trsts = [t for t in read_gtf(str(tmp_path / "meta.gtf"))
+             if len(t.exons) > 1]
+    counts = Counter(chain(t.exons) for t in trsts)
+    for gi, exons in enumerate(genes):
+        assert counts[chain(exons)] == 1, (gi, counts[chain(exons)])
+    # note: with gap-aligned region tables (set_batch_boundaries only
+    # switches regions at coverage gaps) regions never overlap, so
+    # remove_duplicates is defensive parity; this pins the invariant that
+    # straddling genes are assembled exactly once
