@@ -32,6 +32,7 @@ class Parameters:
     profile_dir: str = ""
     verbose: int = 1
     jax_profile_dir: str = ""      # TPU addition: jax.profiler trace output
+    checkpoint_dir: str = ""       # TPU addition: per-region checkpoint/resume
     algo: str = "aletsch-tpu"
     version: str = VERSION
     max_threads: int = 10
@@ -145,6 +146,7 @@ _GENERIC_FLAGS = {
     "--region_partition_length": ("region_partition_length", int),
     "--verbose": ("verbose", int),
     "--jax_profile_dir": ("jax_profile_dir", str),
+    "--checkpoint_dir": ("checkpoint_dir", str),
     "--min_bridging_score": ("min_bridging_score", float),
     "--bridge_dp_solution_size": ("bridge_dp_solution_size", int),
     "--bridge_dp_stack_size": ("bridge_dp_stack_size", int),

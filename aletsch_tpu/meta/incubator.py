@@ -256,6 +256,51 @@ class Incubator:
             if cfg0.profile_dir:
                 sp.save_profile(cfg0.profile_dir)
 
+    # ------------------------------------------------- region checkpointing
+    # TPU-build addition (SURVEY §5: the reference has no failure recovery;
+    # per-(chrm, region) checkpointing is natural here because regions are
+    # independent and the transcript-set fold is deterministic in region
+    # order).  --checkpoint_dir persists each region's transcript delta;
+    # a rerun loads completed regions and only assembles the rest.
+    def _ckpt_path(self, chrm, rid):
+        d = self.params[DEFAULT].checkpoint_dir
+        if not d:
+            return None
+        return os.path.join(d, "region_%s_%d.pkl" % (chrm, rid))
+
+    def _ckpt_load(self, path, chrm, rid, tr):
+        """Returns False (and removes the file) when the checkpoint is
+        unreadable, so the region is simply re-assembled."""
+        import pickle
+        try:
+            with open(path, "rb") as fh:
+                payload = pickle.load(fh)
+        except Exception as e:
+            print("[aletsch] ignoring corrupt checkpoint %s (%s)"
+                  % (path, e), file=sys.stderr)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            return False
+        for s in STRANDS:
+            ts = payload["sets"].get(s)
+            if ts is not None:
+                self.tts[(chrm, s)].add(ts, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+        for k, v in payload["stats"].items():
+            self.stats[k] = self.stats.get(k, 0) + v
+        tr.region_line(chrm, rid, payload["stats"].get("bundles", 0),
+                       payload["stats"].get("groups", 0))
+        return True
+
+    def _ckpt_save(self, path, region_sets, dstats):
+        import pickle
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "wb") as fh:
+            pickle.dump({"sets": region_sets, "stats": dstats}, fh)
+        os.replace(tmp, path)
+
     def _run_region_pipeline(self, tr):
         """Assemble all regions, prefetching the next regions' sample scans
         on the thread pool while the current region assembles (the C++
@@ -273,10 +318,18 @@ class Incubator:
             and len(regions) > 0
         if not threaded:
             for chrm, rid in regions:
+                ck = self._ckpt_path(chrm, rid)
+                if ck and os.path.exists(ck) and \
+                        self._ckpt_load(ck, chrm, rid, tr):
+                    continue
                 b0, g0 = self.stats["bundles"], self.stats["groups"]
-                self.process_region(chrm, rid)
+                rs = self.process_region(chrm, rid)
                 tr.region_line(chrm, rid, self.stats["bundles"] - b0,
                                self.stats["groups"] - g0)
+                if ck:
+                    self._ckpt_save(ck, rs,
+                                    {"bundles": self.stats["bundles"] - b0,
+                                     "groups": self.stats["groups"] - g0})
             return
         # Within-region overlap only: scans of samples in the SAME region
         # run ahead on the pool while earlier samples' results assemble.
@@ -300,11 +353,19 @@ class Incubator:
                 yield e, f.result()
 
         for chrm, rid in regions:
+            ck = self._ckpt_path(chrm, rid)
+            if ck and os.path.exists(ck) and \
+                    self._ckpt_load(ck, chrm, rid, tr):
+                continue
             entries = self._region_entries(chrm, rid)
             b0, g0 = self.stats["bundles"], self.stats["groups"]
-            self.process_region(chrm, rid, iter_results(entries, rid))
+            rs = self.process_region(chrm, rid, iter_results(entries, rid))
             tr.region_line(chrm, rid, self.stats["bundles"] - b0,
                            self.stats["groups"] - g0)
+            if ck:
+                self._ckpt_save(ck, rs,
+                                {"bundles": self.stats["bundles"] - b0,
+                                 "groups": self.stats["groups"] - g0})
 
     def init_transcript_sets(self):
         cfg = self.params[DEFAULT]
@@ -345,6 +406,7 @@ class Incubator:
         (resolve() pipelines the scans of upcoming regions on the thread
         pool while this region assembles)."""
         cfg = self.params[DEFAULT]
+        region_sets = {}
         grps = {s: BundleGroup(chrm, s, rid, cfg, self.sindex)
                 for s in STRANDS}
         ts_imm = {s: new_transcript_set(chrm, rid, cfg) for s in STRANDS}
@@ -384,8 +446,10 @@ class Incubator:
                 self.stats["groups"] += 1
             # fold region transcripts into the global per-(chrm,strand) set
             self.tts[(chrm, s)].add(g.tmerge, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+            region_sets[s] = g.tmerge
             g.gset = []
             g.clear()
+        return region_sets
 
     # ---------------------------------------------------------------- output
     def postprocess(self):

@@ -131,3 +131,36 @@ def test_region_sidecar_used_on_assembly(tmp_path):
     params = make_params(bl, tmp_path, profile_dir=pdir)
     Incubator(params).resolve()
     assert open(str(tmp_path / "meta.gtf")).read() == cold
+
+
+def test_region_checkpoint_resume(tmp_path):
+    """--checkpoint_dir: a rerun loads completed regions and produces
+    byte-identical output; a partial checkpoint set resumes the rest."""
+    import shutil
+    bl = setup_cohort(tmp_path)
+    ck = str(tmp_path / "ckpt")
+
+    def run(tag, ckpt):
+        params = make_params(bl, tmp_path, checkpoint_dir=ckpt)
+        out = str(tmp_path / (tag + ".gtf"))
+        for p in params:
+            p.output_gtf_file = out
+            p.output_gtf_dir = str(tmp_path / (tag + "_gtf"))
+            os.makedirs(p.output_gtf_dir, exist_ok=True)
+        inc = Incubator(params)
+        inc.resolve()
+        return open(out).read(), inc
+
+    base, inc0 = run("nock", "")               # no checkpointing
+    cold, inc1 = run("cold", ck)               # writes checkpoints
+    assert cold == base
+    cks = sorted(os.listdir(ck))
+    assert cks, "no checkpoint files written"
+    warm, inc2 = run("warm", ck)               # all regions from checkpoint
+    assert warm == base
+    assert inc2.stats["bundles"] == inc1.stats["bundles"]
+    # partial resume: drop one region's checkpoint
+    os.remove(os.path.join(ck, cks[0]))
+    part, _ = run("part", ck)
+    assert part == base
+    assert os.path.exists(os.path.join(ck, cks[0]))   # re-written
