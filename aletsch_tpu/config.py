@@ -252,7 +252,7 @@ def print_help():
         ("--output_single_exon_transcripts", "assemble single-exon transcripts"),
         ("-l/--chrm_list_string <string>", "comma-separated chromosomes to assemble"),
         ("-L/--chrm_list_file <string>", "file listing chromosomes to assemble"),
-        ("-d/--output_gtf_dir <string>", "existing dir for individual transcripts"),
+        ("-d/--output_gtf_dir <string>", "dir for individual transcripts (created if missing)"),
         ("-p/--profile_dir <string>", "existing dir for sample profiles"),
         ("-t/--max_threads <integer>", "max worker threads, default: 10"),
         ("-c/--max_group_size <integer>", "max splice graphs combined, default: 200"),
