@@ -51,3 +51,16 @@ def format_scaling(results):
     for d, waves, bundles, eff in results:
         lines.append("  %2d dev: %8.1f bundles/s  eff %.2f" % (d, bundles, eff))
     return "\n".join(lines)
+
+
+def main():
+    """CLI entry for subprocess scaling runs: forces the CPU platform (the
+    sitecustomize pins axon) so a virtual multi-device mesh is available via
+    XLA_FLAGS=--xla_force_host_platform_device_count=N."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print(format_scaling(measure_scaling()))
+
+
+if __name__ == "__main__":
+    main()

@@ -155,11 +155,31 @@ def make_deep_workload(tmpdir):
 
 
 def scaling_probe():
+    """On-chip single-device rate plus an 8-virtual-device CPU mesh run in a
+    subprocess (validates the sharded step's multi-device scaling shape even
+    with one physical chip)."""
+    out = []
     try:
         from aletsch_tpu.parallel.scaling import format_scaling, measure_scaling
-        return format_scaling(measure_scaling(reps=3))
+        out.append(format_scaling(measure_scaling(reps=3)))
     except Exception as e:                    # pragma: no cover
-        return "scaling probe failed: %s" % e
+        out.append("scaling probe failed: %s" % e)
+    try:
+        import subprocess
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            " --xla_force_host_platform_device_count=8").strip()
+        r = subprocess.run([sys.executable, "-m", "aletsch_tpu.parallel.scaling"],
+                           capture_output=True, text=True, timeout=300, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode == 0 and r.stdout.strip():
+            out.append("virtual 8-dev CPU mesh (shards compile+execute; all "
+                       "virtual devices share this host's cores, so "
+                       "efficiency here is NOT hardware scaling):\n"
+                       + r.stdout.strip())
+    except Exception as e:                    # pragma: no cover
+        out.append("virtual-mesh probe failed: %s" % e)
+    return "\n".join(out)
 
 
 def main():
