@@ -1,0 +1,111 @@
+import os
+import sys, os, random, tempfile, shutil
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax; jax.config.update("jax_platforms", "cpu")
+import aletsch_tpu.io.bam_native as bam_native
+from aletsch_tpu.io.bam_native import NativeBamReader
+from aletsch_tpu.config import default_params
+from aletsch_tpu.meta.incubator import Incubator
+from aletsch_tpu.sim import simulate_pairs, write_bam
+from aletsch_tpu.io.bam import CINS, CDEL, CMATCH
+
+def random_cohort(tmp, seed):
+    rng = random.Random(seed)
+    nchrm = rng.randint(1, 3)
+    names = tuple("chr%d" % (i + 1) for i in range(nchrm))
+    lengths = tuple(rng.choice([10**6, 3 * 10**6]) for _ in range(nchrm))
+    genes = []
+    for tid in range(nchrm):
+        pos = rng.randint(20000, 60000)
+        for g in range(rng.randint(3, 10)):
+            exons, p = [], pos
+            for e in range(rng.randint(1, 6)):
+                el = rng.randint(250, 500)
+                exons.append((p, p + el)); p += el + rng.randint(300, 3000)
+            genes.append((tid, exons))
+            pos = p + rng.randint(5000, 60000)
+            if pos > lengths[tid] - 50000:
+                break
+    bams = []
+    for s in range(rng.randint(1, 4)):
+        srng = random.Random(seed * 100 + s)
+        recs = []
+        for gi, (tid, exons) in enumerate(genes):
+            if srng.random() < 0.2:
+                continue
+            st = srng.choice("+-")
+            lib = srng.choice([None, "fr_first"])
+            rr = simulate_pairs(exons, srng.randint(3, 50), st, srng,
+                                prefix="s%dg%d" % (s, gi), library=lib)
+            for r in rr:
+                r["tid"] = tid; r["mtid"] = tid
+                if srng.random() < 0.02:
+                    r["nh"] = 2
+                if srng.random() < 0.02:
+                    r["flag"] |= 0x100
+            recs += rr
+        # indel + weird records
+        for k in range(srng.randint(0, 8)):
+            tid, exons = genes[srng.randrange(len(genes))]
+            a, b = exons[0]
+            cig = [(CMATCH, 30), (CINS, srng.randint(1, 4)), (CMATCH, 25),
+                   (CDEL, srng.randint(1, 5)), (CMATCH, 20)]
+            recs.append(dict(qname="w%d.%d" % (s, k), flag=0, tid=tid,
+                             mtid=tid, pos=a + 2, cigar=cig, mpos=a + 2,
+                             isize=80, xs="."))
+        p = os.path.join(tmp, "s%d_%d.bam" % (seed, s))
+        write_bam(p, recs, names, lengths)
+        bams.append(p)
+    bl = os.path.join(tmp, "c%d.list" % seed)
+    open(bl, "w").write("".join("%s x paired_end\n" % b for b in bams))
+    return bl
+
+def run(tmp, bl, tag, native):
+    out_gtf = os.path.join(tmp, tag + ".gtf")
+    out_dir = os.path.join(tmp, tag + "_d")
+    os.makedirs(out_dir, exist_ok=True)
+    params = default_params()
+    for p in params:
+        p.input_bam_list = bl
+        p.output_gtf_file = out_gtf
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    saved = (bam_native._LIB, bam_native._LIB_TRIED)
+    sr = getattr(NativeBamReader, "scan_region", None)
+    spv = getattr(NativeBamReader, "scan_preview", None)
+    try:
+        if native == "python":
+            bam_native._LIB = None
+            bam_native._LIB_TRIED = True
+        elif native == "batched":
+            del NativeBamReader.scan_region
+            del NativeBamReader.scan_preview
+        Incubator(params).resolve()
+    finally:
+        bam_native._LIB, bam_native._LIB_TRIED = saved
+        if sr is not None and not hasattr(NativeBamReader, "scan_region"):
+            NativeBamReader.scan_region = sr
+            NativeBamReader.scan_preview = spv
+    return out_gtf, out_dir
+
+tmp = tempfile.mkdtemp(prefix="fuzzdiff_")
+bad = 0
+for seed in range(1, 21):
+    bl = random_cohort(tmp, seed)
+    g1, d1 = run(tmp, bl, "scan%d" % seed, "scan")
+    g2, d2 = run(tmp, bl, "bat%d" % seed, "batched")
+    g3, d3 = run(tmp, bl, "py%d" % seed, "python")
+    a, b, c = open(g1).read(), open(g2).read(), open(g3).read()
+    ok = a == b == c
+    for fn in sorted(os.listdir(d1)):
+        x = open(os.path.join(d1, fn)).read()
+        ok = ok and x == open(os.path.join(d2, fn)).read()
+        ok = ok and x == open(os.path.join(d3, fn)).read()
+    print("seed %2d: %s (%d transcript lines)" %
+          (seed, "OK" if ok else "DIVERGED", a.count("\ttranscript\t")))
+    if not ok:
+        bad += 1
+        print("  kept dir:", tmp)
+print("DONE: %d/20 diverged" % bad)
+if bad == 0:
+    shutil.rmtree(tmp, ignore_errors=True)
