@@ -179,6 +179,10 @@ class Incubator:
                     ss.add(c)
         self.sindex = {}
         for i, sp in enumerate(self.samples):
+            if not os.path.exists(sp.align_file):
+                # incubator.cc:85-90: unopenable input prints and exits 0
+                print("cannot open input bam file %s" % sp.align_file)
+                sys.exit(0)
             with open_bam(sp.align_file) as r:
                 for k, chrm in enumerate(r.header.names):
                     if ss and chrm not in ss:
