@@ -160,6 +160,11 @@ class Incubator:
                 sp = SampleProfile(len(self.samples), cfg.region_partition_length)
                 sp.align_file = parts[0]
                 sp.index_file = parts[1]
+                if parts[2] not in DATA_TYPE_NAMES:
+                    print("unknown protocol '%s' in %s (valid: %s)"
+                          % (parts[2], path,
+                             " ".join(sorted(DATA_TYPE_NAMES))))
+                    sys.exit(0)
                 sp.data_type = DATA_TYPE_NAMES[parts[2]]
                 self.samples.append(sp)
 
@@ -183,7 +188,13 @@ class Incubator:
                 # incubator.cc:85-90: unopenable input prints and exits 0
                 print("cannot open input bam file %s" % sp.align_file)
                 sys.exit(0)
-            with open_bam(sp.align_file) as r:
+            try:
+                r = open_bam(sp.align_file)
+            except OSError:
+                print("cannot parse bam file %s (not BAM/BGZF?)"
+                      % sp.align_file)
+                sys.exit(0)
+            with r:
                 for k, chrm in enumerate(r.header.names):
                     if ss and chrm not in ss:
                         continue
