@@ -83,3 +83,44 @@ def test_graft_entry():
     out = fn(*args)
     assert len(out) == 6
     mod.dryrun_multichip(8)
+
+
+def test_bottleneck_vs_exhaustive_paths():
+    """Pin the max-min semiring DP against brute-force path enumeration on
+    tiny random DAGs (all-sources, all-targets)."""
+    import itertools
+    import numpy as np
+    from aletsch_tpu.ops.bridge_dp import (NEG, POS,
+                                           bottleneck_all_sources_host)
+
+    rng = np.random.default_rng(123)
+    for trial in range(25):
+        V = int(rng.integers(3, 7))
+        W = np.triu(rng.uniform(1, 9, (1, V, V)).astype(np.float32), 1)
+        W *= (rng.uniform(size=W.shape) < 0.6)
+        got = bottleneck_all_sources_host(W)[0]
+
+        def paths(s, t):
+            if s == t:
+                yield []
+                return
+            for m in range(s + 1, t + 1):
+                if W[0, s, m] > 0:
+                    for rest in paths(m, t):
+                        yield [(s, m)] + rest
+
+        for s in range(V):
+            for t in range(V):
+                if s == t:
+                    continue
+                best = None
+                for pth in paths(s, t):
+                    if not pth:
+                        continue
+                    bn = min(W[0, a, b] for a, b in pth)
+                    best = bn if best is None else max(best, bn)
+                g = float(got[s, t])
+                if best is None:
+                    assert g <= NEG / 2 or g == 0 or g <= 0, (s, t, g)
+                else:
+                    assert abs(g - best) < 1e-4, (trial, s, t, g, best)
