@@ -88,6 +88,33 @@ def run(tmp, bl, tag, native):
             NativeBamReader.scan_preview = spv
     return out_gtf, out_dir
 
+def fuzz_jobs(tmp, seeds=(1, 2, 3)):
+    """Process-count invariance: --jobs 2 output must equal inline output
+    on random cohorts."""
+    from aletsch_tpu.parallel.jobs import run_parallel
+    bad = 0
+    for seed in seeds:
+        bl = random_cohort(tmp, 100 + seed)
+        outs = {}
+        for nj in (1, 2):
+            tag = "j%d_%d" % (nj, seed)
+            out_gtf = os.path.join(tmp, tag + ".gtf")
+            out_dir = os.path.join(tmp, tag + "_d")
+            os.makedirs(out_dir, exist_ok=True)
+            params = default_params()
+            for p in params:
+                p.input_bam_list = bl
+                p.output_gtf_file = out_gtf
+                p.output_gtf_dir = out_dir
+                p.verbose = 0
+            run_parallel(params, nj)
+            outs[nj] = open(out_gtf).read()
+        ok = outs[1] == outs[2]
+        print("jobs seed %d: %s" % (seed, "OK" if ok else "DIVERGED"))
+        bad += 0 if ok else 1
+    return bad
+
+
 tmp = tempfile.mkdtemp(prefix="fuzzdiff_")
 bad = 0
 for seed in range(1, 21):
@@ -107,5 +134,9 @@ for seed in range(1, 21):
         bad += 1
         print("  kept dir:", tmp)
 print("DONE: %d/20 diverged" % bad)
+bad += fuzz_jobs(tmp)
+print("DONE+jobs: %d total divergences" % bad)
 if bad == 0:
     shutil.rmtree(tmp, ignore_errors=True)
+
+
