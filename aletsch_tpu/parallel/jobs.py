@@ -56,14 +56,25 @@ def run_parallel(params, n_jobs):
             from ..meta.incubator import Incubator
             pinc = Incubator(pparams)
             pinc.resolve()
-            for sp in pinc.samples:
+            # sweep region tables once so every shard worker loads the
+            # sidecar instead of re-scanning; sweeps are numpy/native-bound
+            # so a thread pool overlaps them across samples
+            from concurrent.futures import ThreadPoolExecutor
+
+            def sweep(sp):
                 sp.save_profile(prof_dir)
-                # sweep region tables once here so every shard worker can
-                # load the sidecar instead of re-scanning the whole BAM
                 cfg = pparams[sp.data_type]
                 sp.set_batch_boundaries(cfg.min_bundle_gap, cfg.max_read_span)
                 sp.save_regions(prof_dir, cfg.min_bundle_gap,
                                 cfg.max_read_span)
+
+            nw = min(n_jobs, len(pinc.samples), os.cpu_count() or 1)
+            if nw > 1:
+                with ThreadPoolExecutor(max_workers=nw) as ex:
+                    list(ex.map(sweep, pinc.samples))
+            else:
+                for sp in pinc.samples:
+                    sweep(sp)
         wparams = [copy.deepcopy(p) for p in params]
         for p in wparams:
             p.profile_dir = prof_dir
