@@ -45,7 +45,12 @@ def run_parallel(params, n_jobs):
     with tempfile.TemporaryDirectory(prefix="aletsch_jobs_") as tmp:
         cfg0 = params[DEFAULT]
         prof_dir = cfg0.profile_dir
-        if not prof_dir:
+        if not prof_dir and n_jobs <= (os.cpu_count() or 1):
+            # few workers: each self-profiles concurrently (profiling is
+            # deterministic, so duplicated work yields identical stats and
+            # the serial warm-up phase disappears from the critical path)
+            prof_dir = ""
+        elif not prof_dir:
             # profile once so workers skip previewing
             prof_dir = os.path.join(tmp, "profiles")
             os.makedirs(prof_dir, exist_ok=True)
