@@ -434,3 +434,22 @@ def test_region_boundary_duplicate_suppression(tmp_path):
     # switches regions at coverage gaps) regions never overlap, so
     # remove_duplicates is defensive parity; this pins the invariant that
     # straddling genes are assembled exactly once
+
+
+def test_output_single_exon_transcripts_flag(tmp_path):
+    """Default skips single-exon-only bundles; the flag assembles them
+    (skip_single_exon_transcripts, generator.cc / parameters.cc)."""
+    import random
+    from aletsch_tpu.sim import simulate_pairs, write_bam
+    rng = random.Random(2)
+    recs = simulate_pairs([(50000, 51200)], 200, "+", rng, prefix="se")
+    bam = str(tmp_path / "se.bam")
+    write_bam(bam, recs)
+    bl = tmp_path / "se.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    off = _run_flags(tmp_path, str(bl), "se_off")
+    on = _run_flags(tmp_path, str(bl), "se_on",
+                    skip_single_exon_transcripts=False)
+    assert len(off) == 0
+    assert len(on) == 1
+    assert len(on[0].exons) == 1
