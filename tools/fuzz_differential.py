@@ -115,6 +115,32 @@ def fuzz_jobs(tmp, seeds=(1, 2, 3)):
     return bad
 
 
+def fuzz_checkpoint(tmp, seeds=(5, 6)):
+    """Checkpoint invariance: a cold checkpointed run and its warm resume
+    must both equal the plain run."""
+    bad = 0
+    for seed in seeds:
+        bl = random_cohort(tmp, 200 + seed)
+        outs = {}
+        for tag, ck in (("plain", ""), ("cold", "ckA"), ("warm", "ckA")):
+            out_gtf = os.path.join(tmp, "ck_%s_%d.gtf" % (tag, seed))
+            out_dir = os.path.join(tmp, "ck_%s_%d_d" % (tag, seed))
+            os.makedirs(out_dir, exist_ok=True)
+            params = default_params()
+            for p in params:
+                p.input_bam_list = bl
+                p.output_gtf_file = out_gtf
+                p.output_gtf_dir = out_dir
+                p.verbose = 0
+                p.checkpoint_dir = os.path.join(tmp, ck + str(seed)) if ck else ""
+            Incubator(params).resolve()
+            outs[tag] = open(out_gtf).read()
+        ok = outs["plain"] == outs["cold"] == outs["warm"]
+        print("ckpt seed %d: %s" % (seed, "OK" if ok else "DIVERGED"))
+        bad += 0 if ok else 1
+    return bad
+
+
 tmp = tempfile.mkdtemp(prefix="fuzzdiff_")
 bad = 0
 for seed in range(1, 21):
@@ -135,8 +161,11 @@ for seed in range(1, 21):
         print("  kept dir:", tmp)
 print("DONE: %d/20 diverged" % bad)
 bad += fuzz_jobs(tmp)
-print("DONE+jobs: %d total divergences" % bad)
+bad += fuzz_checkpoint(tmp)
+print("DONE+jobs+ckpt: %d total divergences" % bad)
 if bad == 0:
     shutil.rmtree(tmp, ignore_errors=True)
+
+
 
 
