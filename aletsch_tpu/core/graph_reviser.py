@@ -575,14 +575,19 @@ def keep_surviving_edges(gr, surviving, junctions=None):
             s, t = e.s, e.t
             if s not in sv1 and s != 0:
                 ee = gr.max_in_edge(s)
-                se.add(ee)
+                # the reference asserts ee exists (graph_reviser.cc:432);
+                # on degenerate graphs with edge-less vertices there is
+                # nothing to pull in, so just mark the vertex settled
+                if ee is not None:
+                    se.add(ee)
+                    sv2.add(ee.s)
                 sv1.add(s)
-                sv2.add(ee.s)
                 b = True
             if t not in sv2 and t != n:
                 ee = gr.max_out_edge(t)
-                se.add(ee)
-                sv1.add(ee.t)
+                if ee is not None:
+                    se.add(ee)
+                    sv1.add(ee.t)
                 sv2.add(t)
                 b = True
             if b:
