@@ -162,6 +162,8 @@ class Assembler:
         px = PhaseSet()
         for k, bd in enumerate(gv):
             gr = grv[k]
+            if self.cfg.verbose >= 2:
+                self.fix_missing_edges(gr, gx)
             self.junction_support(gr, junc2sup, sup2abd)
             for j in range(len(gv)):
                 gr1 = grv[j]
@@ -183,6 +185,37 @@ class Assembler:
         self.assemble_graph(gx, px, -1)
 
     # ------------------------------------------------------ support features
+    def fix_missing_edges(self, gr, gx):
+        """Diagnostic only (meta/assembler.cc:946-975): report starting
+        boundaries of gr that the combined graph gx explains via a missing
+        edge; the reference computes and prints at verbose >= 2 without
+        mutating either graph."""
+        for e in list(gr.out_edges(0)):
+            t = e.t
+            vt = gr.get_vertex_info(t)
+            wt = gr.get_vertex_weight(t)
+            v = gx.locate_rbound(vt.rpos)
+            if v == -1:
+                continue
+            if gx.in_degree(v) != 1:
+                continue
+            vv = gx.get_vertex_info(v)
+            uv = next(iter(gx.in_edges(v)))
+            u = uv.s
+            wuv = gx.get_edge_weight(uv)
+            if u == 0:
+                continue
+            vu = gx.get_vertex_info(u)
+            if vu.rpos == vv.lpos:
+                continue
+            if gr.locate_rbound(vu.rpos) == -1:
+                continue
+            gap = vt.lpos - vv.lpos
+            print("fixing starting boundary t = %d-%d using u = %d-%d, "
+                  "v = %d-%d, gap = %d, wt = %.1f, wuv = %.1f"
+                  % (vt.lpos, vt.rpos, vu.lpos, vu.rpos, vv.lpos, vv.rpos,
+                     gap, wt, wuv))
+
     def junction_support(self, gr, junc2sup, sup2abd):
         """Stamp every splicing edge with its cross-sample support set
         (assembler.cc:375-417)."""
