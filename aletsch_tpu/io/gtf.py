@@ -346,7 +346,11 @@ def read_gtf(path):
                 t.gene_id = it.get("gene_id", "")
                 t.transcript_id = tid
                 t.strand = it["strand"]
-                t.coverage = float(it.get("cov", 0) or 0)
+                # coverage attribute aliases per the reference reader
+                # (gtf/item.cc:66-69): cov/coverage/expression/expr
+                t.coverage = float(it.get("cov") or it.get("coverage")
+                                   or it.get("expression")
+                                   or it.get("expr") or 0)
             elif it["feature"] == "exon":
                 t = trsts.get(tid)
                 if t is None:
