@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import sys
 
 import numpy as np
 
@@ -68,12 +69,16 @@ def main(argv=None):
     ap.add_argument("--n_estimators", type=int, default=100)
     ap.add_argument("--max_depth", type=int, default=20)
     args = ap.parse_args(argv)
-    fa, model, pos, tot = train(args.input_dir, args.meta_gtf,
-                                args.truth_gtf, args.count, args.output,
-                                args.n_estimators, args.max_depth)
+    try:
+        fa, model, pos, tot = train(args.input_dir, args.meta_gtf,
+                                    args.truth_gtf, args.count, args.output,
+                                    args.n_estimators, args.max_depth)
+    except ValueError as e:
+        print("error: %s" % e, file=sys.stderr)
+        return 1
     print("trained on %d rows (%d positive); model -> %s" %
           (tot, pos, args.output))
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
