@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -133,9 +134,14 @@ def main(argv=None):
     ap.add_argument("-o", "--output_file", required=True)
     ap.add_argument("-p", "--prob_score", type=float, default=0.2)
     args = ap.parse_args(argv)
-    score(args.input_dir, args.model, args.count, args.output_file,
-          args.prob_score)
+    try:
+        score(args.input_dir, args.model, args.count, args.output_file,
+              args.prob_score)
+    except (OSError, ValueError) as e:
+        print("error: cannot load model %s (%s)" % (args.model, e),
+              file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
