@@ -57,7 +57,10 @@ def random_cohort(tmp, seed):
         write_bam(p, recs, names, lengths)
         bams.append(p)
     bl = os.path.join(tmp, "c%d.list" % seed)
-    open(bl, "w").write("".join("%s x paired_end\n" % b for b in bams))
+    protos = [rng.choice(["paired_end", "paired_end", "paired_end",
+                          "single_end", "ont"]) for _ in bams]
+    open(bl, "w").write("".join("%s x %s\n" % (b, pr)
+                                for b, pr in zip(bams, protos)))
     return bl
 
 def run(tmp, bl, tag, native):
