@@ -175,3 +175,34 @@ def test_long_reads_beyond_max_read_span(tmp_path):
     Incubator(params).resolve()
     trsts = read_gtf(out_gtf)
     assert intron_chain(iso) in {intron_chain(t.exons) for t in trsts}
+
+
+def test_hard_clip_and_supplementary_records(tmp_path):
+    """Supplementary (0x800) records with hard/soft clips flow through the
+    scan unfiltered, like the reference (generator.cc:87-91 filters only
+    unmapped/secondary/cigar-count/quality)."""
+    from aletsch_tpu.sim import simulate_pairs, write_bam, GENE_A_ISO1
+    from aletsch_tpu.io.bam import CMATCH, CHARD, CSOFT, CREF_SKIP
+    rng = random.Random(8)
+    recs = simulate_pairs(GENE_A_ISO1, 50, "+", rng, prefix="n")
+    for k in range(10):
+        cig = [(CHARD, 20), (CMATCH, 50), (CREF_SKIP, 4700),
+               (CMATCH, 40), (CSOFT, 15)]
+        recs.append(dict(qname="sup.%d" % k, flag=0x800, pos=10250,
+                         cigar=cig, mpos=0, isize=0, xs="+"))
+    bam = str(tmp_path / "clip.bam")
+    write_bam(bam, recs)
+    bl = tmp_path / "clip.list"
+    bl.write_text("%s x paired_end\n" % bam)
+    params = default_params()
+    out_dir = str(tmp_path / "gtf")
+    os.makedirs(out_dir)
+    for p in params:
+        p.input_bam_list = str(bl)
+        p.output_gtf_file = str(tmp_path / "meta.gtf")
+        p.output_gtf_dir = out_dir
+        p.verbose = 0
+    Incubator(params).resolve()
+    trsts = read_gtf(str(tmp_path / "meta.gtf"))
+    assert intron_chain(GENE_A_ISO1) in {intron_chain(t.exons)
+                                         for t in trsts}
