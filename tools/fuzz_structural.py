@@ -120,9 +120,34 @@ def fuzz_bridge(n):
     return bad
 
 
+def fuzz_subsetsum(n):
+    """In-contract fuzz (callers guarantee >=2 items per side,
+    router.py:304 / router.cc:457; below that both implementations assert,
+    subsetsum.cc:190)."""
+    from aletsch_tpu.scallop.subsetsum import SubsetSum
+    bad = 0
+    for seed in range(n):
+        rng = random.Random(seed)
+        ns, nt = rng.randint(2, 7), rng.randint(2, 7)
+        source = [[rng.randint(1, 500), i] for i in range(ns)]
+        target = [[rng.randint(1, 500), i] for i in range(nt)]
+        try:
+            eqn = SubsetSum(source, target).solve()
+            assert eqn.e >= 0 and eqn.s and eqn.t
+            sids = {x[1] for x in source}
+            tids = {x[1] for x in target}
+            assert all(i in sids for i in eqn.s)
+            assert all(i in tids for i in eqn.t)
+        except Exception as e:
+            bad += 1
+            print("subsetsum seed %d FAILED: %r" % (seed, e))
+    return bad
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    bad = fuzz_reviser(n) + fuzz_scallop(n) + fuzz_bridge(n)
+    bad = (fuzz_reviser(n) + fuzz_scallop(n) + fuzz_bridge(n)
+           + fuzz_subsetsum(n))
     print("structural fuzz x%d per component: %d failures" % (n, bad))
     return 1 if bad else 0
 
