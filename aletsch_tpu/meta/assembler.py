@@ -232,7 +232,8 @@ class Assembler:
             ei.samples = set(junc2sup[p])
             ei.spAbd = dict(sup2abd[p])
             ei.count = len(ei.samples)
-            ei.abd += sum(sup2abd[p].values())
+            # sum in sorted-sample order (canonical float-sum order)
+            ei.abd += sum(sup2abd[p][k] for k in sorted(sup2abd[p]))
 
     def non_splicing_support(self, sample_id, gr, gx):
         """assembler.cc:419-462"""

@@ -474,7 +474,9 @@ class Scallop:
                 ei.count = len(ei.samples)
                 ei.abd = 0.0
                 ei.spAbd = {}
-                for sp in ei.samples:
+                # sorted sample order: the abd float accumulation must not
+                # depend on set-iteration order
+                for sp in sorted(ei.samples):
                     common = min(ei1.spAbd.get(sp, 0.0), ei2.spAbd.get(sp, 0.0))
                     ei.spAbd[sp] = common
                     ei.abd += common
@@ -590,7 +592,7 @@ class Scallop:
         ei.count = len(ei.samples)
         ei.abd = 0.0
         ei.spAbd = {}
-        for sp in ei.samples:
+        for sp in sorted(ei.samples):   # canonical float-sum order
             common = min(ei1.spAbd.get(sp, 0.0), ei2.spAbd.get(sp, 0.0))
             ei.spAbd[sp] = common
             ei.abd += common

@@ -96,9 +96,11 @@ class HyperSet:
         return ss
 
     def get_successors(self, e):
-        """hyper_set.cc:509-529"""
+        """hyper_set.cc:509-529; hyper-edge ids visited in sorted order so
+        the successor-key order (which feeds the router's route order) is
+        canonical rather than set-iteration order."""
         s = {}
-        for k in self.e2s.get(e, ()):
+        for k in sorted(self.e2s.get(e, ())):
             v = self.edges[k]
             c = self.ecnts[k]
             for i in range(len(v) - 1):
@@ -111,9 +113,9 @@ class HyperSet:
         return s
 
     def get_predecessors(self, e):
-        """hyper_set.cc:531-551"""
+        """hyper_set.cc:531-551; sorted visit order, as get_successors."""
         s = {}
-        for k in self.e2s.get(e, ()):
+        for k in sorted(self.e2s.get(e, ())):
             v = self.edges[k]
             c = self.ecnts[k]
             for i in range(1, len(v)):

@@ -100,7 +100,7 @@ class Router:
     def _common_abd(self, le_info, re_info):
         common = le_info.samples & re_info.samples
         abd = 0.0
-        for sp in common:
+        for sp in sorted(common):   # canonical float-sum order
             a = le_info.spAbd.get(sp, 0.0)
             b = re_info.spAbd.get(sp, 0.0)
             abd += 0.99 * min(a, b) + 0.01 * max(a, b)
