@@ -177,20 +177,33 @@ class CoverageMap:
         """(ave, dev, max) of coverage over [ll, rr) (interval_map.cc:166-195).
 
         Gaps inside [ll, rr) count as zero toward the average but contribute
-        no variance term, matching the reference exactly.
+        no variance term, matching the reference exactly.  Accumulations are
+        sequential left-to-right doubles (NOT numpy pairwise summation) so a
+        native port can reproduce them bit-exactly.
         """
         l, r, v = self.contained(ll, rr)
         if l.size == 0:
             return 0.0, 1.0, 0.0
-        lens = (r - l).astype(np.float64)
-        vv = v.astype(np.float64)
-        mx = float(vv.max())
-        ave = float((lens * vv).sum() / (rr - ll))
-        var = float((lens * (vv - ave) ** 2).sum())
+        ll_l = l.tolist()
+        rl = r.tolist()
+        vl = v.tolist()
+        mx = float(vl[0])
+        s = 0.0
+        for i in range(len(vl)):
+            w = float(vl[i])
+            if w > mx:
+                mx = w
+            s += (rl[i] - ll_l[i]) * w
+        ave = s / (rr - ll)
+        var = 0.0
+        for i in range(len(vl)):
+            d = float(vl[i]) - ave
+            var += (rl[i] - ll_l[i]) * (d * d)
         dev = float(np.sqrt(var / (rr - ll)))
         return ave, dev, mx
 
     def sum_overlap(self, ll: int, rr: int) -> float:
+        """Integer area of contained segments (exact in any order)."""
         l, r, v = self.contained(ll, rr)
         if l.size == 0:
             return 0.0
