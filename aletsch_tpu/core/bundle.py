@@ -50,9 +50,13 @@ def materialize_bundle(sb):
             off = row[17] + 2 * row[18]
             bb.hcst.add(coords[off:off + sc].tolist(), j, hits[j].xs)
     # keep the scanner arrays: the native cluster engine derives its
-    # hit-coordinate and chain exports from them zero-copy
+    # hit-coordinate and chain exports from them zero-copy, and the native
+    # assembly core (meta/native_core.py) consumes the full set
     bb._scan_fixed = sb.fixed
     bb._scan_coords = coords
+    bb._scan_mev = sb.mev
+    bb._scan_iev = sb.iev
+    bb._scan_frgs = sb.frgs
     return bb
 
 

@@ -184,18 +184,20 @@ class GraphBuilder:
         gr.set_vertex_weight(len(pexons) + 1, 0)
         gr.set_vertex_info(len(pexons) + 1, vin)
 
-        # junction edges
+        # junction edges; counts coerced to float so every weight in the
+        # graph is a double, like the reference's C++ (keeps feature-CSV
+        # number formatting uniform across implementations)
         for b in self.junctions:
             if b.lexon < 0 or b.rexon < 0:
                 continue
             p = gr.add_edge(b.lexon + 1, b.rexon + 1)
             ei = gr.get_edge_info(p)
-            ei.weight = b.count
+            ei.weight = float(b.count)
             if b.strand == "+":
                 ei.strand = 1
             if b.strand == "-":
                 ei.strand = 2
-            gr.set_edge_weight(p, b.count)
+            gr.set_edge_weight(p, float(b.count))
 
         # source/sink edges with neighbor-subtracted weights
         ss = 0

@@ -41,7 +41,12 @@ class Assembler:
 
     # ------------------------------------------------------------- entrypoint
     def resolve(self, gv):
-        """assembler.cc:33-73"""
+        """assembler.cc:33-73; dispatches whole groups of pristine scanner
+        bundles to the native core (native/core.cpp), which runs this entire
+        method (bridge -> joint bridge -> supports -> scallop) bit-exactly."""
+        from .native_core import resolve_group_native
+        if resolve_group_native(self, gv, do_bridge=True):
+            return
         for bd in gv:
             bd.build_fragments()
             bd.bridge()

@@ -36,6 +36,13 @@ class Bundle(BundleBase):
             self.fcst = base.fcst
             self.mmap = base.mmap
             self.imap = base.imap
+            self.frgs_ready = base.frgs_ready
+            # native scanner arrays (cluster engine + native assembly core)
+            for a in ("_scan_fixed", "_scan_coords", "_scan_mev",
+                      "_scan_iev", "_scan_frgs"):
+                v = getattr(base, a, None)
+                if v is not None:
+                    setattr(self, a, v)
 
     def set_gid(self, rid, g, instance, subindex):
         self.gid = "instance.%d.%d.%d.%d" % (rid, g, instance, subindex)

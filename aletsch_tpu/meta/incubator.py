@@ -437,10 +437,14 @@ class Incubator:
                     grps[bd.strand].gset.append(bd)
                 else:
                     # splice-free bundles are assembled immediately
+                    # (native core when the bundle is a pristine scan)
+                    from .native_core import resolve_group_native
                     asmb = Assembler(cfg, ts_imm[bd.strand], rid,
                                      sid, index)
                     index += 1
-                    asmb.assemble_single(bd)
+                    if not resolve_group_native(asmb, [bd],
+                                                do_bridge=False):
+                        asmb.assemble_single(bd)
                     imm_counts[bd.strand] += 1
         for s in STRANDS:
             g = grps[s]

@@ -1,0 +1,247 @@
+"""ctypes binding for the native group assembler (native/core.cpp).
+
+One call per Assembler.resolve group (or per immediate splice-free bundle):
+the scanner's flushed bundle arrays go in, assembled transcripts plus their
+RF features come out.  The Python Assembler remains the semantic oracle —
+the native core is bit-exact against it (differential-fuzz enforced) and is
+skipped whenever a bundle did not come straight from the native scanner or
+verbose diagnostics are requested.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from ..io.bam_native import _load_lib
+from ..io.gtf import FEATURE_COLUMNS, Transcript
+
+# feature columns that are ints in TrstFeatures (io/gtf.py:20-62)
+_INT_FEATURES = {
+    "gr_vertices", "gr_edges", "gr_reads", "gr_subgraph", "num_vertices",
+    "num_edges", "max_mid_exon_len", "introns", "start_introns",
+    "end_introns", "uni_junc", "seq_min_cnt", "seq_max_cnt", "start_cnt",
+    "end_cnt", "unbridge_start_coming_count", "unbridge_end_leaving_count",
+}
+
+CFG_NI = 9
+CFG_ND = 14
+
+i32p = ctypes.POINTER(ctypes.c_int32)
+i64p = ctypes.POINTER(ctypes.c_int64)
+f64p = ctypes.POINTER(ctypes.c_double)
+
+
+def _bind(lib):
+    # bind per CDLL instance: the library can be re-loaded (tests/fuzz swap
+    # the loader state), and an unbound instance would truncate the returned
+    # pointer to c_int
+    if getattr(lib, "_core_bound", False):
+        return
+    lib.core_resolve_group.restype = ctypes.c_void_p
+    lib.core_resolve_group.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        i32p, i64p, i32p,
+        i64p, i32p,
+        i64p, i64p, i32p,
+        i64p, i64p, i32p,
+        i64p, i64p, i32p,
+        i32p, i32p, i64p, i64p, i64p, i64p,
+        i64p, f64p]
+    lib.core_out_sizes.argtypes = [ctypes.c_void_p, i64p]
+    lib.core_out_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p,
+                                  i32p, i64p, f64p, f64p, f64p, i32p, i64p,
+                                  f64p]
+    lib.core_out_free.argtypes = [ctypes.c_void_p]
+    lib._core_bound = True
+
+
+def native_core_available():
+    if os.environ.get("ALETSCH_NATIVE_CORE", "1") == "0":
+        return False
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "core_resolve_group"):
+        return False
+    _bind(lib)
+    return True
+
+
+def _cfg_arrays(cfg):
+    ints = np.asarray([
+        cfg.min_junction_support, cfg.min_subregion_gap,
+        cfg.min_subregion_length, cfg.max_reads_partition_gap,
+        cfg.bridge_dp_solution_size, cfg.bridge_dp_stack_size,
+        cfg.bridge_end_relaxing, cfg.max_group_boundary_distance,
+        cfg.max_num_exons], dtype=np.int64)
+    dbls = np.asarray([
+        cfg.min_guaranteed_edge_weight, cfg.min_subregion_overlap,
+        cfg.normal_junction_threshold, cfg.extend_junction_threshold,
+        cfg.min_boundary_log_ratio, cfg.min_transcript_coverage]
+        + list(cfg.max_decompose_error_ratio), dtype=np.float64)
+    assert ints.size == CFG_NI and dbls.size == CFG_ND
+    return ints, dbls
+
+
+def eligible(asmb, gv):
+    """Native path taken only for pristine scanner bundles at verbose < 2
+    (fix_missing_edges prints are the one verbose>=2 side effect)."""
+    if not native_core_available():
+        return False
+    if asmb.cfg.verbose >= 2:
+        return False
+    for bd in gv:
+        sf = getattr(bd, "_scan_fixed", None)
+        if sf is None or sf.shape[0] != len(bd.hits):
+            return False
+        if not bd.frgs_ready:
+            return False
+        # pristine: no bridges applied yet (all fragment types still 0)
+        if any(f[2] != 0 for f in bd.frgs):
+            return False
+    return True
+
+
+def resolve_group_native(asmb, gv, do_bridge):
+    """Run the whole group assembly natively and replay the transcript-set
+    adds exactly as Assembler.assemble_graph would.  Returns True when
+    handled (bundles are cleared), False when the caller must fall back."""
+    if not eligible(asmb, gv):
+        return False
+    lib = _load_lib()
+
+    n = len(gv)
+    nh = np.asarray([bd._scan_fixed.shape[0] for bd in gv], dtype=np.int32)
+    fixed_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(nh[:-1], out=fixed_off[1:])
+    fixed = (np.concatenate([bd._scan_fixed for bd in gv])
+             if n > 1 else gv[0]._scan_fixed)
+    fixed = np.ascontiguousarray(fixed, dtype=np.int32)
+
+    def pool(arrs, pairs):
+        cnt = np.asarray([a.size // 2 if pairs else a.size for a in arrs],
+                         dtype=np.int64)
+        off = np.zeros(n, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+        cat = (np.concatenate(arrs) if n > 1 else arrs[0])
+        if cat.size == 0:
+            cat = np.zeros(2, dtype=np.int32)
+        return off, cnt, np.ascontiguousarray(cat, dtype=np.int32)
+
+    coords_off, _, coords = pool([bd._scan_coords for bd in gv], False)
+    mev_off, mev_cnt, mev = pool([bd._scan_mev for bd in gv], True)
+    iev_off, iev_cnt, iev = pool([bd._scan_iev for bd in gv], True)
+    frg_off, frg_cnt, frgs = pool([bd._scan_frgs for bd in gv], True)
+
+    sid = np.asarray([bd.sp.sample_id for bd in gv], dtype=np.int32)
+    strand = np.asarray([ord(bd.strand) for bd in gv], dtype=np.int32)
+    lpos = np.asarray([bd.lpos for bd in gv], dtype=np.int64)
+    rpos = np.asarray([bd.rpos for bd in gv], dtype=np.int64)
+    ilow = np.asarray([bd.sp.insertsize_low for bd in gv], dtype=np.int64)
+    ihigh = np.asarray([bd.sp.insertsize_high for bd in gv], dtype=np.int64)
+
+    cfg_i = np.empty((n + 1) * CFG_NI, dtype=np.int64)
+    cfg_d = np.empty((n + 1) * CFG_ND, dtype=np.float64)
+    for b, bd in enumerate(gv):
+        ci, cd = _cfg_arrays(bd.cfg)
+        cfg_i[b * CFG_NI:(b + 1) * CFG_NI] = ci
+        cfg_d[b * CFG_ND:(b + 1) * CFG_ND] = cd
+    ci, cd = _cfg_arrays(asmb.cfg)
+    cfg_i[n * CFG_NI:] = ci
+    cfg_d[n * CFG_ND:] = cd
+
+    def ip(a):
+        return a.ctypes.data_as(i32p)
+
+    def lp(a):
+        return a.ctypes.data_as(i64p)
+
+    h = lib.core_resolve_group(
+        n, 1 if do_bridge else 0,
+        ip(nh), lp(fixed_off), ip(fixed),
+        lp(coords_off), ip(coords),
+        lp(mev_off), lp(mev_cnt), ip(mev),
+        lp(iev_off), lp(iev_cnt), ip(iev),
+        lp(frg_off), lp(frg_cnt), ip(frgs),
+        ip(sid), ip(strand), lp(lpos), lp(rpos), lp(ilow), lp(ihigh),
+        lp(cfg_i), cfg_d.ctypes.data_as(f64p))
+
+    sizes = (ctypes.c_int64 * 3)()
+    lib.core_out_sizes(h, sizes)
+    ng, nt, ne = int(sizes[0]), int(sizes[1]), int(sizes[2])
+    g_sid = np.zeros(max(ng, 1), dtype=np.int32)
+    g_sub = np.zeros(max(ng, 1), dtype=np.int32)
+    t_group = np.zeros(max(nt, 1), dtype=np.int32)
+    t_pathi = np.zeros(max(nt, 1), dtype=np.int32)
+    t_strand = np.zeros(max(nt, 1), dtype=np.int32)
+    t_count1 = np.zeros(max(nt, 1), dtype=np.int64)
+    t_cov = np.zeros(max(nt, 1), dtype=np.float64)
+    t_conf = np.zeros(max(nt, 1), dtype=np.float64)
+    t_abd = np.zeros(max(nt, 1), dtype=np.float64)
+    t_nexons = np.zeros(max(nt, 1), dtype=np.int32)
+    exons = np.zeros(max(ne, 1), dtype=np.int64)
+    feats = np.zeros(max(nt * len(FEATURE_COLUMNS), 1), dtype=np.float64)
+    lib.core_out_fill(h, ip(g_sid), ip(g_sub), ip(t_group), ip(t_pathi),
+                      ip(t_strand), lp(t_count1),
+                      t_cov.ctypes.data_as(f64p),
+                      t_conf.ctypes.data_as(f64p),
+                      t_abd.ctypes.data_as(f64p), ip(t_nexons), lp(exons),
+                      feats.ctypes.data_as(f64p))
+    lib.core_out_free(h)
+
+    _replay_transcripts(asmb, gv[0].chrm, ng, nt, g_sid, g_sub, t_group,
+                        t_pathi, t_strand, t_count1, t_cov, t_conf, t_abd,
+                        t_nexons, exons, feats)
+    for bd in gv:
+        bd.clear()
+    return True
+
+
+def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
+                        t_strand, t_count1, t_cov, t_conf, t_abd, t_nexons,
+                        exons, feats):
+    """Rebuild Transcript objects and replay the per-graph transcript-set
+    adds in Assembler.assemble_graph order (assembler.cc:1121-1136)."""
+    from ..constants import TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
+    from .transcript_store import new_transcript_set
+    cfg = asmb.cfg
+    nf = len(FEATURE_COLUMNS)
+    eoff = 0
+    # transcripts arrive grouped in group order (groups assembled in order)
+    per_group = [[] for _ in range(ng)]
+    for k in range(nt):
+        g = int(t_group[k])
+        t = Transcript()
+        t.seqname = chrm
+        t.source = "aletsch-tpu"
+        gid = "instance.%d.%d.%d.%d.0" % (asmb.rid, asmb.gid, asmb.instance,
+                                          int(g_sub[g]))
+        t.gene_id = gid
+        t.transcript_id = "chr%s.%s.%d" % (chrm, gid, int(t_pathi[k]))
+        t.meta_tid = t.transcript_id
+        t.strand = chr(int(t_strand[k]))
+        t.coverage = float(t_cov[k])
+        t.cov2 = float(t_cov[k])
+        t.conf = float(t_conf[k])
+        t.abd = float(t_abd[k])
+        t.count1 = int(t_count1[k])
+        t.count2 = 1
+        nx = int(t_nexons[k])
+        for x in range(nx):
+            t.add_exon(int(exons[eoff + 2 * x]), int(exons[eoff + 2 * x + 1]))
+        eoff += 2 * nx
+        f = t.features
+        for j, name in enumerate(FEATURE_COLUMNS):
+            v = float(feats[k * nf + j])
+            setattr(f, name, int(v) if name in _INT_FEATURES else v)
+        per_group[g].append(t)
+    for g in range(ng):
+        ts = new_transcript_set(chrm, asmb.tmerge.rid, cfg)
+        sid = int(g_sid[g])
+        for t in per_group[g]:
+            if len(t.exons) <= 1 and cfg.skip_single_exon_transcripts:
+                continue
+            t.RPKM = 0
+            ts.add_transcript(t, 1, sid, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+        asmb.tmerge.add(ts, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)

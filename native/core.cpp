@@ -1,0 +1,506 @@
+// core.cpp — the native group assembler and its C ABI.
+//
+// Port of aletsch_tpu/meta/assembler.py (meta/assembler.{h,cc}): per-bundle
+// fragment bridging, joint re-bridging against the combined graph,
+// cross-sample junction/boundary/non-splicing support, boundary-extend
+// features, and per-graph assembly through the Scallop decomposition.
+// Consumed through ctypes (aletsch_tpu/meta/native_core.py); the Python
+// pipeline remains the differential oracle.
+
+#include "core_scallop.h"
+
+namespace core {
+
+struct CoreOut {
+    // per assemble_graph invocation ("group")
+    std::vector<i32> g_sid;
+    std::vector<i32> g_subindex;
+    // per transcript
+    std::vector<i32> t_group;
+    std::vector<i32> t_pathi;
+    std::vector<i32> t_strand;
+    std::vector<i64> t_count1;
+    std::vector<double> t_cov, t_conf, t_abd;
+    std::vector<i32> t_nexons;
+    std::vector<i64> exons;          // flat (start, end) pairs
+    std::vector<double> feats;       // N_FEATURES per transcript
+};
+
+struct GroupAssembler {
+    Cfg acfg;                        // assembler parameters (DEFAULT)
+    CoreOut& out;
+
+    GroupAssembler(const Cfg& c, CoreOut& o) : acfg(c), out(o) {}
+
+    static i64 pack(i64 a, i64 b) {
+        return (i64)(((uint64_t)a << 32) | ((uint64_t)b & 0xFFFFFFFFu));
+    }
+
+    // assembler.cc:930-944
+    void transform(Bundle& bd, bool revising, SpliceGraph& gr) {
+        GraphBuilder(bd, acfg).build(gr);
+        gr.build_vertex_index();
+        if (revising) {
+            identify_boundaries(gr, acfg);
+            remove_false_boundaries(gr, bd);
+            refine_splice_graph(gr);
+        }
+    }
+
+    // meta/bundle.cc:55-88 (meta/bundle.py bridge; uses the bundle's cfg)
+    void bridge(Bundle& bd) {
+        SpliceGraph gr;
+        GraphBuilder(bd, bd.cfg).build(gr);
+        gr.build_vertex_index();
+        std::vector<PereadsCluster> vc;
+        build_pereads_clusters(gr, bd, bd.cfg.max_reads_partition_gap, vc);
+        BridgeSolver bs(gr, vc, bd.cfg, bd.insert_low, bd.insert_high);
+        for (size_t k = 0; k < vc.size(); k++) {
+            if (bs.opt[k].type <= 0) continue;
+            bd.update_bridges(vc[k].frlist, bs.opt[k].chain, bs.opt[k].strand);
+        }
+    }
+
+    // assembler.cc:117-138 / 255-282
+    void stamp_own_sample(SpliceGraph& gr, int sid) {
+        for (GEdge* e : gr.edges()) {
+            EdgeInfo& ei = e->info;
+            ei.samples.assign(1, sid);
+            ei.spAbd.clear();
+            ei.spAbd[sid] = e->wrt;
+            ei.abd = e->wrt;
+            ei.count = 1;
+        }
+    }
+
+    // assembler.cc:1075-1136
+    void assemble_graph(SpliceGraph& gx, PhaseSet& px, int sid,
+                        int subindex) {
+        gx.extend_strands();
+        std::map<i64, i64> smap =
+            group_start_boundaries(gx, acfg.max_group_boundary_distance);
+        std::map<i64, i64> tmap =
+            group_end_boundaries(gx, acfg.max_group_boundary_distance);
+        px.project_boundaries(smap, tmap);
+        HyperSet hx;
+        hx.init_from_phase_set(gx, px);
+        hx.filter_nodes(gx);
+        int group = (int)out.g_sid.size();
+        out.g_sid.push_back(sid);
+        out.g_subindex.push_back(subindex);
+        Scallop sc(gx, hx, acfg);
+        std::vector<OutTranscript> ts;
+        sc.assemble(ts, group);
+        for (OutTranscript& t : ts) {
+            out.t_group.push_back(t.group);
+            out.t_pathi.push_back(t.path_i);
+            out.t_strand.push_back((i32)t.strand);
+            out.t_count1.push_back(t.count1);
+            out.t_cov.push_back(t.coverage);
+            out.t_conf.push_back(t.conf);
+            out.t_abd.push_back(t.abd);
+            out.t_nexons.push_back((i32)t.exons.size());
+            for (auto& ab : t.exons) {
+                out.exons.push_back(ab.first);
+                out.exons.push_back(ab.second);
+            }
+            size_t base = out.feats.size();
+            out.feats.resize(base + N_FEATURES);
+            features_to_array(t.f, out.feats.data() + base);
+        }
+    }
+
+    // assembler.cc:107-150
+    void assemble_single(Bundle& bd, int subindex) {
+        SpliceGraph gr;
+        transform(bd, true, gr);
+        gr.reads = (i64)bd.frgs.size();
+        gr.subgraph = 1;
+        stamp_own_sample(gr, bd.sample_id);
+        PhaseSet ps;
+        bd.build_phase_set(ps, gr);
+        assemble_graph(gr, ps, bd.sample_id, subindex);
+        bd.clear();
+    }
+
+    // assembler.cc:152-175 (largest-coverage-first; stable on ties)
+    void combine_bundles(Bundle& bx, std::vector<Bundle*>& gv) {
+        std::vector<int> order(gv.size());
+        for (size_t i = 0; i < gv.size(); i++) order[i] = (int)i;
+        std::vector<i64> nseg(gv.size());
+        for (size_t i = 0; i < gv.size(); i++)
+            nseg[i] = gv[i]->mmap.num_segments();
+        std::stable_sort(order.begin(), order.end(),
+                         [&nseg](int a, int b) { return nseg[a] > nseg[b]; });
+        for (int k : order) bx.combine(*gv[k], true);
+    }
+
+    // assembler.cc:977-1018
+    void joint_bridge(std::vector<Bundle*>& gv) {
+        Bundle cb;
+        cb.cfg = acfg;
+        cb.copy_meta_information(*gv[0]);
+        combine_bundles(cb, gv);
+        SpliceGraph gr;
+        transform(cb, false, gr);
+        for (Bundle* bd : gv) {
+            std::vector<PereadsCluster> vc;
+            build_pereads_clusters(gr, *bd, acfg.max_reads_partition_gap, vc);
+            if (vc.empty()) continue;
+            BridgeSolver bs(gr, vc, acfg, bd->insert_low, bd->insert_high);
+            for (size_t j = 0; j < vc.size(); j++) {
+                if (bs.opt[j].type <= 0) continue;
+                bd->update_bridges(vc[j].frlist, bs.opt[j].chain,
+                                   bs.opt[j].strand);
+            }
+        }
+        cb.clear();
+    }
+
+    // assembler.cc:375-417
+    void junction_support(SpliceGraph& gr,
+                          const std::map<i64, std::vector<int>>& junc2sup,
+                          const std::map<i64, std::map<int, double>>& sup2abd) {
+        for (GEdge* e : gr.edges()) {
+            int s = e->s, t = e->t;
+            if (s == 0 || t == gr.num_vertices() - 1) continue;
+            if (gr.vinfo[s].rpos == gr.vinfo[t].lpos) continue;
+            i64 p = pack(gr.vinfo[s].rpos, gr.vinfo[t].lpos);
+            auto it = junc2sup.find(p);
+            if (it == junc2sup.end()) continue;
+            EdgeInfo& ei = e->info;
+            ei.samples = it->second;           // sorted copy
+            const auto& ab = sup2abd.at(p);
+            ei.spAbd = ab;
+            ei.count = (i64)ei.samples.size();
+            double sum = 0.0;
+            for (const auto& kv : ab) sum += kv.second;   // sorted-key order
+            ei.abd += sum;
+        }
+    }
+
+    // assembler.cc:419-462
+    void non_splicing_support(int sample_id, SpliceGraph& gr,
+                              SpliceGraph& gx) {
+        int n = gx.num_vertices() - 1;
+        for (GEdge* e : gx.edges()) {
+            int s = e->s, t = e->t;
+            if (s == 0 || t == n) continue;
+            EdgeInfo& ei = e->info;
+            if (gx.vinfo[s].rpos != gx.vinfo[t].lpos) continue;
+            i64 p = gx.vinfo[t].lpos;
+            int k1 = gr.locate_vertex(p - 1);
+            int k2 = gr.locate_vertex(p);
+            if (k1 < 0 || k2 < 0) continue;
+            double w;
+            if (k1 == k2) {
+                w = gr.vwrt[k1];
+            } else if (gr.vinfo[k1].rpos == gr.vinfo[k2].lpos &&
+                       gr.edge(k1, k2) != nullptr) {
+                w = gr.edge(k1, k2)->wrt;
+            } else {
+                continue;
+            }
+            ei.add_sample(sample_id);
+            ei.count = (i64)ei.samples.size();
+            ei.spAbd[sample_id] += w;
+            ei.abd += w;
+        }
+    }
+
+    // assembler.cc:678-778
+    void start_end_support(int sample_id, SpliceGraph& gr, SpliceGraph& gx) {
+        int n = gx.num_vertices() - 1;
+        std::vector<GEdge*> souts;
+        for (GEdge* e = gr.vout[0].head; e; e = e->onext) souts.push_back(e);
+        for (GEdge* e : souts) {
+            int t = e->t;
+            i64 p = gr.vinfo[t].rpos;
+            int k = gx.locate_vertex(p - 1);
+            if (k < 0) continue;
+            GEdge* peb = gx.edge(0, k);
+            bool cont = true;
+            while (peb == nullptr) {
+                k -= 1;
+                if (k == 0) { cont = false; break; }
+                if (p - gx.vinfo[k].rpos > 200) cont = false;
+                if (gx.vinfo[k + 1].lpos != gx.vinfo[k].rpos) cont = false;
+                if (gx.edge(k, k + 1) == nullptr) cont = false;
+                if (!cont) break;
+                peb = gx.edge(0, k);
+            }
+            if (!cont || peb == nullptr) continue;
+            EdgeInfo& ei = peb->info;
+            ei.add_sample(sample_id);
+            ei.count = (i64)ei.samples.size();
+            ei.spAbd[sample_id] += e->wrt;
+            ei.abd += e->wrt;
+        }
+        std::vector<GEdge*> sins;
+        int grn = gr.num_vertices() - 1;
+        for (GEdge* e = gr.vin[grn].head; e; e = e->inext) sins.push_back(e);
+        for (GEdge* e : sins) {
+            int s = e->s;
+            i64 p = gr.vinfo[s].lpos;
+            int k = gx.locate_vertex(p);
+            if (k < 0) continue;
+            GEdge* peb = gx.edge(k, n);
+            bool cont = true;
+            while (peb == nullptr) {
+                k += 1;
+                if (k == n) { cont = false; break; }
+                if (gx.vinfo[k].lpos - p > 200) cont = false;
+                if (gx.vinfo[k - 1].rpos != gx.vinfo[k].lpos) cont = false;
+                if (gx.edge(k - 1, k) == nullptr) cont = false;
+                if (!cont) break;
+                peb = gx.edge(k, n);
+            }
+            if (!cont || peb == nullptr) continue;
+            EdgeInfo& ei = peb->info;
+            ei.add_sample(sample_id);
+            ei.count = (i64)ei.samples.size();
+            ei.spAbd[sample_id] += e->wrt;
+            ei.abd += e->wrt;
+        }
+    }
+
+    // assembler.cc:781-901
+    void boundary_extend(int sample_id, SpliceGraph& gr, SpliceGraph& gx,
+                         int pos_type) {
+        int n = gr.num_vertices() - 1;
+        int gxn = gx.num_vertices() - 1;
+        std::vector<GEdge*> souts;
+        for (GEdge* e = gr.vout[0].head; e; e = e->onext) souts.push_back(e);
+        for (GEdge* e : souts) {
+            int t = e->t;
+            VertexInfo& vi = gr.vinfo[t];
+            int k = -1;
+            if (pos_type == 1) k = gx.locate_vertex(vi.lpos);
+            else if (pos_type == 2) k = gx.locate_vertex(vi.rpos - 1);
+            else if (pos_type == 3) {
+                if (t + 1 < n && gr.edge(t, t + 1) != nullptr &&
+                    gr.vinfo[t].rpos == gr.vinfo[t + 1].lpos)
+                    k = gx.locate_vertex(vi.rpos);
+            }
+            if (k <= 0 || gx.edge(0, k) != nullptr) continue;
+            GEdge* ek = gx.edge(k - 1, k);
+            double new_loss;
+            if (ek != nullptr && gx.vinfo[k - 1].rpos == gx.vinfo[k].lpos)
+                new_loss = gx.get_in_weights(k) - ek->wrt;
+            else
+                new_loss = gx.get_in_weights(k);
+            if (sample_id == -1 && pos_type == 1)
+                vi.boundary_merged_loss += new_loss;
+            else if (pos_type == 1) vi.boundary_loss1 += new_loss;
+            else if (pos_type == 2) vi.boundary_loss2 += new_loss;
+            else if (pos_type == 3) vi.boundary_loss3 += new_loss;
+        }
+        std::vector<GEdge*> sins;
+        for (GEdge* e = gr.vin[n].head; e; e = e->inext) sins.push_back(e);
+        for (GEdge* e : sins) {
+            int s = e->s;
+            VertexInfo& vi = gr.vinfo[s];
+            int k = -1;
+            if (pos_type == 1) k = gx.locate_vertex(vi.rpos - 1);
+            else if (pos_type == 2) k = gx.locate_vertex(vi.lpos);
+            else if (pos_type == 3) {
+                if (s > 1 && gr.edge(s - 1, s) != nullptr &&
+                    gr.vinfo[s - 1].rpos == gr.vinfo[s].lpos)
+                    k = gx.locate_vertex(vi.lpos - 1);
+            }
+            if (k < 0 || k == gxn || gx.edge(k, gxn) != nullptr) continue;
+            GEdge* ek = k + 1 <= gxn ? gx.edge(k, k + 1) : nullptr;
+            double new_loss;
+            if (ek != nullptr && gx.vinfo[k].rpos == gx.vinfo[k + 1].lpos)
+                new_loss = gx.get_out_weights(k) - ek->wrt;
+            else
+                new_loss = gx.get_out_weights(k);
+            if (sample_id == -1 && pos_type == 1)
+                vi.boundary_merged_loss += new_loss;
+            else if (pos_type == 1) vi.boundary_loss1 += new_loss;
+            else if (pos_type == 2) vi.boundary_loss2 += new_loss;
+            else if (pos_type == 3) vi.boundary_loss3 += new_loss;
+        }
+    }
+
+    // assembler.cc:177-373
+    void assemble_group(std::vector<Bundle*>& gv) {
+        int subindex = 0;
+        Bundle bx;
+        bx.cfg = acfg;
+        bx.copy_meta_information(*gv[0]);
+        combine_bundles(bx, gv);
+        int bx_subindex = subindex;     // combined graph's gid subindex (0)
+        subindex++;
+        SpliceGraph gx;
+        transform(bx, false, gx);
+        gx.reads = (i64)bx.frgs.size();
+        gx.subgraph = (i64)gv.size();
+
+        std::map<i64, std::vector<int>> junc2sup;
+        std::map<i64, std::map<int, double>> sup2abd;
+
+        auto collect_support = [&](SpliceGraph& gr, int sid) {
+            for (GEdge* e : gr.edges()) {
+                int s = e->s, t = e->t;
+                EdgeInfo& ei = e->info;
+                ei.samples.assign(1, sid);
+                ei.spAbd.clear();
+                ei.spAbd[sid] = e->wrt;
+                ei.abd = e->wrt;
+                ei.count = 1;
+                if (s == 0 || t == gr.num_vertices() - 1) continue;
+                i64 p0r = gr.vinfo[s].rpos;
+                i64 p0l = gr.vinfo[t].lpos;
+                if (p0r == p0l) continue;
+                i64 p = pack(p0r, p0l);
+                auto& sset = junc2sup[p];
+                auto it = std::lower_bound(sset.begin(), sset.end(), sid);
+                if (it == sset.end() || *it != sid) sset.insert(it, sid);
+                sup2abd[p][sid] = e->wrt;
+            }
+        };
+
+        collect_support(gx, -1);
+
+        std::vector<std::unique_ptr<SpliceGraph>> grv;
+        std::vector<int> subidx;
+        for (Bundle* bd : gv) {
+            int si = subindex;
+            subindex++;
+            grv.push_back(std::unique_ptr<SpliceGraph>(new SpliceGraph()));
+            SpliceGraph& gr = *grv.back();
+            transform(*bd, true, gr);
+            gr.reads = (i64)bd->frgs.size();
+            gr.subgraph = (i64)gv.size();
+            collect_support(gr, bd->sample_id);
+            subidx.push_back(si);
+        }
+
+        PhaseSet px;
+        for (size_t k = 0; k < gv.size(); k++) {
+            Bundle* bd = gv[k];
+            SpliceGraph& gr = *grv[k];
+            junction_support(gr, junc2sup, sup2abd);
+            for (size_t j = 0; j < gv.size(); j++) {
+                SpliceGraph& gr1 = *grv[j];
+                start_end_support(gv[j]->sample_id, gr1, gr);
+                non_splicing_support(gv[j]->sample_id, gr1, gr);
+                boundary_extend(gv[j]->sample_id, gr, gr1, 1);
+                boundary_extend(gv[j]->sample_id, gr, gr1, 2);
+                boundary_extend(gv[j]->sample_id, gr, gr1, 3);
+            }
+            PhaseSet ps;
+            bd->build_phase_set(ps, gr);
+            px.combine(ps);
+            start_end_support(bd->sample_id, gr, gx);
+            non_splicing_support(bd->sample_id, gr, gx);
+            boundary_extend(-1, gr, gx, 1);
+            assemble_graph(gr, ps, bd->sample_id, subidx[k]);
+            bd->clear();
+        }
+        bx.clear();
+        junction_support(gx, junc2sup, sup2abd);
+        assemble_graph(gx, px, -1, bx_subindex);
+    }
+
+    // assembler.cc:33-73
+    void resolve(std::vector<Bundle*>& gv) {
+        for (Bundle* bd : gv) bridge(*bd);   // build_fragments pre-done
+        if (gv.size() == 1) {
+            assemble_single(*gv[0], 0);
+        } else if (gv.size() >= 2) {
+            joint_bridge(gv);
+            assemble_group(gv);
+        }
+    }
+};
+
+}  // namespace core
+
+// ------------------------------------------------------------------ C ABI
+
+using core::i32;
+using core::i64;
+
+extern "C" {
+
+void* core_resolve_group(
+    i32 n_bundles, i32 do_bridge,
+    const i32* nh, const i64* fixed_off,
+    const i32* fixed,
+    const i64* coords_off, const i32* coords,
+    const i64* mev_off, const i64* mev_cnt, const i32* mev,
+    const i64* iev_off, const i64* iev_cnt, const i32* iev,
+    const i64* frg_off, const i64* frg_cnt, const i32* frgs,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls) {
+    core::CoreOut* out = new core::CoreOut();
+    std::vector<std::unique_ptr<core::Bundle>> bundles;
+    std::vector<core::Bundle*> gv;
+    for (i32 b = 0; b < n_bundles; b++) {
+        bundles.push_back(std::unique_ptr<core::Bundle>(new core::Bundle()));
+        core::Bundle& bd = *bundles.back();
+        bd.cfg = core::cfg_from_arrays(cfg_ints + (size_t)b * core::CFG_NI,
+                                       cfg_dbls + (size_t)b * core::CFG_ND);
+        bd.sample_id = sample_id[b];
+        bd.strand = (char)strand[b];
+        bd.insert_low = ins_low[b];
+        bd.insert_high = ins_high[b];
+        bd.init_from_scan(fixed + 25 * fixed_off[b], nh[b],
+                          coords + coords_off[b],
+                          mev + 2 * mev_off[b], mev_cnt[b],
+                          iev + 2 * iev_off[b], iev_cnt[b],
+                          frgs + 2 * frg_off[b], frg_cnt[b]);
+        bd.tid = 0;
+        bd.lpos = lpos[b];
+        bd.rpos = rpos[b];
+        gv.push_back(&bd);
+    }
+    core::Cfg acfg = core::cfg_from_arrays(
+        cfg_ints + (size_t)n_bundles * core::CFG_NI,
+        cfg_dbls + (size_t)n_bundles * core::CFG_ND);
+    core::GroupAssembler ga(acfg, *out);
+    if (do_bridge) {
+        ga.resolve(gv);
+    } else {
+        // incubator splice-free path: assemble_single without bridging
+        for (core::Bundle* bd : gv) ga.assemble_single(*bd, 0);
+    }
+    return out;
+}
+
+void core_out_sizes(void* h, i64* out3) {
+    core::CoreOut* o = (core::CoreOut*)h;
+    out3[0] = (i64)o->g_sid.size();
+    out3[1] = (i64)o->t_group.size();
+    out3[2] = (i64)o->exons.size();   // 2 * total exon count
+}
+
+void core_out_fill(void* h, i32* g_sid, i32* g_subindex,
+                   i32* t_group, i32* t_pathi, i32* t_strand,
+                   i64* t_count1, double* t_cov, double* t_conf,
+                   double* t_abd, i32* t_nexons, i64* exons, double* feats) {
+    core::CoreOut* o = (core::CoreOut*)h;
+    auto cp = [](auto& v, auto* dst) {
+        if (!v.empty()) memcpy(dst, v.data(), v.size() * sizeof(v[0]));
+    };
+    cp(o->g_sid, g_sid);
+    cp(o->g_subindex, g_subindex);
+    cp(o->t_group, t_group);
+    cp(o->t_pathi, t_pathi);
+    cp(o->t_strand, t_strand);
+    cp(o->t_count1, t_count1);
+    cp(o->t_cov, t_cov);
+    cp(o->t_conf, t_conf);
+    cp(o->t_abd, t_abd);
+    cp(o->t_nexons, t_nexons);
+    cp(o->exons, exons);
+    cp(o->feats, feats);
+}
+
+void core_out_free(void* h) { delete (core::CoreOut*)h; }
+
+}  // extern "C"

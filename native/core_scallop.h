@@ -1,0 +1,1036 @@
+// core_scallop.h — iterative phasing-preserving splice-graph decomposition
+// plus transcript/feature construction.
+//
+// Ports of:
+//   Scallop              <- aletsch_tpu/scallop/decompose.py
+//                           (scallop/scallop.{h,cc})
+//   build_transcript     <- aletsch_tpu/core/essential.py
+//                           (rnacore/essential.cc:719-748)
+//   update_trst_features <- aletsch_tpu/scallop/decompose.py:781-927
+//                           (scallop/scallop.cc:3268-3451)
+
+#pragma once
+
+#include "core_solve.h"
+
+namespace core {
+
+struct Path {
+    std::vector<int> v;
+    std::vector<std::pair<int, int>> junc;
+    double weight = 0.0;
+    double abd = 0.0;
+    double conf = 0.0;
+    double reads = 0.0;
+    i64 count = 0;
+    char strand = '.';
+    i64 length = 0;
+};
+
+// per-transcript RF features (io/gtf.py TrstFeatures, gtf/transcript.h:61-104)
+struct Features {
+    i64 gr_vertices = 0, gr_edges = 0, gr_reads = 0, gr_subgraph = 0;
+    i64 num_vertices = 0, num_edges = 0;
+    double junc_ratio = 0.0;
+    i64 max_mid_exon_len = 0;
+    double start_loss1 = 0.0, start_loss2 = 0.0, start_loss3 = 0.0;
+    double end_loss1 = 0.0, end_loss2 = 0.0, end_loss3 = 0.0;
+    double start_merged_loss = 0.0, end_merged_loss = 0.0;
+    i64 introns = 0, start_introns = 0, end_introns = 0;
+    double intron_ratio = 0.0, start_intron_ratio = 0.0,
+           end_intron_ratio = 0.0;
+    i64 uni_junc = 0;
+    double seq_min_wt = 0.0;
+    i64 seq_min_cnt = 0;
+    double seq_min_abd = 0.0, seq_min_ratio = 0.0;
+    double seq_max_wt = 0.0;
+    i64 seq_max_cnt = 0;
+    double seq_max_abd = 0.0, seq_max_ratio = 0.0;
+    i64 start_cnt = 0;
+    double start_weight = 0.0, start_abd = 0.0;
+    i64 end_cnt = 0;
+    double end_weight = 0.0, end_abd = 0.0;
+    i64 unbridge_start_coming_count = 0;
+    double unbridge_start_coming_ratio = 0.0;
+    i64 unbridge_end_leaving_count = 0;
+    double unbridge_end_leaving_ratio = 0.0;
+};
+static const int N_FEATURES = 41;
+
+// FEATURE_COLUMNS order (io/gtf.py:67-81)
+inline void features_to_array(const Features& f, double* out) {
+    int k = 0;
+    out[k++] = (double)f.gr_vertices;
+    out[k++] = (double)f.gr_edges;
+    out[k++] = (double)f.gr_reads;
+    out[k++] = (double)f.gr_subgraph;
+    out[k++] = (double)f.num_vertices;
+    out[k++] = (double)f.num_edges;
+    out[k++] = f.junc_ratio;
+    out[k++] = (double)f.max_mid_exon_len;
+    out[k++] = f.start_loss1;
+    out[k++] = f.start_loss2;
+    out[k++] = f.start_loss3;
+    out[k++] = f.end_loss1;
+    out[k++] = f.end_loss2;
+    out[k++] = f.end_loss3;
+    out[k++] = f.start_merged_loss;
+    out[k++] = f.end_merged_loss;
+    out[k++] = (double)f.introns;
+    out[k++] = f.intron_ratio;
+    out[k++] = (double)f.start_introns;
+    out[k++] = f.start_intron_ratio;
+    out[k++] = (double)f.end_introns;
+    out[k++] = f.end_intron_ratio;
+    out[k++] = (double)f.uni_junc;
+    out[k++] = f.seq_min_wt;
+    out[k++] = (double)f.seq_min_cnt;
+    out[k++] = f.seq_min_abd;
+    out[k++] = f.seq_min_ratio;
+    out[k++] = f.seq_max_wt;
+    out[k++] = (double)f.seq_max_cnt;
+    out[k++] = f.seq_max_abd;
+    out[k++] = f.seq_max_ratio;
+    out[k++] = (double)f.start_cnt;
+    out[k++] = f.start_weight;
+    out[k++] = f.start_abd;
+    out[k++] = (double)f.end_cnt;
+    out[k++] = f.end_weight;
+    out[k++] = f.end_abd;
+    out[k++] = (double)f.unbridge_start_coming_count;
+    out[k++] = f.unbridge_start_coming_ratio;
+    out[k++] = (double)f.unbridge_end_leaving_count;
+    out[k++] = f.unbridge_end_leaving_ratio;
+    assert(k == N_FEATURES);
+}
+
+// one assembled transcript (gtf.py Transcript numeric subset; id strings are
+// composed on the Python side from (group, path_i))
+struct OutTranscript {
+    int group = -1;          // assemble_graph invocation index
+    int path_i = -1;
+    char strand = '.';
+    double coverage = 0.0;   // == cov2
+    double conf = 0.0, abd = 0.0;
+    i64 count1 = 0;
+    std::vector<std::pair<i64, i64>> exons;
+    Features f;
+};
+
+// scallop.cc:3472-3497
+inline i64 unique_junc(const std::vector<Path>& paths, size_t i) {
+    std::map<std::pair<int, int>, i64> junc_uni;
+    for (size_t idx = 0; idx < paths.size(); idx++) {
+        for (const auto& pr : paths[idx].junc) {
+            auto it = junc_uni.find(pr);
+            if (it == junc_uni.end()) junc_uni[pr] = (i64)idx;
+            else if (it->second != (i64)idx) it->second = -1;
+        }
+    }
+    i64 n = 0;
+    for (const auto& pr : paths[i].junc) {
+        auto it = junc_uni.find(pr);
+        if (it != junc_uni.end() && it->second == (i64)i) n++;
+    }
+    return n;
+}
+
+// essential.cc:719-748 (essential.py build_transcript, numeric part)
+inline void build_transcript(const SpliceGraph& gr, const Path& p,
+                             OutTranscript& t) {
+    t.coverage = std::log(1.0 + p.weight);
+    t.strand = p.strand;
+    t.conf = p.conf;
+    t.abd = p.abd;
+    t.count1 = p.count;
+    std::vector<std::pair<i64, i64>> iv;
+    for (size_t k = 1; k + 1 < p.v.size(); k++) {
+        const VertexInfo& vi = gr.vinfo[p.v[k]];
+        iv.push_back({vi.lpos, vi.rpos});
+    }
+    std::sort(iv.begin(), iv.end());
+    t.exons.clear();
+    for (auto& ab : iv) {
+        if (!t.exons.empty() && t.exons.back().second >= ab.first)
+            t.exons.back().second = std::max(t.exons.back().second, ab.second);
+        else
+            t.exons.push_back(ab);
+    }
+}
+
+// scallop.cc:3268-3451 (decompose.py update_trst_features)
+inline void update_trst_features(const SpliceGraph& gr, Features& f,
+                                 size_t pid, const std::vector<Path>& paths) {
+    const Path& p = paths[pid];
+    size_t n = p.v.size();
+    assert(n >= 3);
+    f.num_vertices = (i64)n - 2;
+    f.num_edges = (i64)n - 3;
+    f.gr_vertices = gr.num_vertices();
+    f.gr_edges = gr.num_edges();
+    f.gr_reads = gr.reads;
+    f.gr_subgraph = gr.subgraph;
+    f.max_mid_exon_len = 0;
+
+    i64 junc = (i64)p.junc.size();
+    if (junc == 0) return;
+
+    int start_v = p.junc.front().first;
+    int end_v = p.junc.back().second;
+    i64 it_s = -1, it_t = -1;
+    for (size_t i = 0; i < n; i++) {
+        if (it_s < 0 && p.v[i] == start_v) it_s = (i64)i;
+        if (it_t < 0 && p.v[i] == end_v) it_t = (i64)i;
+    }
+    if (it_s < 0 || it_t < 0) return;
+    f.junc_ratio = it_t != it_s ? (double)junc / (double)(it_t - it_s) : 0.0;
+
+    for (i64 i = 1; i < junc; i++) {
+        i64 exon_len = gr.vinfo[p.junc[i].first].rpos
+                       - gr.vinfo[p.junc[i - 1].second].lpos;
+        f.max_mid_exon_len = std::max(f.max_mid_exon_len, exon_len);
+    }
+
+    const VertexInfo& svi = gr.vinfo[p.v[1]];
+    const VertexInfo& evi = gr.vinfo[p.v[n - 2]];
+    f.start_loss1 = svi.boundary_loss1;
+    f.start_loss2 = svi.boundary_loss2;
+    f.start_loss3 = svi.boundary_loss3;
+    f.end_loss1 = evi.boundary_loss1;
+    f.end_loss2 = evi.boundary_loss2;
+    f.end_loss3 = evi.boundary_loss3;
+    f.start_merged_loss = svi.boundary_merged_loss;
+    f.end_merged_loss = evi.boundary_merged_loss;
+    f.uni_junc = unique_junc(paths, pid);
+
+    auto intron_ratio = [&gr](int v1, int v2, double& r) -> bool {
+        GEdge* e = gr.edge(v1, v2);
+        GEdge* e1 = gr.edge(v1, v1 + 1);
+        GEdge* e2 = gr.edge(v2 - 1, v2);
+        if (e == nullptr || e1 == nullptr || e2 == nullptr) return false;
+        double denom = std::min(e1->wrt, e2->wrt);
+        if (denom <= 0) return false;
+        r = e->wrt / denom;
+        return true;
+    };
+
+    f.introns = 0;
+    f.start_introns = 0;
+    f.end_introns = 0;
+    f.intron_ratio = 0.0;
+    f.start_intron_ratio = 0.0;
+    f.end_intron_ratio = 0.0;
+    const auto& junc1 = p.junc;
+    for (size_t i2 = 0; i2 < paths.size(); i2++) {
+        if (i2 == pid) continue;
+        const auto& junc2 = paths[i2].junc;
+        if (junc1.size() < 2 || junc2.size() < 1) continue;
+        i64 intron_cnt = 0, start_intron = 0, end_intron = 0;
+        for (size_t i = 0; i < junc1.size(); i++) {
+            for (size_t j = 0; j < junc2.size(); j++) {
+                double r;
+                if (i == 0 && junc2[j].first >= p.v[1] &&
+                    junc2[j].second <= junc1[0].first) {
+                    start_intron++;
+                    if (intron_ratio(junc2[j].first, junc2[j].second, r))
+                        f.start_intron_ratio = std::max(f.start_intron_ratio, r);
+                } else if (i > 0 && junc2[j].second <= junc1[i].first &&
+                           junc2[j].first >= junc1[i - 1].second) {
+                    intron_cnt++;
+                    if (intron_ratio(junc2[j].first, junc2[j].second, r))
+                        f.intron_ratio = std::max(f.intron_ratio, r);
+                }
+                if (i == junc1.size() - 1 && junc2[j].first >= junc1[i].second &&
+                    junc2[j].second <= p.v[n - 2]) {
+                    end_intron++;
+                    if (intron_ratio(junc2[j].first, junc2[j].second, r))
+                        f.end_intron_ratio = std::max(f.end_intron_ratio, r);
+                }
+            }
+        }
+        f.introns = std::max(f.introns, intron_cnt);
+        f.start_introns = std::max(f.start_introns, start_intron);
+        f.end_introns = std::max(f.end_introns, end_intron);
+    }
+
+    f.seq_min_wt = INF;
+    f.seq_min_cnt = PY_INT_MAX;
+    f.seq_min_abd = INF;
+    f.seq_min_ratio = 1.0;
+    f.seq_max_wt = 0.0;
+    f.seq_max_cnt = 0;
+    f.seq_max_abd = 0.0;
+    f.seq_max_ratio = 0.0;
+    f.unbridge_start_coming_count = 0;
+    f.unbridge_start_coming_ratio = 0.0;
+    f.unbridge_end_leaving_count = 0;
+    f.unbridge_end_leaving_ratio = 0.0;
+
+    for (size_t i = 1; i < n; i++) {
+        int v1 = p.v[i - 1], v2 = p.v[i];
+        GEdge* e = gr.edge(v1, v2);
+        if (e == nullptr) continue;
+        const EdgeInfo& ei = e->info;
+        double w = e->wrt;
+        const VertexInfo& vi2 = gr.vinfo[v2];
+        double denom = std::max(gr.get_in_weights(v2), gr.get_out_weights(v1));
+        double ratio = denom > 0 ? w / denom : 0.0;
+        f.seq_min_wt = std::min(f.seq_min_wt, w);
+        f.seq_min_cnt = std::min(f.seq_min_cnt, ei.count);
+        f.seq_min_abd = std::min(f.seq_min_abd, ei.abd);
+        f.seq_min_ratio = std::min(f.seq_min_ratio, ratio);
+        f.seq_max_wt = std::max(f.seq_max_wt, w);
+        f.seq_max_cnt = std::max(f.seq_max_cnt, ei.count);
+        f.seq_max_abd = std::max(f.seq_max_abd, ei.abd);
+        f.seq_max_ratio = std::max(f.seq_max_ratio, ratio);
+        if (i == 1) {
+            f.unbridge_start_coming_count = vi2.unbridge_coming_count;
+            f.unbridge_start_coming_ratio = vi2.unbridge_coming_ratio;
+            f.start_cnt = ei.count;
+            f.start_weight = w;
+            f.start_abd = ei.abd;
+        } else if (i == n - 2) {
+            f.unbridge_end_leaving_count = vi2.unbridge_leaving_count;
+            f.unbridge_end_leaving_ratio = vi2.unbridge_leaving_ratio;
+        } else if (i == n - 1) {
+            f.end_cnt = ei.count;
+            f.end_weight = w;
+            f.end_abd = ei.abd;
+        }
+    }
+    if (f.seq_min_wt == INF) f.seq_min_wt = 0.0;
+    if (f.seq_min_abd == INF) f.seq_min_abd = 0.0;
+    if (f.seq_min_cnt == PY_INT_MAX) f.seq_min_cnt = 0;
+}
+
+// ---------------------------------------------------------------- Scallop
+
+struct Scallop {
+    SpliceGraph& gr;
+    HyperSet& hs;
+    const Cfg& cfg;
+    std::vector<Path> paths;
+    std::vector<GEdge*> i2e;        // scallop edge index -> edge (null = gone)
+    std::vector<int> v2v;
+    std::set<int> nonzeroset;
+
+    Scallop(SpliceGraph& g, HyperSet& h, const Cfg& c)
+        : gr(g), hs(h), cfg(c) {
+        for (GEdge* e : gr.edges()) {
+            e->si = (int)i2e.size();
+            i2e.push_back(e);
+        }
+        hs.build(gr);
+        for (GEdge* e : i2e) {
+            e->mev.clear();
+            e->med = 0.0;
+            e->mei = 0;
+            e->info.weight = e->wrt;
+        }
+        for (int i = 0; i < gr.num_vertices(); i++) v2v.push_back(i);
+        for (int i = 1; i < gr.num_vertices() - 1; i++)
+            if (gr.degree(i) > 0) nonzeroset.insert(i);
+    }
+
+    // scallop.cc:38-188 (copy of gr taken after construction, like Python)
+    void assemble(std::vector<OutTranscript>& out, int group) {
+        SpliceGraph gr_ori;
+        gr.copy_into(gr_ori);
+        const double* r = cfg.max_decompose_error_ratio;
+        while (true) {
+            if (gr.num_vertices() > cfg.max_num_exons) break;
+            if (resolve_broken_vertex()) continue;
+            if (resolve_trivial_vertex_fast(r[TRIVIAL_VERTEX])) continue;
+            if (resolve_trivial_vertex(1, true, r[TRIVIAL_VERTEX])) continue;
+            if (resolve_smallest_edges(r[0])) continue;
+            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, 1, 0.01))
+                continue;
+            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, 1, 0.01))
+                continue;
+            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, PY_INT_MAX,
+                                            r[UNSPLITTABLE_SINGLE]))
+                continue;
+            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX,
+                                            r[SPLITTABLE_PURE]))
+                continue;
+            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, PY_INT_MAX,
+                                            INF))
+                continue;
+            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX, INF))
+                continue;
+            if (resolve_trivial_vertex(2, true, r[TRIVIAL_VERTEX])) continue;
+            break;
+        }
+        collect_existing_st_paths();
+        greedy_decompose();
+        build_transcripts(gr_ori, out, group);
+    }
+
+    std::vector<int> sorted_nonzero() const {
+        return std::vector<int>(nonzeroset.begin(), nonzeroset.end());
+    }
+
+    // scallop.cc:190-236
+    bool resolve_broken_vertex() {
+        int x = -1;
+        for (int i : nonzeroset) {
+            if (i == 0 || i == gr.num_vertices() - 1) continue;
+            if (gr.in_degree(i) >= 1 && gr.out_degree(i) >= 1) continue;
+            x = i;
+            break;
+        }
+        if (x == -1) return false;
+        std::vector<int> ve;
+        for (GEdge* e = gr.vin[x].head; e; e = e->inext) ve.push_back(e->si);
+        for (GEdge* e = gr.vout[x].head; e; e = e->onext) ve.push_back(e->si);
+        for (int e : ve) {
+            remove_edge(e);
+            hs.remove(e);
+        }
+        nonzeroset.erase(x);
+        return true;
+    }
+
+    // scallop.cc:2169-2196
+    int classify_trivial_vertex(int x, bool fast) {
+        int d1 = gr.in_degree(x);
+        int d2 = gr.out_degree(x);
+        if (d1 != 1 && d2 != 1) return -1;
+        int e1 = gr.vin[x].head->si;
+        int e2 = gr.vout[x].head->si;
+        if (d1 == 1) {
+            int s = i2e[e1]->s;
+            if (gr.out_degree(s) == 1) return 1;
+            if (fast && hs.right_dominate(e1)) return 1;
+        }
+        if (d2 == 1) {
+            int t = i2e[e2]->t;
+            if (gr.in_degree(t) == 1) return 1;
+            if (fast && hs.left_dominate(e2)) return 1;
+        }
+        return 2;
+    }
+
+    // scallop.cc:2578-2602
+    double compute_balance_ratio(int v) const {
+        double w1 = gr.get_in_weights(v);
+        double w2 = gr.get_out_weights(v);
+        return w1 >= w2 ? w1 / w2 : w2 / w1;
+    }
+
+    // scallop.cc:1236-1254
+    bool resolve_single_trivial_vertex(int i, double jump_ratio) {
+        if (gr.in_degree(i) <= 0 || gr.out_degree(i) <= 0) return false;
+        if (gr.in_degree(i) >= 2 && gr.out_degree(i) >= 2) return false;
+        if (gr.mixed_strand_vertex(i)) return false;
+        if (classify_trivial_vertex(i, false) != 1) return false;
+        double r = compute_balance_ratio(i);
+        if (r >= jump_ratio) return false;
+        decompose_trivial_vertex(i);
+        return true;
+    }
+
+    // scallop.cc:1256-1269
+    bool resolve_trivial_vertex_fast(double jump_ratio) {
+        bool flag = false;
+        for (int i : sorted_nonzero()) {
+            if (!nonzeroset.count(i)) continue;
+            if (resolve_single_trivial_vertex(i, jump_ratio)) flag = true;
+        }
+        return flag;
+    }
+
+    // scallop.cc:1180-1234
+    bool resolve_trivial_vertex(int type_, bool fast, double jump_ratio) {
+        int root = -1;
+        double ratio = INF;
+        bool flag = false;
+        for (int i : sorted_nonzero()) {
+            if (!nonzeroset.count(i)) continue;
+            if (gr.in_degree(i) <= 0 || gr.out_degree(i) <= 0) continue;
+            if (gr.mixed_strand_vertex(i)) continue;
+            if (gr.in_degree(i) >= 2 && gr.out_degree(i) >= 2) continue;
+            if (classify_trivial_vertex(i, fast) != type_) continue;
+            double r = compute_balance_ratio(i);
+            if (r < 1.02) {
+                decompose_trivial_vertex(i);
+                flag = true;
+                continue;
+            }
+            if (ratio < r) continue;
+            root = i;
+            ratio = r;
+            if (ratio < jump_ratio) break;
+        }
+        if (flag) return true;
+        if (root == -1) return false;
+        decompose_trivial_vertex(root);
+        return true;
+    }
+
+    // insertion-ordered pe2w helper
+    typedef std::vector<std::pair<std::pair<int, int>, double>> Pe2w;
+
+    // scallop.cc:2144-2167
+    void decompose_trivial_vertex(int x) {
+        balance_vertex(x);
+        Pe2w pe2w;
+        for (GEdge* ein = gr.vin[x].head; ein; ein = ein->inext) {
+            int e1 = ein->si;
+            double w1 = ein->wrt;
+            for (GEdge* eout = gr.vout[x].head; eout; eout = eout->onext) {
+                int e2 = eout->si;
+                double w2 = eout->wrt;
+                pe2w.push_back({{e1, e2}, std::min(w1, w2)});
+            }
+        }
+        decompose_vertex_replace(x, pe2w);
+    }
+
+    // scallop.cc:2967-2986
+    void compute_smallest_in_edge(int x, int& e, double& r) {
+        e = -1;
+        double s1 = 0.0;
+        double minw = INF;
+        for (GEdge* ein = gr.vin[x].head; ein; ein = ein->inext) {
+            double w = ein->wrt;
+            s1 += w;
+            if (w > minw) continue;
+            minw = w;
+            e = ein->si;
+        }
+        r = e == -1 ? 0.0 : minw / s1;
+    }
+    // scallop.cc:2988-3007
+    void compute_smallest_out_edge(int x, int& e, double& r) {
+        e = -1;
+        double s1 = 0.0;
+        double minw = INF;
+        for (GEdge* eout = gr.vout[x].head; eout; eout = eout->onext) {
+            double w = eout->wrt;
+            s1 += w;
+            if (w > minw) continue;
+            minw = w;
+            e = eout->si;
+        }
+        r = e == -1 ? 0.0 : minw / s1;
+    }
+    // scallop.cc:3009-3030
+    void compute_smallest_edge(int x, int& e, double& r) {
+        int e1, e2;
+        double r1, r2;
+        compute_smallest_in_edge(x, e1, r1);
+        compute_smallest_out_edge(x, e2, r2);
+        if (e1 < 0 || e2 < 0) { e = -1; r = 0.0; return; }
+        if (r1 < r2) { e = e1; r = r1; }
+        else { e = e2; r = r2; }
+    }
+
+    // scallop.cc:844-945
+    bool resolve_smallest_edges(double max_ratio) {
+        int se = -1;
+        double ratio = max_ratio;
+        bool flag = false;
+        for (int i : sorted_nonzero()) {
+            if (!nonzeroset.count(i)) continue;
+            if (gr.in_degree(i) <= 1 || gr.out_degree(i) <= 1) continue;
+            int e;
+            double r;
+            compute_smallest_edge(i, e, r);
+            if (e == -1) continue;
+            int s = i2e[e]->s;
+            int t = i2e[e]->t;
+            if (gr.out_degree(s) <= 1 || gr.in_degree(t) <= 1) continue;
+            if (hs.right_extend(e) && hs.left_extend(e)) continue;
+            if (t == i && hs.right_extend(e)) continue;
+            if (s == i && hs.left_extend(e)) continue;
+            i64 vs[6];
+            gr.get_strand_degree(i, vs);
+            int z = i2e[e]->info.strand;
+            if (s == i && z >= 1 && vs[0] + vs[z] <= 1) continue;
+            if (t == i && z >= 1 && vs[3] + vs[z + 3] <= 1) continue;
+            if (r < 0.01) {
+                remove_edge(e);
+                hs.remove(e);
+                flag = true;
+                continue;
+            }
+            if (ratio < r) continue;
+            ratio = r;
+            se = e;
+        }
+        if (flag) return true;
+        if (se == -1) return false;
+        remove_edge(se);
+        hs.remove(se);
+        return true;
+    }
+
+    // hyper_set.cc:553-571 via decompose.py get_routes: insertion-ordered
+    // (in-edge, out-edge) -> count
+    std::vector<std::pair<std::pair<int, int>, i64>> get_routes(int x) {
+        std::vector<std::pair<std::pair<int, int>, i64>> mpi;
+        std::vector<std::pair<int, i64>> succ;
+        for (GEdge* ein = gr.vin[x].head; ein; ein = ein->inext) {
+            int e = ein->si;
+            hs.get_successors(e, succ);
+            for (const auto& kc : succ)
+                mpi.push_back({{e, kc.first}, kc.second});
+        }
+        return mpi;
+    }
+
+    // scallop.cc:1004-1060
+    bool resolve_unsplittable_vertex(int type_, i64 degree, double max_ratio) {
+        int root = -1;
+        Pe2w best;
+        double ratio = max_ratio;
+        bool flag = false;
+        for (int i : sorted_nonzero()) {
+            if (!nonzeroset.count(i)) continue;
+            if (gr.in_degree(i) <= 1 || gr.out_degree(i) <= 1) continue;
+            auto mpi = get_routes(i);
+            Router rt(i, gr, i2e, mpi, cfg);
+            rt.classify();
+            if (rt.type != type_ || rt.degree > degree) continue;
+            rt.build();
+            if (rt.ratio < 0.01) {
+                decompose_vertex_extend(i, rt.pe2w);
+                flag = true;
+                continue;
+            }
+            if (rt.ratio > ratio) continue;
+            root = i;
+            ratio = rt.ratio;
+            best = rt.pe2w;
+        }
+        if (flag) return true;
+        if (root == -1) return false;
+        decompose_vertex_extend(root, best);
+        return true;
+    }
+
+    // scallop.cc:2198-2215
+    void exchange_sink(int old_sink, int new_sink) {
+        std::vector<GEdge*> es;
+        for (GEdge* e = gr.vin[old_sink].head; e; e = e->inext)
+            es.push_back(e);
+        for (GEdge* e : es) gr.move_edge(e, e->s, new_sink);
+        assert(gr.degree(old_sink) == 0);
+    }
+
+    // scallop.cc:1997-2007
+    void borrow_edge_strand(int e1, int e2) {
+        int s2 = i2e[e2]->info.strand;
+        if (s2 == 0) return;
+        i2e[e1]->info.strand = s2;
+    }
+
+    // scallop.cc:1675-1986
+    void decompose_vertex_extend(int root, const Pe2w& pe2w) {
+        std::map<int, i64> mdegree;
+        std::map<int, double> mweight;
+        double total_weight = 0.0;
+        for (const auto& kv : pe2w) {
+            mdegree[kv.first.first] += 1;
+            mdegree[kv.first.second] += 1;
+            total_weight += kv.second;
+            mweight[kv.first.first] += kv.second;
+            mweight[kv.first.second] += kv.second;
+        }
+        const VertexInfo root_info = gr.vinfo[root];
+        i64 root_len = root_info.rpos - root_info.lpos;
+        double vertex_weight = gr.vwrt[root] * (double)root_len;
+        for (auto& kv : mweight)
+            kv.second = kv.second / total_weight * vertex_weight;
+
+        int m = gr.num_vertices() - 1;
+        int n = m;
+        std::map<int, int> ev1, ev2;
+        for (GEdge* e = gr.vin[root].head; e; e = e->inext) {
+            int ei = e->si;
+            if (mdegree[ei] >= 2) { ev1[ei] = n; n++; }
+        }
+        for (GEdge* e = gr.vout[root].head; e; e = e->onext) {
+            int ei = e->si;
+            if (mdegree[ei] >= 2) { ev2[ei] = n; n++; }
+        }
+        // sorted(pe2w.keys())
+        std::vector<std::pair<int, int>> skeys;
+        std::map<std::pair<int, int>, double> pw;
+        for (const auto& kv : pe2w) pw[kv.first] = kv.second;
+        for (const auto& kv : pw) skeys.push_back(kv.first);
+        for (const auto& key : skeys) {
+            if (mdegree[key.first] == 1 && mdegree[key.second] == 1) {
+                ev1[key.first] = n;
+                n++;
+            }
+        }
+
+        for (int i = m; i < n; i++) {
+            gr.add_vertex();
+            nonzeroset.insert(i);
+            v2v.push_back(-1);
+        }
+        if (m != n) {
+            v2v[n] = v2v[m];
+            gr.vinfo[n] = gr.vinfo[m];
+            exchange_sink(m, n);
+        }
+
+        // detach adjacent edges onto aux vertices (sorted ev keys)
+        for (const auto& kv : ev1) {
+            GEdge* e = i2e[kv.first];
+            int k = kv.second;
+            i64 p = gr.vinfo[e->s].rpos;
+            gr.move_edge(e, e->s, k);
+            VertexInfo vi;
+            vi.lpos = p;
+            vi.rpos = p;
+            gr.vinfo[k] = vi;
+            gr.vwrt[k] = 0;
+            v2v[k] = -2;
+        }
+        for (const auto& kv : ev2) {
+            GEdge* e = i2e[kv.first];
+            int k = kv.second;
+            i64 p = gr.vinfo[e->t].lpos;
+            gr.move_edge(e, k, e->t);
+            VertexInfo vi;
+            vi.lpos = p;
+            vi.rpos = p;
+            gr.vinfo[k] = vi;
+            gr.vwrt[k] = 0;
+            v2v[k] = -2;
+        }
+
+        // connect according to pe2w (sorted keys)
+        for (const auto& key : skeys) {
+            int e1 = key.first, e2 = key.second;
+            double w = pw[key];
+            if (mdegree[e1] == 1 && mdegree[e2] >= 2) {
+                GEdge* p = i2e[e1];
+                borrow_edge_strand(e1, e2);
+                gr.move_edge(p, p->s, ev2[e2]);
+                p->mev.push_back(root);
+                p->med += mweight[e1];
+                p->mei += root_len;
+            } else if (mdegree[e2] == 1) {
+                GEdge* p = i2e[e2];
+                borrow_edge_strand(e2, e1);
+                gr.move_edge(p, ev1[e1], p->t);
+                p->mev.insert(p->mev.begin(), root);
+                p->med += mweight[e2];
+                p->mei += root_len;
+            } else {
+                int vv1 = ev1[e1];
+                int vv2 = ev2[e2];
+                GEdge* p = gr.add_edge(vv1, vv2);
+                int z = (int)i2e.size();
+                p->si = z;
+                i2e.push_back(p);
+                p->wrt = w;
+                const EdgeInfo& ei1 = i2e[e1]->info;
+                const EdgeInfo& ei2 = i2e[e2]->info;
+                EdgeInfo& ei = p->info;
+                ei.samples = EdgeInfo::intersect(ei1.samples, ei2.samples);
+                ei.count = (i64)ei.samples.size();
+                ei.abd = 0.0;
+                ei.spAbd.clear();
+                for (int sp : ei.samples) {
+                    auto ia = ei1.spAbd.find(sp);
+                    auto ib = ei2.spAbd.find(sp);
+                    double a = ia == ei1.spAbd.end() ? 0.0 : ia->second;
+                    double b = ib == ei2.spAbd.end() ? 0.0 : ib->second;
+                    double common = std::min(a, b);
+                    ei.spAbd[sp] = common;
+                    ei.abd += common;
+                }
+                p->mev.assign(1, root);
+                p->med = w / total_weight * vertex_weight;
+                p->mei = root_len;
+                borrow_edge_strand(z, e1);
+                borrow_edge_strand(z, e2);
+                hs.insert_between(e1, e2, z);
+            }
+        }
+
+        assert(gr.degree(root) == 0);
+        nonzeroset.erase(root);
+
+        for (const auto& kv : ev1)
+            resolve_single_trivial_vertex(
+                kv.second, cfg.max_decompose_error_ratio[TRIVIAL_VERTEX]);
+        for (const auto& kv : ev2)
+            resolve_single_trivial_vertex(
+                kv.second, cfg.max_decompose_error_ratio[TRIVIAL_VERTEX]);
+    }
+
+    // scallop.cc:2009-2142
+    void decompose_vertex_replace(int root, const Pe2w& pe2w) {
+        std::map<int, double> md;
+        for (const auto& kv : pe2w) {
+            md[kv.first.first] += kv.second;
+            md[kv.first.second] += kv.second;
+        }
+        for (const auto& kv : md) i2e[kv.first]->wrt = kv.second;
+        std::map<std::pair<int, int>, double> pw;
+        for (const auto& kv : pe2w) pw[kv.first] = kv.second;
+        // drop hyper routes not covered (get_routes insertion order)
+        auto mpi = get_routes(root);
+        for (const auto& kv : mpi) {
+            if (pw.count(kv.first)) continue;
+            hs.remove_pair(kv.first.first, kv.first.second);
+        }
+        std::map<int, i64> m;
+        for (const auto& kv : pe2w) {
+            m[kv.first.first] += 1;
+            m[kv.first.second] += 1;
+        }
+        for (const auto& kv : pw) {
+            int e1 = kv.first.first, e2 = kv.first.second;
+            double w = kv.second;
+            int e = merge_adjacent_edges_w(e1, e2, w);
+            hs.replace_pair(e1, e2, e);
+            if (m[e1] == 1) hs.replace(e1, e);
+            if (m[e2] == 1) hs.replace(e2, e);
+        }
+        for (const auto& kv : pw) {
+            hs.remove(kv.first.first);
+            hs.remove(kv.first.second);
+        }
+        assert(gr.degree(root) == 0);
+        nonzeroset.erase(root);
+    }
+
+    // scallop.cc:2380-2392
+    void remove_edge(int e) {
+        GEdge* ee = i2e[e];
+        i2e[e] = nullptr;
+        gr.remove_edge(ee);
+    }
+
+    // scallop.cc:2433-2484
+    int split_edge(int ei, double w) {
+        GEdge* ee = i2e[ei];
+        double ww = ee->wrt;
+        if (std::fabs(ww - w) <= SMIN) return ei;
+        GEdge* p2 = gr.add_edge(ee->s, ee->t);
+        double www = ww - w;
+        if (www <= cfg.min_guaranteed_edge_weight)
+            www = cfg.min_guaranteed_edge_weight;
+        ee->wrt = www;
+        p2->wrt = w;
+        p2->info = ee->info;
+        p2->mev = ee->mev;
+        p2->med = ww != 0 ? ee->med * w / ww : 0.0;
+        p2->mei = ee->mei;
+        int n = (int)i2e.size();
+        p2->si = n;
+        i2e.push_back(p2);
+        return n;
+    }
+
+    // scallop.cc:2242-2378
+    int merge_adjacent_equal_edges(int x, int y) {
+        if (i2e[x] == nullptr || i2e[y] == nullptr) return -1;
+        GEdge* xx = i2e[x];
+        GEdge* yy = i2e[y];
+        int xs = xx->s, xt = xx->t;
+        int ys = yy->s, yt = yy->t;
+        if (xt != ys && yt != xs) return -1;
+        if (yt == xs) return merge_adjacent_equal_edges(y, x);
+        GEdge* p = gr.add_edge(xs, yt);
+        int n = (int)i2e.size();
+        p->si = n;
+        i2e.push_back(p);
+        double wx0 = xx->wrt;
+        double wy0 = yy->wrt;
+        const EdgeInfo& ei1 = xx->info;
+        const EdgeInfo& ei2 = yy->info;
+        i64 lxy = ei1.length + ei2.length + gr.vinfo[xt].length;
+        p->wrt = wx0 * 0.5 + wy0 * 0.5;
+        EdgeInfo& ei = p->info;
+        ei.length = lxy;
+        ei.samples = EdgeInfo::intersect(ei1.samples, ei2.samples);
+        ei.count = (i64)ei.samples.size();
+        ei.abd = 0.0;
+        ei.spAbd.clear();
+        for (int sp : ei.samples) {
+            auto ia = ei1.spAbd.find(sp);
+            auto ib = ei2.spAbd.find(sp);
+            double a = ia == ei1.spAbd.end() ? 0.0 : ia->second;
+            double b = ib == ei2.spAbd.end() ? 0.0 : ib->second;
+            double common = std::min(a, b);
+            ei.spAbd[sp] = common;
+            ei.abd += common;
+        }
+        ei.confidence = ei1.confidence + ei2.confidence;
+        borrow_edge_strand(n, x);
+        borrow_edge_strand(n, y);
+        p->mev = xx->mev;
+        p->mev.push_back(xt);
+        p->mev.insert(p->mev.end(), yy->mev.begin(), yy->mev.end());
+        double sum1 = gr.get_in_weights(xt);
+        double sum2 = gr.get_out_weights(xt);
+        double ssum = (sum1 + sum2) * 0.5;
+        double r1 = ssum > 0 ? gr.vwrt[xt] * (wx0 + wy0) * 0.5 / ssum : 0.0;
+        double r2 = gr.vwrt[xt] - r1;
+        gr.vwrt[xt] = r2;
+        const VertexInfo& root_info = gr.vinfo[xt];
+        i64 mi = root_info.rpos - root_info.lpos + xx->mei + yy->mei;
+        double mdv = (double)mi * r1 + xx->med + yy->med;
+        p->med = mdv;
+        p->mei = mi;
+        remove_edge(x);
+        remove_edge(y);
+        if (gr.in_degree(xt) == 0 && gr.out_degree(xt) == 0)
+            nonzeroset.erase(xt);
+        return n;
+    }
+
+    // scallop.cc:2394-2416
+    int merge_adjacent_edges_w(int x, int y, double ww) {
+        if (i2e[x] == nullptr || i2e[y] == nullptr) return -1;
+        GEdge* xx = i2e[x];
+        GEdge* yy = i2e[y];
+        if (xx->t != yy->s) return merge_adjacent_edges_w(y, x, ww);
+        int x1 = split_edge(x, ww);
+        int y1 = split_edge(y, ww);
+        return merge_adjacent_equal_edges(x1, y1);
+    }
+
+    // scallop.cc:2217-2240
+    int split_merge_path(const std::vector<GEdge*>& edges, double ww) {
+        if (edges.empty()) return -1;
+        std::vector<int> v;
+        for (GEdge* e : edges) v.push_back(e->si);
+        int ee = split_edge(v[0], ww);
+        for (size_t i = 1; i < v.size(); i++) {
+            int x = split_edge(v[i], ww);
+            ee = merge_adjacent_equal_edges(ee, x);
+        }
+        return ee;
+    }
+
+    // scallop.cc:2486-2576
+    void balance_vertex(int v) {
+        if (gr.in_degree(v) <= 0 || gr.out_degree(v) <= 0) return;
+        std::vector<GEdge*> ve1, ve2;
+        for (GEdge* e = gr.vin[v].head; e; e = e->inext) ve1.push_back(e);
+        for (GEdge* e = gr.vout[v].head; e; e = e->onext) ve2.push_back(e);
+        double w1 = 0.0, w2 = 0.0;
+        for (GEdge* e : ve1) w1 += e->wrt;
+        for (GEdge* e : ve2) w2 += e->wrt;
+        double ww = std::sqrt(w1 * w2);
+        double r1 = ww / w1;
+        double r2 = ww / w2;
+        double m1 = 0.0, m2 = 0.0;
+        for (GEdge* e : ve1) {
+            double wy = e->wrt * r1;
+            if (wy < cfg.min_guaranteed_edge_weight) {
+                m1 += cfg.min_guaranteed_edge_weight - wy;
+                wy = cfg.min_guaranteed_edge_weight;
+            }
+            e->wrt = wy;
+        }
+        for (GEdge* e : ve2) {
+            double wy = e->wrt * r2;
+            if (wy < cfg.min_guaranteed_edge_weight) {
+                m2 += cfg.min_guaranteed_edge_weight - wy;
+                wy = cfg.min_guaranteed_edge_weight;
+            }
+            e->wrt = wy;
+        }
+        if (m1 > m2) {
+            GEdge* e = ve2[0];
+            e->wrt = e->wrt + m1 - m2;
+        } else if (m1 < m2) {
+            GEdge* e = ve1[0];
+            e->wrt = e->wrt + m2 - m1;
+        }
+    }
+
+    // scallop.cc:2742-2752
+    void collect_existing_st_paths() {
+        for (size_t i = 0; i < i2e.size(); i++) {
+            GEdge* e = i2e[i];
+            if (e == nullptr) continue;
+            if (e->s != 0 || e->t != gr.num_vertices() - 1) continue;
+            collect_path((int)i);
+        }
+    }
+
+    // scallop.cc:2766-2834
+    void collect_path(int e) {
+        GEdge* ee = i2e[e];
+        const std::vector<int>& v0 = ee->mev;
+        std::vector<int> v;
+        i64 mi = 0;
+        for (int u : v0) {
+            if (v2v[u] < 0) continue;
+            v.push_back(v2v[u]);
+            const VertexInfo& vi = gr.vinfo[v2v[u]];
+            mi += vi.rpos - vi.lpos;
+        }
+        std::sort(v.begin(), v.end());
+        int n = v2v[gr.num_vertices() - 1];
+        v.insert(v.begin(), 0);
+        v.push_back(n);
+        bool empty = false;
+        for (int x : v)
+            if (gr.vinfo[x].type == -9) { empty = true; break; }
+        if (!empty && v.size() >= 3) {
+            const EdgeInfo& ei = ee->info;
+            Path p;
+            p.length = mi;
+            p.weight = ee->wrt;
+            p.abd = ei.abd;
+            p.conf = std::exp(std::min(ei.confidence, 700.0));
+            p.reads = ee->med;
+            p.v = v;
+            p.count = ei.count;
+            for (size_t i = 2; i + 1 < v.size(); i++) {
+                if (gr.vinfo[v[i]].lpos != gr.vinfo[v[i - 1]].rpos)
+                    p.junc.push_back({v[i - 1], v[i]});
+            }
+            if (ei.strand == 1) p.strand = '+';
+            else if (ei.strand == 2) p.strand = '-';
+            else p.strand = gr.strand;
+            paths.push_back(std::move(p));
+        }
+        gr.remove_edge(ee);
+        i2e[e] = nullptr;
+    }
+
+    // scallop.cc:2874-2897
+    void greedy_decompose() {
+        if (gr.num_edges() == 0) return;
+        for (int i = 1; i < gr.num_vertices() - 1; i++) balance_vertex(i);
+        for (int i = 1; i < gr.num_vertices() - 1; i++) balance_vertex(i);
+        std::vector<GEdge*> vpath;
+        while (true) {
+            double w = gr.compute_maximum_path_w(vpath);
+            if (w < 0) break;
+            if (w <= cfg.min_transcript_coverage) break;
+            int e = split_merge_path(vpath, w);
+            if (e < 0) break;
+            collect_path(e);
+        }
+    }
+
+    // scallop.cc:3250-3266
+    void build_transcripts(const SpliceGraph& gr_ori,
+                           std::vector<OutTranscript>& out, int group) {
+        for (size_t i = 0; i < paths.size(); i++) {
+            OutTranscript t;
+            t.group = group;
+            t.path_i = (int)i;
+            build_transcript(gr_ori, paths[i], t);
+            update_trst_features(gr_ori, t.f, i, paths);
+            out.push_back(std::move(t));
+        }
+    }
+};
+
+}  // namespace core

@@ -1,0 +1,1104 @@
+// core_solve.h — pereads clustering adapter, the bridging DP, hyper set,
+// and the router.
+//
+// Ports of:
+//   build_pereads_clusters <- aletsch_tpu/core/graph_cluster.py
+//                             (rnacore/graph_cluster.{h,cc}); delegates to
+//                             the existing engine in abam.cpp
+//   BridgeSolver           <- aletsch_tpu/bridge/solver.py
+//                             (bridge/bridge_solver.{h,cc})
+//   HyperSet               <- aletsch_tpu/scallop/hyper_set.py
+//                             (scallop/hyper_set.{h,cc})
+//   UGraph + Router        <- aletsch_tpu/scallop/{ugraph,router}.py
+//                             (graph/undirected_graph.*, scallop/router.{h,cc})
+
+#pragma once
+
+#include "core_build.h"
+
+// the cluster engine lives in abam.cpp (same shared object)
+extern "C" {
+void* abam_cluster_pereads(
+    int32_t n_interior, const int32_t* vstarts, const int32_t* vends,
+    const uint8_t* adj_next,
+    int32_t n_r, const int32_t* rkeys, const int32_t* rvals,
+    int32_t n_l, const int32_t* lkeys, const int32_t* lvals,
+    const int32_t* hpos, const int32_t* hrpos,
+    const int32_t* chain_off, const int32_t* chain_len,
+    const int32_t* chain_pool,
+    int32_t n_cand, const int32_t* cand_frag, const int32_t* cand_h1,
+    const int32_t* cand_h2, int32_t max_gap);
+void abam_cluster_sizes(void* o, int64_t* out3);
+void abam_cluster_fill(void* o, int32_t* meta, int32_t* moff,
+                       int32_t* members, uint8_t* aligned);
+void abam_cluster_free(void* o);
+}
+
+namespace core {
+
+// ------------------------------------------------------- pereads clusters
+
+struct PereadsCluster {
+    std::vector<i64> chain1, chain2;
+    i64 bounds[4] = {0, 0, 0, 0};
+    i64 extend[4] = {0, 0, 0, 0};
+    std::vector<int> frlist;
+    i64 count = 0;
+};
+
+// graph_cluster.py build_pereads_clusters via the native engine
+// (_build_clusters_native export + abam_cluster_pereads)
+inline void build_pereads_clusters(const SpliceGraph& gr, Bundle& bd,
+                                   i64 max_gap,
+                                   std::vector<PereadsCluster>& vc) {
+    vc.clear();
+    // candidates (fragments still to bridge); assume unbridgeable first
+    std::vector<i32> cand_frag, cand_h1, cand_h2;
+    for (size_t i = 0; i < bd.frgs.size(); i++) {
+        auto& f = bd.frgs[i];
+        if (f[2] >= 1 || f[2] <= -1) continue;
+        f[2] = -1;
+        i64 h1 = f[0], h2 = f[1];
+        const HitRow& hit1 = bd.hits[h1];
+        const HitRow& hit2 = bd.hits[h2];
+        if (hit1.pos > hit2.pos || hit1.rpos > hit2.rpos) continue;
+        cand_frag.push_back((i32)i);
+        cand_h1.push_back((i32)h1);
+        cand_h2.push_back((i32)h2);
+    }
+    int n = gr.num_vertices();
+    if (cand_frag.empty() || n < 3) return;
+    int ni = n - 2;
+    std::vector<i32> vstarts(ni), vends(ni);
+    for (int k = 1; k < n - 1; k++) {
+        vstarts[k - 1] = (i32)gr.vinfo[k].lpos;
+        vends[k - 1] = (i32)gr.vinfo[k].rpos;
+    }
+    std::vector<uint8_t> adj(std::max(ni - 1, 1), 0);
+    for (int k = 1; k < n - 2; k++)
+        if (gr.edge(k, k + 1) != nullptr) adj[k - 1] = 1;
+    std::vector<i32> rkeys, rvals, lkeys, lvals;
+    for (const auto& kv : gr.rindex) {
+        rkeys.push_back((i32)kv.first);
+        rvals.push_back((i32)kv.second);
+    }
+    for (const auto& kv : gr.lindex) {
+        lkeys.push_back((i32)kv.first);
+        lvals.push_back((i32)kv.second);
+    }
+    // hit coordinates and chains straight from the scanner rows
+    std::vector<i32> hpos(bd.nh), hrpos(bd.nh), choff(bd.nh), chlen(bd.nh);
+    for (i64 j = 0; j < bd.nh; j++) {
+        const i32* row = bd.fixed + 25 * j;
+        hpos[j] = row[1];
+        hrpos[j] = row[2];
+        choff[j] = row[17] + 2 * row[18];
+        chlen[j] = row[19];
+    }
+    void* h = abam_cluster_pereads(
+        ni, vstarts.data(), vends.data(), adj.data(),
+        (i32)rkeys.size(), rkeys.data(), rvals.data(),
+        (i32)lkeys.size(), lkeys.data(), lvals.data(),
+        hpos.data(), hrpos.data(), choff.data(), chlen.data(),
+        bd.coords, (i32)cand_frag.size(), cand_frag.data(), cand_h1.data(),
+        cand_h2.data(), (i32)max_gap);
+    int64_t sizes[3];
+    abam_cluster_sizes(h, sizes);
+    i64 nc = sizes[0], nm = sizes[1], na = sizes[2];
+    std::vector<i32> meta(std::max<i64>(nc * 10, 1));
+    std::vector<i32> moff(std::max<i64>(nc, 1));
+    std::vector<i32> members(std::max<i64>(nm, 1));
+    std::vector<uint8_t> aligned(std::max<i64>(na, 1));
+    abam_cluster_fill(h, meta.data(), moff.data(), members.data(),
+                      aligned.data());
+    abam_cluster_free(h);
+    for (i64 j = 0; j < na; j++)
+        if (aligned[j]) bd.frgs[cand_frag[j]][2] = 0;   // to be bridged
+    vc.resize(nc);
+    for (i64 c = 0; c < nc; c++) {
+        i64 rep = meta[c * 10 + 0];
+        PereadsCluster& pc = vc[c];
+        pc.count = meta[c * 10 + 1];
+        const auto& f0 = bd.frgs[rep];
+        bd.hcst.get_chain(f0[0], pc.chain1);
+        bd.hcst.get_chain(f0[1], pc.chain2);
+        for (int d = 0; d < 4; d++) {
+            pc.bounds[d] = meta[c * 10 + 2 + d];
+            pc.extend[d] = meta[c * 10 + 6 + d];
+        }
+        i64 a = moff[c];
+        i64 b = (c + 1 < nc) ? moff[c + 1] : nm;
+        pc.frlist.assign(members.begin() + a, members.begin() + b);
+    }
+}
+
+// ------------------------------------------------------------ BridgeSolver
+// bridge/solver.py (bridge/bridge_solver.{h,cc})
+
+struct BridgePath {
+    int type = -1;
+    i64 score = 0;
+    std::vector<i64> stack;
+    std::vector<int> v;
+    std::vector<i64> chain;
+    std::vector<i64> whole;
+    int strand = 0;
+    i64 choices = 0;
+};
+
+struct BridgeSolver {
+    SpliceGraph& gr;
+    std::vector<PereadsCluster>& vc;
+    const Cfg& cfg;
+    i64 length_low, length_high;
+    std::vector<BridgePath> opt;
+
+    std::vector<GEdge*> adjedges;
+    std::set<std::pair<i64, i64>> pseudos;
+    struct Pier {
+        int bs, bt;
+        std::vector<BridgePath> bridges;
+    };
+    std::vector<Pier> piers;
+    std::vector<std::pair<int, int>> vpairs;
+
+    struct Entry {
+        std::vector<i64> stack;
+        i64 length;
+        int trace1, trace2;
+    };
+
+    BridgeSolver(SpliceGraph& g, std::vector<PereadsCluster>& v,
+                 const Cfg& c, i64 low, i64 high)
+        : gr(g), vc(v), cfg(c), length_low(low), length_high(high) {
+        add_adjacent_edges();
+        build_pseudo_introns();
+        build_bridging_vertices();
+        build_piers();
+        nominate();
+        vote_all();
+        remove_adjacent_edges();
+    }
+
+    // bridge_solver.cc:71-95
+    void add_adjacent_edges() {
+        for (int i = 1; i < gr.num_vertices() - 2; i++) {
+            if (gr.edge(i, i + 1) != nullptr) continue;
+            GEdge* e = gr.add_edge(i, i + 1);
+            e->wrt = 0.5;
+            e->info.weight = 0.5;
+            adjedges.push_back(e);
+        }
+    }
+    void remove_adjacent_edges() {
+        for (GEdge* e : adjedges) gr.remove_edge(e);
+    }
+    // bridge_solver.cc:97-108
+    void build_pseudo_introns() {
+        for (GEdge* e : adjedges) {
+            i64 p1 = gr.vinfo[e->s].rpos;
+            i64 p2 = gr.vinfo[e->t].lpos;
+            if (p1 >= p2) continue;
+            pseudos.insert({p1, p2});
+        }
+    }
+    // bridge_solver.cc:110-122
+    std::vector<i64> filter_pseudo_introns(const std::vector<i64>& chain) {
+        std::vector<i64> v;
+        for (size_t k = 0; k < chain.size() / 2; k++) {
+            std::pair<i64, i64> p{chain[2 * k], chain[2 * k + 1]};
+            if (pseudos.count(p)) continue;
+            v.push_back(p.first);
+            v.push_back(p.second);
+        }
+        return v;
+    }
+
+    // bridge_solver.cc:124-135
+    bool check_left_relaxing(const PereadsCluster& pc, int v) {
+        int n = gr.num_vertices() - 1;
+        if (v <= 0 || v >= n) return false;
+        i64 p = gr.vinfo[v].lpos;
+        if (v <= 1) return false;
+        if (!check_continuous_vertices(gr, v - 1, v)) return false;
+        if (pc.bounds[1] - p > cfg.bridge_end_relaxing) return false;
+        if (!pc.chain1.empty() && pc.chain1.back() >= p) return false;
+        return true;
+    }
+    // bridge_solver.cc:137-148
+    bool check_right_relaxing(const PereadsCluster& pc, int v) {
+        int n = gr.num_vertices() - 1;
+        if (v <= 0 || v >= n) return false;
+        i64 p = gr.vinfo[v].rpos;
+        if (v >= n - 1) return false;
+        if (!check_continuous_vertices(gr, v, v + 1)) return false;
+        if (p - pc.bounds[2] > cfg.bridge_end_relaxing) return false;
+        if (!pc.chain2.empty() && pc.chain2.front() <= p) return false;
+        return true;
+    }
+    // bridge_solver.cc:53-69
+    void build_bridging_vertices() {
+        vpairs.clear();
+        for (const auto& pc : vc) {
+            int v1 = gr.locate_vertex(pc.bounds[1] - 1);
+            int v2 = gr.locate_vertex(pc.bounds[2]);
+            if (check_left_relaxing(pc, v1)) v1 -= 1;
+            if (check_right_relaxing(pc, v2)) v2 += 1;
+            vpairs.push_back({v1, v2});
+        }
+    }
+    // bridge_solver.cc:150-167
+    void build_piers() {
+        piers.clear();
+        std::set<std::pair<int, int>> ss;
+        for (const auto& p : vpairs) {
+            if (p.first < 0 || p.second < 0 || p.first >= p.second) continue;
+            if (ss.count(p)) continue;
+            ss.insert(p);
+            piers.push_back(Pier{p.first, p.second, {}});
+        }
+    }
+
+    // bridge_solver.cc:532-546: insert s into ascending stack, keep smallest
+    static std::vector<i64> update_stack(const std::vector<i64>& v, i64 s) {
+        i64 n = (i64)v.size();
+        std::vector<i64> stack(n, 0);
+        i64 i = 0, j = 0;
+        while (i < n && j < n) {
+            if (i == j && v[i] > s) {
+                stack[j] = s;
+                j++;
+                if (j >= n) break;
+            }
+            stack[j] = v[i];
+            i++;
+            j++;
+        }
+        return stack;
+    }
+
+    // entry_compare (solver.py _Entry.sort_key): stack descending
+    // lexicographically, then shorter length
+    static bool entry_less(const Entry& a, const Entry& b) {
+        for (size_t i = 0; i < a.stack.size() && i < b.stack.size(); i++) {
+            if (a.stack[i] != b.stack[i]) return a.stack[i] > b.stack[i];
+        }
+        if (a.stack.size() != b.stack.size())
+            return a.stack.size() < b.stack.size();  // unreachable: fixed size
+        return a.length < b.length;
+    }
+
+    // bridge_solver.cc:484-530
+    std::vector<std::vector<Entry>> dynamic_programming(int k1, int k2,
+                                                        int strand) {
+        int n = gr.num_vertices();
+        std::vector<std::vector<Entry>> table(n);
+        const VertexInfo& vi = gr.vinfo[k1];
+        Entry e0;
+        e0.stack.assign(cfg.bridge_dp_stack_size, 999999);
+        e0.length = vi.rpos - vi.lpos;
+        e0.trace1 = -1;
+        e0.trace2 = -1;
+        table[k1].push_back(e0);
+        for (int k = k1 + 1; k <= k2; k++) {
+            std::vector<Entry> v;
+            const VertexInfo& vk = gr.vinfo[k];
+            i64 length = vk.rpos - vk.lpos;
+            for (GEdge* e = gr.vin[k].head; e; e = e->inext) {
+                int s = e->info.strand;
+                if (s != 0 && s != strand) continue;
+                int j = e->s;
+                if (j < k1 || table[j].empty()) continue;
+                i64 w = (i64)e->wrt;    // truncation toward zero, like int()
+                for (size_t i = 0; i < table[j].size(); i++) {
+                    const Entry& ent = table[j][i];
+                    Entry ne;
+                    ne.stack = update_stack(ent.stack, w);
+                    ne.length = ent.length + length;
+                    ne.trace1 = j;
+                    ne.trace2 = (int)i;
+                    v.push_back(std::move(ne));
+                }
+            }
+            std::stable_sort(v.begin(), v.end(), entry_less);
+            if ((i64)v.size() > cfg.bridge_dp_solution_size)
+                v.resize(cfg.bridge_dp_solution_size);
+            table[k] = std::move(v);
+        }
+        return table;
+    }
+
+    // bridge_solver.cc:548-568
+    std::vector<std::vector<int>> trace_back(
+            int k, const std::vector<std::vector<Entry>>& table) {
+        std::vector<std::vector<int>> vv;
+        for (size_t i = 0; i < table[k].size(); i++) {
+            std::vector<int> v;
+            int p = k, q = (int)i;
+            while (true) {
+                v.push_back(p);
+                const Entry& e = table[p][q];
+                p = e.trace1;
+                q = e.trace2;
+                if (p < 0) break;
+            }
+            std::reverse(v.begin(), v.end());
+            vv.push_back(std::move(v));
+        }
+        return vv;
+    }
+
+    // bridge_solver.cc:259-274
+    void refine_pier(Pier& pr) {
+        if (pr.bridges.empty()) return;
+        std::stable_sort(pr.bridges.begin(), pr.bridges.end(),
+            [](const BridgePath& a, const BridgePath& b) {
+                if (a.v != b.v)
+                    return std::lexicographical_compare(
+                        a.v.begin(), a.v.end(), b.v.begin(), b.v.end());
+                return a.v.size() < b.v.size();
+            });
+        std::vector<BridgePath> v;
+        v.push_back(pr.bridges[0]);
+        for (size_t i = 1; i < pr.bridges.size(); i++) {
+            if (pr.bridges[i].v == v.back().v) continue;
+            v.push_back(pr.bridges[i]);
+        }
+        // key: ([-x for x in stack], -len(stack)) ascending
+        std::stable_sort(v.begin(), v.end(),
+            [](const BridgePath& a, const BridgePath& b) {
+                size_t na = a.stack.size(), nb = b.stack.size();
+                for (size_t i = 0; i < na && i < nb; i++) {
+                    if (a.stack[i] != b.stack[i])
+                        return a.stack[i] > b.stack[i];
+                }
+                if (na != nb) return na < nb;   // tuple prefix rule
+                return false;                   // equal keys
+            });
+        pr.bridges.swap(v);
+    }
+
+    // bridge_solver.cc:205-222
+    std::vector<std::pair<int, int>> build_bounds() {
+        std::vector<std::pair<int, int>> bounds;
+        int b1 = 0;
+        for (size_t i = 1; i < piers.size(); i++) {
+            if (piers[i].bs != piers[i - 1].bs) {
+                bounds.push_back({b1, (int)i - 1});
+                b1 = (int)i;
+            }
+        }
+        bounds.push_back({b1, (int)piers.size() - 1});
+        return bounds;
+    }
+
+    // bridge_solver.cc:180-257
+    void nominate() {
+        if (piers.empty()) return;
+        std::stable_sort(piers.begin(), piers.end(),
+            [](const Pier& a, const Pier& b) {
+                if (a.bs != b.bs) return a.bs < b.bs;
+                return a.bt < b.bt;
+            });
+        std::vector<std::pair<int, int>> bounds = build_bounds();
+        std::vector<int> strands;
+        if (gr.strand == '.') strands = {1, 2};
+        else if (gr.strand == '+') strands = {1};
+        else strands = {2};
+        std::vector<i64> chain;
+        for (int st : strands) {
+            for (auto& bb : bounds) {
+                int b1 = bb.first, b2 = bb.second;
+                int k1 = piers[b2].bs;
+                int k2 = piers[b2].bt;
+                auto table = dynamic_programming(k1, k2, st);
+                for (int b = b1; b <= b2; b++) {
+                    int bt = piers[b].bt;
+                    auto paths = trace_back(bt, table);
+                    for (size_t j = 0; j < paths.size(); j++) {
+                        BridgePath p;
+                        p.score = table[bt][j].stack[0];
+                        p.stack = table[bt][j].stack;
+                        p.v = paths[j];
+                        build_intron_coordinates_from_path(gr, p.v, chain);
+                        p.chain = filter_pseudo_introns(chain);
+                        piers[b].bridges.push_back(std::move(p));
+                    }
+                }
+            }
+        }
+        for (auto& pr : piers) refine_pier(pr);
+    }
+
+    // bridge_solver.cc:276-285
+    void vote_all() {
+        std::map<std::pair<int, int>, int> pindex;
+        for (size_t i = 0; i < piers.size(); i++)
+            pindex[{piers[i].bs, piers[i].bt}] = (int)i;
+        opt.clear();
+        for (size_t i = 0; i < vc.size(); i++)
+            opt.push_back(vote((int)i, pindex));
+    }
+
+    // bridge_solver.cc:287-385
+    BridgePath vote(int r, const std::map<std::pair<int, int>, int>& pindex) {
+        BridgePath bbp;
+        bbp.type = -1;
+        int ss = vpairs[r].first, tt = vpairs[r].second;
+        if (ss < 0 || tt < 0) return bbp;
+        const PereadsCluster& pc = vc[r];
+
+        std::vector<std::vector<i64>> chains, wholes;
+        std::vector<i64> scores;
+        std::vector<int> strands;
+        int typ = 0;
+        if (ss >= tt) {
+            std::vector<i64> w;
+            if (!merge_intron_chains(pc.chain1, pc.chain2, w)) return bbp;
+            if (!check_increasing(w)) return bbp;
+            int s = check_strand_from_intron_coordinates(gr, w);
+            if (s < 0) return bbp;
+            typ = 1;
+            chains.push_back({});
+            wholes.push_back(w);
+            scores.push_back(10);
+            strands.push_back(s);
+        } else {
+            auto it = pindex.find({ss, tt});
+            if (it != pindex.end()) {
+                typ = 2;
+                for (const BridgePath& pb : piers[it->second].bridges) {
+                    std::vector<i64> w(pc.chain1);
+                    w.insert(w.end(), pb.chain.begin(), pb.chain.end());
+                    w.insert(w.end(), pc.chain2.begin(), pc.chain2.end());
+                    if (!check_increasing(w)) continue;
+                    int s = check_strand_from_intron_coordinates(gr, w);
+                    if (s < 0) continue;
+                    wholes.push_back(std::move(w));
+                    chains.push_back(pb.chain);
+                    scores.push_back(pb.score);
+                    strands.push_back(s);
+                }
+            }
+        }
+
+        if (chains.empty()) return bbp;
+
+        int be = -1;
+        i64 choices = 0;
+        for (size_t e = 0; e < chains.size(); e++) {
+            if (!wholes[e].empty() && wholes[e].front() <= pc.bounds[0])
+                continue;
+            if (!wholes[e].empty() && wholes[e].back() >= pc.bounds[3])
+                continue;
+            i64 intron = get_total_length_of_introns(wholes[e]);
+            i64 length = pc.bounds[3] - pc.bounds[0] - intron;
+            if (length < length_low || length > length_high) continue;
+            if (strands[e] < 0) continue;
+            if (be < 0) be = (int)e;
+            choices++;
+        }
+
+        if (be < 0) return bbp;
+        bbp.type = typ;
+        bbp.score = scores[be];
+        bbp.chain = chains[be];
+        bbp.whole = wholes[be];
+        bbp.strand = strands[be];
+        bbp.choices = choices;
+        return bbp;
+    }
+};
+
+// ---------------------------------------------------------------- HyperSet
+// scallop/hyper_set.py (scallop/hyper_set.{h,cc}); edge lists may contain
+// -1 separators; e2s sets iterate sorted (canonicalized in Python too).
+
+struct HyperSet {
+    std::map<std::vector<int>, i64> nodes;       // vertex list -> count
+    std::vector<std::vector<int>> edges;         // hyper-edge edge-index lists
+    std::vector<i64> ecnts;
+    std::unordered_map<int, std::set<int>> e2s;  // edge idx -> hyper ids
+
+    // hyper_set.py __init__(gr, ps)
+    void init_from_phase_set(const SpliceGraph& gr, const PhaseSet& ps) {
+        std::vector<int> vv;
+        for (const auto& kv : ps.pmap) {
+            if (!build_path_from_exon_coordinates(gr, kv.first, vv)) continue;
+            add_node_list(vv, kv.second);
+        }
+    }
+    void add_node_list(const std::vector<int>& s, i64 c) {
+        std::vector<int> v(s);
+        std::sort(v.begin(), v.end());
+        nodes[v] += c;
+    }
+    // hyper_set.cc:356-371
+    void filter_nodes(const SpliceGraph& gr) {
+        std::map<std::vector<int>, i64> mv;
+        for (const auto& kv : nodes) {
+            if (kv.first.size() <= 1) continue;
+            if (!check_valid_path(gr, kv.first)) continue;
+            mv[kv.first] = kv.second;
+        }
+        nodes.swap(mv);
+    }
+    // hyper_set.cc:323-354; nodes iterated in sorted order (std::map)
+    void build(const SpliceGraph& gr) {
+        edges.clear();
+        ecnts.clear();
+        for (const auto& kv : nodes) {
+            const std::vector<int>& vv = kv.first;
+            i64 c = kv.second;
+            if (c <= 1) continue;
+            if (vv.size() <= 1) continue;
+            std::vector<int> ve;
+            bool ok = true;
+            for (size_t k = 0; k + 1 < vv.size(); k++) {
+                GEdge* e = gr.edge(vv[k], vv[k + 1]);
+                if (e == nullptr) {
+                    ok = false;
+                    ve.push_back(-1);
+                } else {
+                    ve.push_back(e->si);
+                }
+            }
+            if (ok && ve.size() >= 2) {
+                edges.push_back(std::move(ve));
+                ecnts.push_back(c);
+            }
+        }
+        build_index();
+    }
+    // hyper_set.cc:436-459
+    void build_index() {
+        e2s.clear();
+        for (size_t i = 0; i < edges.size(); i++)
+            for (int e : edges[i]) {
+                if (e == -1) continue;
+                e2s[e].insert((int)i);
+            }
+    }
+
+    // hyper_set.cc:489-507
+    std::set<int> get_intersection(const std::vector<int>& v) const {
+        std::set<int> ss;
+        if (v.empty()) return ss;
+        auto it = e2s.find(v[0]);
+        if (it == e2s.end()) return ss;
+        ss = it->second;
+        for (size_t i = 1; i < v.size(); i++) {
+            auto jt = e2s.find(v[i]);
+            if (jt == e2s.end()) return std::set<int>();
+            std::set<int> nw;
+            std::set_intersection(ss.begin(), ss.end(), jt->second.begin(),
+                                  jt->second.end(),
+                                  std::inserter(nw, nw.begin()));
+            ss.swap(nw);
+        }
+        return ss;
+    }
+
+    // hyper_set.cc:509-529; sorted hyper-edge visit order (canonical)
+    // accumulates into an insertion-ordered (nxt -> count) map
+    void get_successors(int e, std::vector<std::pair<int, i64>>& s) const {
+        s.clear();
+        auto it = e2s.find(e);
+        if (it == e2s.end()) return;
+        for (int k : it->second) {     // std::set iterates sorted
+            const std::vector<int>& v = edges[k];
+            i64 c = ecnts[k];
+            for (size_t i = 0; i + 1 < v.size(); i++) {
+                if (v[i] != e) continue;
+                int nxt = v[i + 1];
+                if (nxt == -1) continue;
+                bool found = false;
+                for (auto& kv : s)
+                    if (kv.first == nxt) { kv.second += c; found = true; break; }
+                if (!found) s.push_back({nxt, c});
+            }
+        }
+    }
+
+    // hyper_set.cc:626-675
+    void replace_list(const std::vector<int>& v, int e) {
+        if (v.empty()) return;
+        std::set<int> s = get_intersection(v);
+        std::vector<int> fb;
+        for (int k : s) {              // sorted
+            std::vector<int>& vv = edges[k];
+            std::vector<i64> bv = consecutive_subset(vv, v);
+            if (bv.empty()) continue;
+            std::sort(bv.begin(), bv.end(), std::greater<i64>());
+            for (i64 b : bv) {
+                vv[b] = e;
+                vv.erase(vv.begin() + b + 1, vv.begin() + b + (i64)v.size());
+            }
+            fb.push_back(k);
+            e2s[e].insert(k);
+        }
+        if (v.size() != 1) return;
+        for (int u : v) {
+            auto it = e2s.find(u);
+            if (it == e2s.end()) continue;
+            for (int k : fb) it->second.erase(k);
+            if (it->second.empty()) e2s.erase(it);
+        }
+    }
+    void replace(int x, int e) { replace_list({x}, e); }
+    void replace_pair(int x, int y, int e) { replace_list({x, y}, e); }
+
+    // hyper_set.cc:787-818
+    void remove(int e) {
+        auto it = e2s.find(e);
+        if (it == e2s.end()) return;
+        for (int k : it->second) {
+            std::vector<int>& vv = edges[k];
+            for (auto& x : vv)
+                if (x == e) x = -1;
+        }
+        e2s.erase(it);
+    }
+    void remove_pair(int x, int y) { insert_between(x, y, -1); }
+
+    // hyper_set.cc:865-902
+    void insert_between(int x, int y, int e) {
+        auto it = e2s.find(x);
+        if (it == e2s.end()) return;
+        std::vector<int> ks(it->second.begin(), it->second.end());   // sorted
+        for (int k : ks) {
+            std::vector<int>& vv = edges[k];
+            size_t i = 0;
+            while (i + 1 < vv.size()) {
+                if (vv[i] == x && vv[i + 1] == y) {
+                    vv.insert(vv.begin() + i + 1, e);
+                    if (e != -1) e2s[e].insert(k);
+                    i++;   // skip over the inserted element
+                }
+                i++;
+            }
+        }
+    }
+
+    // hyper_set.cc:949-965
+    bool left_extend(int e) const {
+        auto it = e2s.find(e);
+        if (it == e2s.end()) return false;
+        for (int k : it->second) {
+            const std::vector<int>& vv = edges[k];
+            for (size_t i = 1; i < vv.size(); i++)
+                if (vv[i] == e && vv[i - 1] != -1) return true;
+        }
+        return false;
+    }
+    // hyper_set.cc:967-983
+    bool right_extend(int e) const {
+        auto it = e2s.find(e);
+        if (it == e2s.end()) return false;
+        for (int k : it->second) {
+            const std::vector<int>& vv = edges[k];
+            for (size_t i = 0; i + 1 < vv.size(); i++)
+                if (vv[i] == e && vv[i + 1] != -1) return true;
+        }
+        return false;
+    }
+
+    // hyper_set.cc:1003-1042
+    bool left_dominate(int e) const {
+        auto it = e2s.find(e);
+        if (it == e2s.end()) return true;
+        std::set<std::pair<int, int>> x1, x2;
+        for (int k : it->second) {
+            const std::vector<int>& vv = edges[k];
+            for (size_t i = 0; i + 1 < vv.size(); i++) {
+                if (vv[i] != e || vv[i + 1] == -1) continue;
+                if (i == 0 || vv[i - 1] == -1) {
+                    if (i + 2 < vv.size()) x1.insert({vv[i + 1], vv[i + 2]});
+                    else x1.insert({vv[i + 1], -1});
+                } else {
+                    x2.insert({vv[i + 1], -1});
+                    if (i + 2 < vv.size()) x2.insert({vv[i + 1], vv[i + 2]});
+                }
+            }
+        }
+        return std::includes(x2.begin(), x2.end(), x1.begin(), x1.end());
+    }
+    // hyper_set.cc:1044-1082
+    bool right_dominate(int e) const {
+        auto it = e2s.find(e);
+        if (it == e2s.end()) return true;
+        std::set<std::pair<int, int>> x1, x2;
+        for (int k : it->second) {
+            const std::vector<int>& vv = edges[k];
+            for (size_t i = 1; i < vv.size(); i++) {
+                if (vv[i] != e || vv[i - 1] == -1) continue;
+                if (i == vv.size() - 1 || vv[i + 1] == -1) {
+                    if ((i64)i - 2 >= 0) x1.insert({vv[i - 1], vv[i - 2]});
+                    else x1.insert({vv[i - 1], -1});
+                } else {
+                    x2.insert({vv[i - 1], -1});
+                    if ((i64)i - 2 >= 0) x2.insert({vv[i - 1], vv[i - 2]});
+                }
+            }
+        }
+        return std::includes(x2.begin(), x2.end(), x1.begin(), x1.end());
+    }
+};
+
+// -------------------------------------------------------------- UGraph
+// scallop/ugraph.py: insertion-ordered small undirected graph
+
+struct UGraph {
+    struct UEdge {
+        int a, b;
+        int eid;
+        bool alive = true;
+        int neighbor(int x) const { return x == a ? b : a; }
+    };
+    std::vector<UEdge> pool;                    // by eid
+    std::vector<std::vector<int>> adj;          // per-vertex edge ids
+    int nlive = 0;
+
+    int add_vertex() {
+        adj.push_back({});
+        return (int)adj.size() - 1;
+    }
+    int num_vertices() const { return (int)adj.size(); }
+    int num_edges() const { return nlive; }
+    int add_edge(int a, int b) {
+        int eid = (int)pool.size();
+        pool.push_back(UEdge{a, b, eid, true});
+        adj[a].push_back(eid);
+        if (b != a) adj[b].push_back(eid);   // dict semantics: one entry
+        nlive++;
+        return eid;
+    }
+    int degree(int v) const { return (int)adj[v].size(); }
+    void clear_vertex(int v) {
+        std::vector<int> es(adj[v]);
+        for (int eid : es) {
+            UEdge& e = pool[eid];
+            auto rm = [&](int x) {
+                auto& a = adj[x];
+                a.erase(std::find(a.begin(), a.end(), eid));
+            };
+            rm(e.a);
+            if (e.b != e.a) rm(e.b);
+            e.alive = false;
+            nlive--;
+        }
+    }
+    // edges in insertion order (Python dict order)
+    std::vector<int> edge_ids() const {
+        std::vector<int> out;
+        for (const auto& e : pool)
+            if (e.alive) out.push_back(e.eid);
+        return out;
+    }
+    // comps: sorted vertex lists, in order of lowest unseen vertex
+    std::vector<std::vector<int>> compute_connected_components() const {
+        int n = (int)adj.size();
+        std::vector<bool> seen(n, false);
+        std::vector<std::vector<int>> comps;
+        for (int i = 0; i < n; i++) {
+            if (seen[i]) continue;
+            std::vector<int> comp, stack{i};
+            seen[i] = true;
+            while (!stack.empty()) {
+                int x = stack.back();
+                stack.pop_back();
+                comp.push_back(x);
+                for (int eid : adj[x]) {
+                    int y = pool[eid].neighbor(x);
+                    if (!seen[y]) {
+                        seen[y] = true;
+                        stack.push_back(y);
+                    }
+                }
+            }
+            std::sort(comp.begin(), comp.end());
+            comps.push_back(std::move(comp));
+        }
+        return comps;
+    }
+};
+
+// ---------------------------------------------------------------- Router
+// scallop/router.py classify + thread (scallop/router.cc; the splittable
+// subsetsum branch is off the main loop and not ported)
+
+struct Router {
+    int root;
+    SpliceGraph& gr;
+    const std::vector<GEdge*>& i2e;
+    const Cfg& cfg;
+    std::vector<std::pair<int, int>> routes;
+    std::vector<i64> counts;
+    int type = -1;
+    i64 degree = -1;
+    double ratio = -1.0;
+    // insertion-ordered pe2w
+    std::vector<std::pair<std::pair<int, int>, double>> pe2w;
+    std::map<std::pair<int, int>, int> pe2w_idx;
+    // insertion-ordered econf (edge -> confidence increment)
+    std::vector<std::pair<GEdge*, double>> econf;
+    std::vector<int> u2e;
+    std::map<int, int> e2u;
+    UGraph ug;
+    std::map<int, double> u2w;     // ug edge id -> weight
+
+    Router(int r, SpliceGraph& g, const std::vector<GEdge*>& ie,
+           const std::vector<std::pair<std::pair<int, int>, i64>>& mpi,
+           const Cfg& c)
+        : root(r), gr(g), i2e(ie), cfg(c) {
+        for (const auto& kv : mpi) {
+            routes.push_back(kv.first);
+            counts.push_back(kv.second);
+        }
+    }
+
+    void pe2w_set_if_absent(const std::pair<int, int>& key, double w) {
+        if (pe2w_idx.count(key)) return;
+        pe2w_idx[key] = (int)pe2w.size();
+        pe2w.push_back({key, w});
+    }
+
+    // router.cc:61-171 (plain-vertex branch)
+    void classify() {
+        assert(gr.in_degree(root) >= 1 && gr.out_degree(root) >= 1);
+        build_indices();
+        build_bipartite_graph();
+        if (gr.in_degree(root) == 1 || gr.out_degree(root) == 1) {
+            type = VT_TRIVIAL;
+            degree = gr.degree(root);
+            return;
+        }
+        auto vv = ug.compute_connected_components();
+        if (vv.size() == 1) {
+            type = UNSPLITTABLE_SINGLE;
+            degree = (i64)ug.num_edges() - (i64)ug.num_vertices()
+                     + 2 * (i64)vv.size();
+            return;
+        }
+        i64 a = 0, b = 0;
+        for (const auto& c : vv) {
+            if (c.size() == 1) a++;
+            else b++;
+        }
+        type = SPLITTABLE_PURE;
+        degree = b - 1 + (a + 1) / 2;
+    }
+
+    // router.cc:225-248
+    void build_indices() {
+        e2u.clear();
+        u2e.clear();
+        for (GEdge* e = gr.vin[root].head; e; e = e->inext) {
+            e2u[e->si] = (int)u2e.size();
+            u2e.push_back(e->si);
+        }
+        for (GEdge* e = gr.vout[root].head; e; e = e->onext) {
+            e2u[e->si] = (int)u2e.size();
+            u2e.push_back(e->si);
+        }
+    }
+
+    // router.py _common_abd (sorted sample order)
+    static double common_abd(const EdgeInfo& le, const EdgeInfo& re) {
+        std::vector<int> common = EdgeInfo::intersect(le.samples, re.samples);
+        double abd = 0.0;
+        for (int sp : common) {
+            auto ia = le.spAbd.find(sp);
+            auto ib = re.spAbd.find(sp);
+            double a = ia == le.spAbd.end() ? 0.0 : ia->second;
+            double b = ib == re.spAbd.end() ? 0.0 : ib->second;
+            abd += 0.99 * std::min(a, b) + 0.01 * std::max(a, b);
+        }
+        return abd;
+    }
+
+    // router.cc:1010-1069
+    void thread_left_isolate(const std::vector<int>& left_iso,
+                             const std::vector<int>& right_all) {
+        for (int v : left_iso) {
+            GEdge* le = i2e[u2e[v]];
+            const EdgeInfo& le_info = le->info;
+            int partner = -1;
+            double max_abd = 0.0;
+            double sum_abd = 0.0;
+            for (int r : right_all) {
+                GEdge* re = i2e[u2e[r]];
+                double ca = common_abd(le_info, re->info);
+                sum_abd += ca;
+                if (ca > max_abd) {
+                    max_abd = ca;
+                    partner = r;
+                }
+            }
+            if (partner < 0) continue;
+            int e = ug.add_edge(v, partner);
+            u2w[e] = max_abd;
+            econf.push_back({le, sum_abd > 0 ? std::log(max_abd / sum_abd)
+                                             : 0.0});
+        }
+    }
+    // router.cc:1071-1129
+    void thread_right_isolate(const std::vector<int>& right_iso,
+                              const std::vector<int>& left_all) {
+        for (int v : right_iso) {
+            GEdge* re = i2e[u2e[v]];
+            const EdgeInfo& re_info = re->info;
+            int partner = -1;
+            double max_abd = 0.0;
+            double sum_abd = 0.0;
+            for (int ll : left_all) {
+                GEdge* le = i2e[u2e[ll]];
+                double ca = common_abd(le->info, re_info);
+                sum_abd += ca;
+                if (ca > max_abd) {
+                    max_abd = ca;
+                    partner = ll;
+                }
+            }
+            if (partner < 0) continue;
+            int e = ug.add_edge(partner, v);
+            u2w[e] = max_abd;
+            econf.push_back({re, sum_abd > 0 ? std::log(max_abd / sum_abd)
+                                             : 0.0});
+        }
+    }
+
+    // router.cc:250-325
+    void build_bipartite_graph() {
+        ug = UGraph();
+        u2w.clear();
+        for (size_t i = 0; i < u2e.size(); i++) ug.add_vertex();
+        int l = gr.in_degree(root);
+        std::vector<int> left, right;
+        for (size_t i = 0; i < u2e.size(); i++) {
+            GEdge* e = i2e[u2e[i]];
+            if (e->info.count != 0) {
+                if ((int)i < l) left.push_back((int)i);
+                else right.push_back((int)i);
+            }
+        }
+        for (size_t i = 0; i < routes.size(); i++) {
+            int s = e2u[routes[i].first];
+            int t = e2u[routes[i].second];
+            int e = ug.add_edge(s, t);
+            u2w[e] = (double)counts[i];
+        }
+        std::vector<int> v1, v2;
+        for (int i : left)
+            if (ug.degree(i) == 0) v1.push_back(i);
+        thread_left_isolate(v1, right);
+        for (int i : right)
+            if (ug.degree(i) == 0) v2.push_back(i);
+        thread_right_isolate(v2, left);
+    }
+
+    // router.cc:193-223
+    void build() {
+        assert(type == UNSPLITTABLE_SINGLE || type == SPLITTABLE_PURE);
+        thread();
+        for (auto& kv : pe2w) {
+            if (kv.second < cfg.min_guaranteed_edge_weight)
+                kv.second = cfg.min_guaranteed_edge_weight;
+        }
+    }
+
+    // router.cc:1248-1275
+    std::vector<double> balanced_weights_components() {
+        auto vv = ug.compute_connected_components();
+        std::vector<double> vw(u2e.size(), 0.0);
+        int l = gr.in_degree(root);
+        for (const auto& cc : vv) {
+            double sum1 = 0.0, sum2 = 0.0;
+            for (int i : cc) {
+                double w = i2e[u2e[i]]->wrt;
+                if (i < l) sum1 += w;
+                else sum2 += w;
+                vw[i] = w;
+            }
+            if (sum1 <= 0 || sum2 <= 0) continue;
+            double r1 = std::sqrt(sum2 / sum1);
+            double r2 = std::sqrt(sum1 / sum2);
+            for (int i : cc) vw[i] *= (i < l) ? r1 : r2;
+        }
+        return vw;
+    }
+
+    // router.cc:738-857
+    void thread() {
+        pe2w.clear();
+        pe2w_idx.clear();
+        std::vector<double> vw = balanced_weights_components();
+        double weight_sum = 0.0;
+        for (double w : vw) weight_sum += w;
+        while (true) {
+            if (thread_leaf(vw)) continue;
+            if (!thread_turn(vw)) break;
+        }
+        assert(ug.num_edges() == 0);
+        double weight_remain = 0.0;
+        for (double w : vw)
+            if (w > 0) weight_remain += w;
+        ratio = weight_sum > 0 ? weight_remain / weight_sum : 0.0;
+        for (const auto& kv : econf)
+            kv.first->info.confidence += kv.second;
+    }
+
+    // router.cc:859-897
+    bool thread_leaf(std::vector<double>& vw) {
+        for (int eid : ug.edge_ids()) {
+            const UGraph::UEdge& e = ug.pool[eid];
+            int s = e.a, t = e.b;
+            if (s >= t) std::swap(s, t);
+            if (vw[s] < -0.5 || vw[t] < -0.5) continue;
+            if (ug.degree(s) == 1 && vw[s] <= vw[t]) {
+                pe2w_set_if_absent({u2e[s], u2e[t]}, vw[s]);
+                ug.clear_vertex(s);
+                vw[t] -= vw[s];
+                vw[s] = -1;
+                return true;
+            }
+            if (ug.degree(t) == 1 && vw[t] <= vw[s]) {
+                pe2w_set_if_absent({u2e[s], u2e[t]}, vw[t]);
+                ug.clear_vertex(t);
+                vw[s] -= vw[t];
+                vw[t] = -1;
+                return true;
+            }
+        }
+        return false;
+    }
+
+    // router.cc:899-936
+    bool thread_turn(std::vector<double>& vw) {
+        int x = -1;
+        for (size_t k = 0; k < vw.size(); k++) {
+            if (vw[k] < -0.5) continue;
+            if (ug.degree((int)k) <= 1) continue;
+            if (x != -1 && vw[k] > vw[x]) continue;
+            x = (int)k;
+        }
+        if (x == -1) return false;
+        std::vector<int> incident(ug.adj[x]);
+        double ssum = 0.0;
+        for (int eid : incident) ssum += u2w[eid];
+        for (int eid : incident) {
+            int t = ug.pool[eid].neighbor(x);
+            double w = ssum > 0 ? vw[x] * u2w[eid] / ssum : 0.0;
+            std::pair<int, int> key = x < t
+                ? std::make_pair(u2e[x], u2e[t])
+                : std::make_pair(u2e[t], u2e[x]);
+            pe2w_set_if_absent(key, w);
+            vw[t] -= w;
+        }
+        vw[x] = -1;
+        ug.clear_vertex(x);
+        return true;
+    }
+};
+
+}  // namespace core
