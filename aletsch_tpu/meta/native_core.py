@@ -55,6 +55,13 @@ def _bind(lib):
                                   i32p, i64p, f64p, f64p, f64p, i32p, i64p,
                                   f64p]
     lib.core_out_free.argtypes = [ctypes.c_void_p]
+    lib.core_preview_bundle.restype = ctypes.c_int64
+    lib.core_preview_bundle.argtypes = [
+        ctypes.c_int32, i32p, i32p,
+        i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        i32p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i64p, f64p, i64p]
     lib._core_bound = True
 
 
@@ -82,6 +89,32 @@ def _cfg_arrays(cfg):
         + list(cfg.max_decompose_error_ratio), dtype=np.float64)
     assert ints.size == CFG_NI and dbls.size == CFG_ND
     return ints, dbls
+
+
+def preview_bundle_native(sb, cfg):
+    """Run previewer._process on a raw ScanBundle natively; returns the list
+    of fragment inner distances, or None when the core is unavailable."""
+    if not native_core_available():
+        return None
+    lib = _load_lib()
+    ci, cd = _cfg_arrays(cfg)
+    fixed = np.ascontiguousarray(sb.fixed, dtype=np.int32)
+    coords = np.ascontiguousarray(sb.coords, dtype=np.int32)
+    mev = np.ascontiguousarray(sb.mev, dtype=np.int32)
+    iev = np.ascontiguousarray(sb.iev, dtype=np.int32)
+    frgs = np.ascontiguousarray(sb.frgs, dtype=np.int32)
+    out_d = np.zeros(1000, dtype=np.int64)
+    n = lib.core_preview_bundle(
+        fixed.shape[0], fixed.ctypes.data_as(i32p),
+        coords.ctypes.data_as(i32p),
+        mev.ctypes.data_as(i32p), mev.size // 2,
+        iev.ctypes.data_as(i32p), iev.size // 2,
+        frgs.ctypes.data_as(i32p), frgs.size // 2,
+        sb.lpos, sb.rpos, int(fixed[0, 22]),   # strand = first hit's, like
+                                               # materialize_bundle/add_hit
+        ci.ctypes.data_as(i64p), cd.ctypes.data_as(f64p),
+        out_d.ctypes.data_as(i64p))
+    return out_d[:int(n)].tolist()
 
 
 def eligible(asmb, gv):

@@ -212,13 +212,25 @@ class Previewer:
         cnt = 0
         capped_epoch = None
         pr = scan_params(cfg, self.sp.library_type)
+        from .native_core import preview_bundle_native
         gen = r.scan_preview(pr)
         for chunk in gen:
             for sb in chunk:
                 if capped_epoch is not None and sb.epoch != capped_epoch:
                     gen.close()
                     return m
-                cnt += self._process(materialize_bundle(sb), m)
+                nh = sb.fixed.shape[0]
+                if (cfg.min_num_hits_in_bundle <= nh <= 20000
+                        and sb.tid >= 0):
+                    ds = preview_bundle_native(sb, cfg)
+                else:
+                    ds = [] if sb.tid >= 0 else None
+                if ds is None:
+                    cnt += self._process(materialize_bundle(sb), m)
+                else:
+                    for d in ds:
+                        m[d] = m.get(d, 0) + 1
+                    cnt += len(ds)
                 if capped_epoch is None and cnt >= cfg.max_preview_reads:
                     capped_epoch = sb.epoch
         return m

@@ -503,4 +503,44 @@ void core_out_fill(void* h, i32* g_sid, i32* g_subindex,
 
 void core_out_free(void* h) { delete (core::CoreOut*)h; }
 
+// previewer._process (meta/previewer.py:392-423, previewer.cc:252-305):
+// one preview bundle -> up to 1000 fragment inner distances.  Returns the
+// number of distances written to out_d (== the processed-cluster count).
+i64 core_preview_bundle(
+    i32 nh, const i32* fixed, const i32* coords,
+    const i32* mev, i64 mev_cnt, const i32* iev, i64 iev_cnt,
+    const i32* frgs, i64 frg_cnt,
+    i64 lpos, i64 rpos, i32 strand,
+    const i64* cfg_ints, const double* cfg_dbls,
+    i64* out_d) {
+    core::Bundle bd;
+    bd.cfg = core::cfg_from_arrays(cfg_ints, cfg_dbls);
+    bd.strand = (char)strand;
+    bd.tid = 0;
+    bd.lpos = lpos;
+    bd.rpos = rpos;
+    bd.init_from_scan(fixed, nh, coords, mev, mev_cnt, iev, iev_cnt,
+                      frgs, frg_cnt);
+    core::SpliceGraph gr;
+    core::GraphBuilder(bd, bd.cfg).build(gr);
+    gr.build_vertex_index();
+    std::vector<core::PereadsCluster> vc;
+    core::build_pereads_clusters(gr, bd, 2, vc);
+    i64 cnt = 0;
+    std::vector<i64> merged;
+    for (const auto& pc : vc) {
+        i64 p1 = pc.extend[1], p2 = pc.extend[2];
+        int k1 = gr.locate_rbound(p1);
+        int k2 = gr.locate_lbound(p2);
+        if (k1 < 0 || k2 < 0 || k1 < k2) continue;
+        if (!core::merge_intron_chains(pc.chain1, pc.chain2, merged))
+            continue;
+        i64 length = core::get_total_length_of_introns(merged);
+        i64 d = pc.bounds[3] - pc.bounds[0] - length;
+        out_d[cnt++] = d;
+        if (cnt >= 1000) return cnt;
+    }
+    return cnt;
+}
+
 }  // extern "C"
