@@ -19,16 +19,43 @@ from .chain_set import ChainSet, PhaseSet
 MATE_EXTEND_CAP = 500000   # bundle_base.cc:92
 
 
-def materialize_bundle(sb):
+def materialize_bundle(sb, light=False):
     """BundleBase from a native ScanBundle (io/bam_native.py): the C++
     scanner already applied the add_hit dedup/extension rules, so hits are
     appended directly and the coverage maps build from the pre-concatenated
-    interval arrays in bulk."""
+    interval arrays in bulk.
+
+    light=True keeps only the scanner arrays plus the fields the grouping
+    layer reads (bounds, strand, splices) — no Hit objects, no chain sets —
+    for bundles that the native assembly core will consume whole."""
     from .hits import hit_from_row
     bb = BundleBase()
     bb.tid = sb.tid
     bb.lpos = sb.lpos
     bb.rpos = sb.rpos
+    if light:
+        import numpy as np
+        sf = sb.fixed
+        bb._light = True
+        bb.strand = chr(int(sf[0, 22])) if sf.shape[0] else "."
+        bb.frgs_ready = True
+        bb.mmap.add_pairs(sb.mev.reshape(-1, 2))
+        bb.imap.add_pairs(sb.iev.reshape(-1, 2))
+        sc = sf[:, 19]
+        rows_s = np.nonzero(sc)[0]
+        if rows_s.size:
+            offs = (sf[rows_s, 17] + 2 * sf[rows_s, 18]).tolist()
+            lens = sc[rows_s].tolist()
+            parts = [sb.coords[o:o + n] for o, n in zip(offs, lens)]
+            bb.splices = np.unique(np.concatenate(parts)).tolist()
+        else:
+            bb.splices = []
+        bb._scan_fixed = sb.fixed
+        bb._scan_coords = sb.coords
+        bb._scan_mev = sb.mev
+        bb._scan_iev = sb.iev
+        bb._scan_frgs = sb.frgs
+        return bb
     rows = sb.fixed.tolist()
     qnames = sb.qnames
     hits = []
@@ -153,8 +180,13 @@ class BundleBase:
         """Vote bundle strand for unstranded libraries (bundle_base.cc:206-224)."""
         if libtype != UNSTRANDED:
             return
-        np = sum(1 for h in self.hits if h.xs == "+")
-        nq = sum(1 for h in self.hits if h.xs == "-")
+        if getattr(self, "_light", False):
+            xs = self._scan_fixed[:, 12]
+            np = int((xs == ord("+")).sum())
+            nq = int((xs == ord("-")).sum())
+        else:
+            np = sum(1 for h in self.hits if h.xs == "+")
+            nq = sum(1 for h in self.hits if h.xs == "-")
         if np > nq:
             self.strand = "+"
         elif np < nq:

@@ -26,7 +26,7 @@ class TransItem:
         if t is not None:
             t.meta_tid = t.transcript_id
             if s is not None:
-                tc = copy.deepcopy(t)
+                tc = t.clone()
                 self.samples[s] = tc
                 for x in self.samples.values():
                     x.count2 = len(self.samples)

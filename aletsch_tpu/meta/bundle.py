@@ -37,6 +37,8 @@ class Bundle(BundleBase):
             self.mmap = base.mmap
             self.imap = base.imap
             self.frgs_ready = base.frgs_ready
+            if getattr(base, "_light", False):
+                self._light = True
             # native scanner arrays (cluster engine + native assembly core)
             for a in ("_scan_fixed", "_scan_coords", "_scan_mev",
                       "_scan_iev", "_scan_frgs"):

@@ -46,15 +46,19 @@ class Generator:
         bundle with bulk coverage-map builds."""
         from ..core.bundle import materialize_bundle
         from ..io.bam_native import scan_params
+        from .native_core import native_core_available
         sp = self.sp
         cfg = self.cfg
         tid = self.target_id
         rid = self.region_id
+        # light bundles carry only the scanner arrays + grouping fields;
+        # the native assembly core consumes them whole (meta/native_core.py)
+        light = native_core_available() and cfg.verbose < 2
         pr = scan_params(cfg, sp.library_type)
         for chunk in r.scan_region(tid, sp.end1[tid][rid],
                                    sp.start_off[tid][rid], pr):
             for sb in chunk:
-                self._generate(materialize_bundle(sb))
+                self._generate(materialize_bundle(sb, light=light))
 
     def _resolve_batched(self, r):
         """Columnar scan: filters and dedup are computed on the decoder's
@@ -252,7 +256,8 @@ class Generator:
         if bb.tid < 0:
             return
         bb.chrm = self.sp.target_names[bb.tid]
-        bb.splices = bb.hcst.get_splices()
+        if not getattr(bb, "_light", False):
+            bb.splices = bb.hcst.get_splices()
         if self.cfg.skip_single_exon_transcripts and len(bb.splices) <= 0:
             return
         bd = Bundle(self.cfg, self.sp, bb)

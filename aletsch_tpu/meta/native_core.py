@@ -126,7 +126,9 @@ def eligible(asmb, gv):
         return False
     for bd in gv:
         sf = getattr(bd, "_scan_fixed", None)
-        if sf is None or sf.shape[0] != len(bd.hits):
+        if sf is None:
+            return False
+        if not getattr(bd, "_light", False) and sf.shape[0] != len(bd.hits):
             return False
         if not bd.frgs_ready:
             return False
