@@ -79,6 +79,13 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.abam_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.abam_scan_next.restype = ctypes.c_int
+        lib.abam_scan_chunk_sizes.argtypes = [ctypes.c_void_p,
+                                              ctypes.POINTER(ctypes.c_int64)]
+        lib.abam_scan_chunk_fill.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.abam_cluster_pereads.restype = ctypes.c_void_p
@@ -179,7 +186,8 @@ class NativeBamReader:
         b.qnames = self._qnames.raw[:qend]
         return b
 
-    def scan_region(self, tid, end1, voff, params, chunk_records=262144):
+    def scan_region(self, tid, end1, voff, params, chunk_records=262144,
+                    need_qnames=True):
         """Native record->bundle scan of one region (generator loop); yields
         lists of ScanBundle.  The caller must not use the reader until the
         generator is exhausted or closed."""
@@ -188,15 +196,15 @@ class NativeBamReader:
             self._h, 0, tid, end1, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
             params.uniq_only, params.library_type)
-        return _scan_chunks(self._lib, sc, chunk_records)
+        return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
-    def scan_preview(self, params, chunk_records=262144):
+    def scan_preview(self, params, chunk_records=262144, need_qnames=True):
         """Native whole-file preview scan (previewer insert-size loop)."""
         sc = self._lib.abam_scan_open(
             self._h, 1, -1, 0, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
             params.uniq_only, params.library_type)
-        return _scan_chunks(self._lib, sc, chunk_records)
+        return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
     def tell(self):
         if self._batch is not None and self._cursor < self._batch.count:
@@ -253,41 +261,61 @@ class ScanBundle:
                  "qnames", "coords", "mev", "iev", "frgs")
 
 
-def _scan_chunks(lib, sc, chunk_records):
-    """Yield lists of ScanBundle per processed chunk until the scan ends."""
+def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
+    """Yield lists of ScanBundle per processed chunk until the scan ends.
+
+    All bundles of a chunk marshal through ONE sizes + ONE fill call into
+    pooled buffers; each ScanBundle holds zero-copy views into the pools.
+    need_qnames=False skips the qname pool entirely (light bundles and the
+    native previewer never read names)."""
     i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
     try:
         while True:
             more = lib.abam_scan_next(sc, chunk_records)
             nb = lib.abam_scan_nbundles(sc)
             out = []
-            for b in range(nb):
-                info = (ctypes.c_int64 * 11)()
-                lib.abam_scan_bundle_info(sc, b, info)
-                sb = ScanBundle()
-                sb.strand = "+" if info[0] == 0 else "-"
-                sb.tid = int(info[1])
-                sb.lpos = int(info[2])
-                sb.rpos = int(info[3])
-                sb.epoch = int(info[9])
-                n = int(info[4])
-                sb.fixed = np.zeros((n, 25), dtype=np.int32)
-                qn = ctypes.create_string_buffer(max(int(info[5]), 1))
-                sb.coords = np.zeros(max(int(info[6]), 1), dtype=np.int32)
-                sb.mev = np.zeros(max(int(info[7]), 1), dtype=np.int32)
-                sb.iev = np.zeros(max(int(info[8]), 1), dtype=np.int32)
-                sb.frgs = np.zeros(max(int(info[10]), 1), dtype=np.int32)
-                lib.abam_scan_bundle_fill(
-                    sc, b, sb.fixed.ctypes.data_as(i32p), qn,
-                    sb.coords.ctypes.data_as(i32p),
-                    sb.mev.ctypes.data_as(i32p),
-                    sb.iev.ctypes.data_as(i32p),
-                    sb.frgs.ctypes.data_as(i32p))
-                sb.qnames = qn.raw[:int(info[5])]
-                sb.mev = sb.mev[:int(info[7])]
-                sb.iev = sb.iev[:int(info[8])]
-                sb.frgs = sb.frgs[:int(info[10])]
-                out.append(sb)
+            if nb:
+                sizes = (ctypes.c_int64 * 6)()
+                lib.abam_scan_chunk_sizes(sc, sizes)
+                rows, qn_total, co, me, ie, fr = (int(x) for x in sizes)
+                meta = np.empty(nb * 11, dtype=np.int64)
+                fixed = np.empty((max(rows, 1), 25), dtype=np.int32)
+                qbuf = (ctypes.create_string_buffer(max(qn_total, 1))
+                        if need_qnames else None)
+                coords = np.empty(max(co, 1), dtype=np.int32)
+                mev = np.empty(max(me, 1), dtype=np.int32)
+                iev = np.empty(max(ie, 1), dtype=np.int32)
+                frgs = np.empty(max(fr, 1), dtype=np.int32)
+                lib.abam_scan_chunk_fill(
+                    sc, meta.ctypes.data_as(i64p),
+                    fixed.ctypes.data_as(i32p), qbuf,
+                    coords.ctypes.data_as(i32p), mev.ctypes.data_as(i32p),
+                    iev.ctypes.data_as(i32p), frgs.ctypes.data_as(i32p))
+                qraw = qbuf.raw[:qn_total] if need_qnames else b""
+                m = meta.reshape(nb, 11)
+                ro = qo = co2 = mo = io = fo = 0
+                for b in range(nb):
+                    sb = ScanBundle()
+                    sb.strand = "+" if m[b, 0] == 0 else "-"
+                    sb.tid = int(m[b, 1])
+                    sb.lpos = int(m[b, 2])
+                    sb.rpos = int(m[b, 3])
+                    sb.epoch = int(m[b, 9])
+                    n = int(m[b, 4])
+                    ql = int(m[b, 5])
+                    cl = int(m[b, 6])
+                    ml = int(m[b, 7])
+                    il = int(m[b, 8])
+                    fl = int(m[b, 10])
+                    sb.fixed = fixed[ro:ro + n]
+                    sb.qnames = qraw[qo:qo + ql] if need_qnames else b""
+                    sb.coords = coords[co2:co2 + cl]
+                    sb.mev = mev[mo:mo + ml]
+                    sb.iev = iev[io:io + il]
+                    sb.frgs = frgs[fo:fo + fl]
+                    ro += n; qo += ql; co2 += cl; mo += ml; io += il; fo += fl
+                    out.append(sb)
             lib.abam_scan_drop(sc)
             if out:
                 yield out

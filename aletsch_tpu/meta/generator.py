@@ -56,7 +56,8 @@ class Generator:
         light = native_core_available() and cfg.verbose < 2
         pr = scan_params(cfg, sp.library_type)
         for chunk in r.scan_region(tid, sp.end1[tid][rid],
-                                   sp.start_off[tid][rid], pr):
+                                   sp.start_off[tid][rid], pr,
+                                   need_qnames=not light):
             for sb in chunk:
                 self._generate(materialize_bundle(sb, light=light))
 

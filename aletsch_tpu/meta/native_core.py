@@ -103,7 +103,7 @@ def preview_bundle_native(sb, cfg):
     mev = np.ascontiguousarray(sb.mev, dtype=np.int32)
     iev = np.ascontiguousarray(sb.iev, dtype=np.int32)
     frgs = np.ascontiguousarray(sb.frgs, dtype=np.int32)
-    out_d = np.zeros(1000, dtype=np.int64)
+    out_d = np.empty(1000, dtype=np.int64)
     n = lib.core_preview_bundle(
         fixed.shape[0], fixed.ctypes.data_as(i32p),
         coords.ctypes.data_as(i32p),

@@ -212,8 +212,8 @@ class Previewer:
         cnt = 0
         capped_epoch = None
         pr = scan_params(cfg, self.sp.library_type)
-        from .native_core import preview_bundle_native
-        gen = r.scan_preview(pr)
+        from .native_core import native_core_available, preview_bundle_native
+        gen = r.scan_preview(pr, need_qnames=not native_core_available())
         for chunk in gen:
             for sb in chunk:
                 if capped_epoch is not None and sb.epoch != capped_epoch:

@@ -611,11 +611,63 @@ void abam_scan_bundle_fill(Scanner* s, int b, int32_t* fixed, char* qnames,
                            int32_t* frgs) {
     const FlushedBundle& fb = s->out[b];
     memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
-    memcpy(qnames, fb.qnames.data(), fb.qnames.size());
+    if (qnames)   // callers that never read qnames pass NULL
+        memcpy(qnames, fb.qnames.data(), fb.qnames.size());
     memcpy(coords, fb.coords.data(), fb.coords.size() * sizeof(int32_t));
     memcpy(mev, fb.mev.data(), fb.mev.size() * sizeof(int32_t));
     memcpy(iev, fb.iev.data(), fb.iev.size() * sizeof(int32_t));
     memcpy(frgs, fb.frgs.data(), fb.frgs.size() * sizeof(int32_t));
+}
+
+// Chunk-pooled variants: one sizes + one fill call marshal every flushed
+// bundle of the chunk (the per-bundle API above stays for compatibility).
+// meta is 11 int64 per bundle, same layout as abam_scan_bundle_info.
+void abam_scan_chunk_sizes(Scanner* s, int64_t* out6) {
+    int64_t rows = 0, qn = 0, co = 0, me = 0, ie = 0, fr = 0;
+    for (const FlushedBundle& fb : s->out) {
+        rows += (int64_t)fb.fixed.size() / 25;
+        qn += (int64_t)fb.qnames.size();
+        co += (int64_t)fb.coords.size();
+        me += (int64_t)fb.mev.size();
+        ie += (int64_t)fb.iev.size();
+        fr += (int64_t)fb.frgs.size();
+    }
+    out6[0] = rows; out6[1] = qn; out6[2] = co;
+    out6[3] = me; out6[4] = ie; out6[5] = fr;
+}
+
+void abam_scan_chunk_fill(Scanner* s, int64_t* meta, int32_t* fixed,
+                          char* qnames, int32_t* coords, int32_t* mev,
+                          int32_t* iev, int32_t* frgs) {
+    for (size_t b = 0; b < s->out.size(); b++) {
+        const FlushedBundle& fb = s->out[b];
+        int64_t* m = meta + 11 * b;
+        m[0] = fb.strand;
+        m[1] = fb.tid;
+        m[2] = fb.lpos;
+        m[3] = fb.rpos;
+        m[4] = (int64_t)fb.fixed.size() / 25;
+        m[5] = (int64_t)fb.qnames.size();
+        m[6] = (int64_t)fb.coords.size();
+        m[7] = (int64_t)fb.mev.size();
+        m[8] = (int64_t)fb.iev.size();
+        m[9] = fb.epoch;
+        m[10] = (int64_t)fb.frgs.size();
+        memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
+        fixed += fb.fixed.size();
+        if (qnames) {
+            memcpy(qnames, fb.qnames.data(), fb.qnames.size());
+            qnames += fb.qnames.size();
+        }
+        memcpy(coords, fb.coords.data(), fb.coords.size() * sizeof(int32_t));
+        coords += fb.coords.size();
+        memcpy(mev, fb.mev.data(), fb.mev.size() * sizeof(int32_t));
+        mev += fb.mev.size();
+        memcpy(iev, fb.iev.data(), fb.iev.size() * sizeof(int32_t));
+        iev += fb.iev.size();
+        memcpy(frgs, fb.frgs.data(), fb.frgs.size() * sizeof(int32_t));
+        frgs += fb.frgs.size();
+    }
 }
 
 // Process up to max_records records.  Returns 1 while more input remains,
