@@ -138,12 +138,19 @@ def eligible(asmb, gv):
     return True
 
 
+# dispatch statistics (tests assert the native path actually fires; a
+# silently broken eligibility check would otherwise just slow-path forever)
+stats = {"native_groups": 0, "fallback_groups": 0}
+
+
 def resolve_group_native(asmb, gv, do_bridge):
     """Run the whole group assembly natively and replay the transcript-set
     adds exactly as Assembler.assemble_graph would.  Returns True when
     handled (bundles are cleared), False when the caller must fall back."""
     if not eligible(asmb, gv):
+        stats["fallback_groups"] += 1
         return False
+    stats["native_groups"] += 1
     lib = _load_lib()
 
     n = len(gv)
