@@ -41,15 +41,19 @@ def materialize_bundle(sb, light=False):
         bb.frgs_ready = True
         bb.mmap.add_pairs(sb.mev.reshape(-1, 2))
         bb.imap.add_pairs(sb.iev.reshape(-1, 2))
-        sc = sf[:, 19]
-        rows_s = np.nonzero(sc)[0]
-        if rows_s.size:
-            offs = (sf[rows_s, 17] + 2 * sf[rows_s, 18]).tolist()
-            lens = sc[rows_s].tolist()
-            parts = [sb.coords[o:o + n] for o, n in zip(offs, lens)]
-            bb.splices = np.unique(np.concatenate(parts)).tolist()
+        spl = getattr(sb, "splices", None)
+        if spl is not None:
+            bb.splices = spl.tolist()      # sorted unique, from the scanner
         else:
-            bb.splices = []
+            sc = sf[:, 19]
+            rows_s = np.nonzero(sc)[0]
+            if rows_s.size:
+                offs = (sf[rows_s, 17] + 2 * sf[rows_s, 18]).tolist()
+                lens = sc[rows_s].tolist()
+                parts = [sb.coords[o:o + n] for o, n in zip(offs, lens)]
+                bb.splices = np.unique(np.concatenate(parts)).tolist()
+            else:
+                bb.splices = []
         bb._scan_fixed = sb.fixed
         bb._scan_coords = sb.coords
         bb._scan_mev = sb.mev

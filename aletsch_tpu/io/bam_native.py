@@ -85,7 +85,8 @@ def _load_lib():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.abam_cluster_pereads.restype = ctypes.c_void_p
@@ -256,9 +257,10 @@ class NativeBamReader:
 
 class ScanBundle:
     """One flushed bundle from the native scanner: fixed rows are 25 int32
-    (24 decoder fields + routed strand in slot 22 + hid in slot 24)."""
+    (24 decoder fields + routed strand in slot 22 + hid in slot 24).
+    splices is the sorted-unique splice-position list (computed at flush)."""
     __slots__ = ("strand", "tid", "lpos", "rpos", "epoch", "fixed",
-                 "qnames", "coords", "mev", "iev", "frgs")
+                 "qnames", "coords", "mev", "iev", "frgs", "splices")
 
 
 def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
@@ -276,10 +278,10 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
             nb = lib.abam_scan_nbundles(sc)
             out = []
             if nb:
-                sizes = (ctypes.c_int64 * 6)()
+                sizes = (ctypes.c_int64 * 7)()
                 lib.abam_scan_chunk_sizes(sc, sizes)
-                rows, qn_total, co, me, ie, fr = (int(x) for x in sizes)
-                meta = np.empty(nb * 11, dtype=np.int64)
+                rows, qn_total, co, me, ie, fr, sp = (int(x) for x in sizes)
+                meta = np.empty(nb * 12, dtype=np.int64)
                 fixed = np.empty((max(rows, 1), 25), dtype=np.int32)
                 qbuf = (ctypes.create_string_buffer(max(qn_total, 1))
                         if need_qnames else None)
@@ -287,14 +289,16 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                 mev = np.empty(max(me, 1), dtype=np.int32)
                 iev = np.empty(max(ie, 1), dtype=np.int32)
                 frgs = np.empty(max(fr, 1), dtype=np.int32)
+                splices = np.empty(max(sp, 1), dtype=np.int32)
                 lib.abam_scan_chunk_fill(
                     sc, meta.ctypes.data_as(i64p),
                     fixed.ctypes.data_as(i32p), qbuf,
                     coords.ctypes.data_as(i32p), mev.ctypes.data_as(i32p),
-                    iev.ctypes.data_as(i32p), frgs.ctypes.data_as(i32p))
+                    iev.ctypes.data_as(i32p), frgs.ctypes.data_as(i32p),
+                    splices.ctypes.data_as(i32p))
                 qraw = qbuf.raw[:qn_total] if need_qnames else b""
-                m = meta.reshape(nb, 11)
-                ro = qo = co2 = mo = io = fo = 0
+                m = meta.reshape(nb, 12)
+                ro = qo = co2 = mo = io = fo = so = 0
                 for b in range(nb):
                     sb = ScanBundle()
                     sb.strand = "+" if m[b, 0] == 0 else "-"
@@ -308,13 +312,16 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                     ml = int(m[b, 7])
                     il = int(m[b, 8])
                     fl = int(m[b, 10])
+                    sl = int(m[b, 11])
                     sb.fixed = fixed[ro:ro + n]
                     sb.qnames = qraw[qo:qo + ql] if need_qnames else b""
                     sb.coords = coords[co2:co2 + cl]
                     sb.mev = mev[mo:mo + ml]
                     sb.iev = iev[io:io + il]
                     sb.frgs = frgs[fo:fo + fl]
-                    ro += n; qo += ql; co2 += cl; mo += ml; io += il; fo += fl
+                    sb.splices = splices[so:so + sl]
+                    ro += n; qo += ql; co2 += cl; mo += ml
+                    io += il; fo += fl; so += sl
                     out.append(sb)
             lib.abam_scan_drop(sc)
             if out:
@@ -386,3 +393,36 @@ def open_bam(path):
         return NativeBamReader(path)
     from .bam import BamReader
     return BamReader(path)
+
+
+_tls = None
+
+
+def open_bam_cached(path):
+    """Thread-cached NativeBamReader for repeated region scans of the same
+    file (the generator seeks per region anyway).  Keyed by (path, mtime,
+    size) so a rewritten file gets a fresh reader; capped per thread with
+    LRU eviction.  Returns None when the native library is unavailable —
+    callers fall back to open_bam and manage the lifetime themselves."""
+    global _tls
+    if not native_available():
+        return None
+    import threading
+    if _tls is None:
+        _tls = threading.local()
+    cache = getattr(_tls, "readers", None)
+    if cache is None:
+        cache = {}
+        _tls.readers = cache
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    r = cache.pop(key, None)
+    if r is None:
+        # drop stale entries for the same path (rewritten file)
+        for k in [k for k in cache if k[0] == path]:
+            cache.pop(k).close()
+        r = NativeBamReader(path)
+        if len(cache) >= 64:
+            cache.pop(next(iter(cache))).close()   # oldest (insertion order)
+    cache[key] = r
+    return r

@@ -33,6 +33,11 @@ class Generator:
         rid = self.region_id
         if tid < 0 or rid < 0:
             return
+        from ..io.bam_native import open_bam_cached
+        r = open_bam_cached(sp.align_file)
+        if r is not None and hasattr(r, "scan_region"):
+            # thread-cached reader; do not close (reused across regions)
+            return self._resolve_scan(r)
         with open_bam(sp.align_file) as r:
             if hasattr(r, "scan_region"):
                 return self._resolve_scan(r)

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O2 -shared -fPIC -o libabam.so abam.cpp -lz
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -410,6 +411,7 @@ struct FlushedBundle {
     std::vector<int32_t> mev;
     std::vector<int32_t> iev;
     std::vector<int32_t> frgs;      // mate pairs: (h1, h2) per fragment
+    std::vector<int32_t> splices;   // sorted unique splice positions
 };
 
 // Python floor-mod (non-negative for positive modulus)
@@ -516,6 +518,19 @@ void flush_bundle(Scanner* s, int k) {
         fb.tid = B.tid;
         fb.lpos = (int32_t)B.lpos;
         fb.rpos = (int32_t)B.rpos;
+        // sorted-unique splice positions over all hit chains (equals
+        // ChainSet.get_splices on the materialized bundle: chain dedup does
+        // not change the coordinate set and all counts are live at flush)
+        for (size_t j = 0; j * 25 < B.fixed.size(); j++) {
+            const int32_t* row = B.fixed.data() + 25 * j;
+            int32_t sc = row[19];
+            if (!sc) continue;
+            const int32_t* ch = B.coords.data() + row[17] + 2 * row[18];
+            fb.splices.insert(fb.splices.end(), ch, ch + sc);
+        }
+        std::sort(fb.splices.begin(), fb.splices.end());
+        fb.splices.erase(std::unique(fb.splices.begin(), fb.splices.end()),
+                         fb.splices.end());
         fb.fixed = std::move(B.fixed);
         fb.qnames = std::move(B.qnames);
         fb.coords = std::move(B.coords);
@@ -621,9 +636,9 @@ void abam_scan_bundle_fill(Scanner* s, int b, int32_t* fixed, char* qnames,
 
 // Chunk-pooled variants: one sizes + one fill call marshal every flushed
 // bundle of the chunk (the per-bundle API above stays for compatibility).
-// meta is 11 int64 per bundle, same layout as abam_scan_bundle_info.
-void abam_scan_chunk_sizes(Scanner* s, int64_t* out6) {
-    int64_t rows = 0, qn = 0, co = 0, me = 0, ie = 0, fr = 0;
+// meta is 12 int64 per bundle: the abam_scan_bundle_info layout + splices.
+void abam_scan_chunk_sizes(Scanner* s, int64_t* out7) {
+    int64_t rows = 0, qn = 0, co = 0, me = 0, ie = 0, fr = 0, sp = 0;
     for (const FlushedBundle& fb : s->out) {
         rows += (int64_t)fb.fixed.size() / 25;
         qn += (int64_t)fb.qnames.size();
@@ -631,17 +646,18 @@ void abam_scan_chunk_sizes(Scanner* s, int64_t* out6) {
         me += (int64_t)fb.mev.size();
         ie += (int64_t)fb.iev.size();
         fr += (int64_t)fb.frgs.size();
+        sp += (int64_t)fb.splices.size();
     }
-    out6[0] = rows; out6[1] = qn; out6[2] = co;
-    out6[3] = me; out6[4] = ie; out6[5] = fr;
+    out7[0] = rows; out7[1] = qn; out7[2] = co;
+    out7[3] = me; out7[4] = ie; out7[5] = fr; out7[6] = sp;
 }
 
 void abam_scan_chunk_fill(Scanner* s, int64_t* meta, int32_t* fixed,
                           char* qnames, int32_t* coords, int32_t* mev,
-                          int32_t* iev, int32_t* frgs) {
+                          int32_t* iev, int32_t* frgs, int32_t* splices) {
     for (size_t b = 0; b < s->out.size(); b++) {
         const FlushedBundle& fb = s->out[b];
-        int64_t* m = meta + 11 * b;
+        int64_t* m = meta + 12 * b;
         m[0] = fb.strand;
         m[1] = fb.tid;
         m[2] = fb.lpos;
@@ -653,6 +669,7 @@ void abam_scan_chunk_fill(Scanner* s, int64_t* meta, int32_t* fixed,
         m[8] = (int64_t)fb.iev.size();
         m[9] = fb.epoch;
         m[10] = (int64_t)fb.frgs.size();
+        m[11] = (int64_t)fb.splices.size();
         memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
         fixed += fb.fixed.size();
         if (qnames) {
@@ -667,6 +684,9 @@ void abam_scan_chunk_fill(Scanner* s, int64_t* meta, int32_t* fixed,
         iev += fb.iev.size();
         memcpy(frgs, fb.frgs.data(), fb.frgs.size() * sizeof(int32_t));
         frgs += fb.frgs.size();
+        memcpy(splices, fb.splices.data(),
+               fb.splices.size() * sizeof(int32_t));
+        splices += fb.splices.size();
     }
 }
 
