@@ -120,9 +120,8 @@ class Transcript:
         Equivalent to copy.deepcopy but ~50x cheaper on the merge hot path
         (transcript_set TransItem per-sample copies)."""
         import copy as _copy
-        import dataclasses as _dc
         t = _copy.copy(self)
-        t.features = _dc.replace(self.features)
+        t.features = _copy.copy(self.features)
         t.exons = list(self.exons)
         return t
 

@@ -235,8 +235,14 @@ class Incubator:
                           for sp in self.samples
                           if os.path.exists(sp.align_file))
         # worker startup only pays off for real inputs; workers are plain
-        # subprocesses (see parallel/worker.py for why not multiprocessing)
-        if nw > 1 and total_bytes >= 16 * 1024 * 1024:
+        # subprocesses (see parallel/worker.py for why not multiprocessing).
+        # With the native previewer (GIL-releasing C), threads beat the
+        # ~1.5s/worker subprocess startup.
+        from .native_core import native_core_available
+        if nw > 1 and native_core_available():
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                list(ex.map(prep, self.samples))
+        elif nw > 1 and total_bytes >= 16 * 1024 * 1024:
             try:
                 self.samples = _prep_samples_subprocess(self.params,
                                                         self.samples, nw)

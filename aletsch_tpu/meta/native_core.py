@@ -40,14 +40,15 @@ def _bind(lib):
     # pointer to c_int
     if getattr(lib, "_core_bound", False):
         return
+    vpp = ctypes.POINTER(ctypes.c_void_p)
     lib.core_resolve_group.restype = ctypes.c_void_p
     lib.core_resolve_group.argtypes = [
         ctypes.c_int32, ctypes.c_int32,
-        i32p, i64p, i32p,
-        i64p, i32p,
-        i64p, i64p, i32p,
-        i64p, i64p, i32p,
-        i64p, i64p, i32p,
+        i32p,
+        vpp, vpp,
+        vpp, i64p,
+        vpp, i64p,
+        vpp, i64p,
         i32p, i32p, i64p, i64p, i64p, i64p,
         i64p, f64p]
     lib.core_out_sizes.argtypes = [ctypes.c_void_p, i64p]
@@ -155,26 +156,29 @@ def resolve_group_native(asmb, gv, do_bridge):
 
     n = len(gv)
     nh = np.asarray([bd._scan_fixed.shape[0] for bd in gv], dtype=np.int32)
-    fixed_off = np.zeros(n, dtype=np.int64)
-    np.cumsum(nh[:-1], out=fixed_off[1:])
-    fixed = (np.concatenate([bd._scan_fixed for bd in gv])
-             if n > 1 else gv[0]._scan_fixed)
-    fixed = np.ascontiguousarray(fixed, dtype=np.int32)
 
-    def pool(arrs, pairs):
-        cnt = np.asarray([a.size // 2 if pairs else a.size for a in arrs],
-                         dtype=np.int64)
-        off = np.zeros(n, dtype=np.int64)
-        np.cumsum(cnt[:-1], out=off[1:])
-        cat = (np.concatenate(arrs) if n > 1 else arrs[0])
-        if cat.size == 0:
-            cat = np.zeros(2, dtype=np.int32)
-        return off, cnt, np.ascontiguousarray(cat, dtype=np.int32)
+    _empty = np.zeros(2, dtype=np.int32)
+    _keep = []                      # keep contiguous copies alive
 
-    coords_off, _, coords = pool([bd._scan_coords for bd in gv], False)
-    mev_off, mev_cnt, mev = pool([bd._scan_mev for bd in gv], True)
-    iev_off, iev_cnt, iev = pool([bd._scan_iev for bd in gv], True)
-    frg_off, frg_cnt, frgs = pool([bd._scan_frgs for bd in gv], True)
+    def ptrs(arrs, pairs):
+        """Per-bundle data pointers + pair counts (no concatenation)."""
+        pp = (ctypes.c_void_p * n)()
+        cnt = np.empty(n, dtype=np.int64)
+        for i, a in enumerate(arrs):
+            if a.size == 0:
+                a = _empty
+            elif not a.flags.c_contiguous or a.dtype != np.int32:
+                a = np.ascontiguousarray(a, dtype=np.int32)
+                _keep.append(a)
+            pp[i] = a.ctypes.data
+            cnt[i] = a.size // 2 if pairs else a.size
+        return pp, cnt
+
+    fixed_p, _ = ptrs([bd._scan_fixed for bd in gv], False)
+    coords_p, _ = ptrs([bd._scan_coords for bd in gv], False)
+    mev_p, mev_cnt = ptrs([bd._scan_mev for bd in gv], True)
+    iev_p, iev_cnt = ptrs([bd._scan_iev for bd in gv], True)
+    frg_p, frg_cnt = ptrs([bd._scan_frgs for bd in gv], True)
 
     sid = np.asarray([bd.sp.sample_id for bd in gv], dtype=np.int32)
     strand = np.asarray([ord(bd.strand) for bd in gv], dtype=np.int32)
@@ -201,11 +205,11 @@ def resolve_group_native(asmb, gv, do_bridge):
 
     h = lib.core_resolve_group(
         n, 1 if do_bridge else 0,
-        ip(nh), lp(fixed_off), ip(fixed),
-        lp(coords_off), ip(coords),
-        lp(mev_off), lp(mev_cnt), ip(mev),
-        lp(iev_off), lp(iev_cnt), ip(iev),
-        lp(frg_off), lp(frg_cnt), ip(frgs),
+        ip(nh),
+        fixed_p, coords_p,
+        mev_p, lp(mev_cnt),
+        iev_p, lp(iev_cnt),
+        frg_p, lp(frg_cnt),
         ip(sid), ip(strand), lp(lpos), lp(rpos), lp(ilow), lp(ihigh),
         lp(cfg_i), cfg_d.ctypes.data_as(f64p))
 

@@ -427,12 +427,12 @@ extern "C" {
 
 void* core_resolve_group(
     i32 n_bundles, i32 do_bridge,
-    const i32* nh, const i64* fixed_off,
-    const i32* fixed,
-    const i64* coords_off, const i32* coords,
-    const i64* mev_off, const i64* mev_cnt, const i32* mev,
-    const i64* iev_off, const i64* iev_cnt, const i32* iev,
-    const i64* frg_off, const i64* frg_cnt, const i32* frgs,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
     const i32* sample_id, const i32* strand,
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
@@ -449,11 +449,10 @@ void* core_resolve_group(
         bd.strand = (char)strand[b];
         bd.insert_low = ins_low[b];
         bd.insert_high = ins_high[b];
-        bd.init_from_scan(fixed + 25 * fixed_off[b], nh[b],
-                          coords + coords_off[b],
-                          mev + 2 * mev_off[b], mev_cnt[b],
-                          iev + 2 * iev_off[b], iev_cnt[b],
-                          frgs + 2 * frg_off[b], frg_cnt[b]);
+        bd.init_from_scan(fixed_p[b], nh[b], coords_p[b],
+                          mev_p[b], mev_cnt[b],
+                          iev_p[b], iev_cnt[b],
+                          frg_p[b], frg_cnt[b]);
         bd.tid = 0;
         bd.lpos = lpos[b];
         bd.rpos = rpos[b];
