@@ -87,6 +87,10 @@ def _fmt(v, prec):
     return str(v)
 
 
+import operator as _operator
+_FEATURE_GETTER = _operator.attrgetter(*FEATURE_COLUMNS)
+
+
 @dataclass
 class Transcript:
     seqname: str = ""
@@ -300,13 +304,13 @@ class Transcript:
 
     def write_features(self, fout, prec=2):
         """51-column tab-separated feature row (transcript.cc:362-428)."""
+        fmt = "%%.%df" % prec
         cols = [self.transcript_id, self.meta_tid, self.seqname,
-                _fmt(float(self.coverage), prec), _fmt(float(self.cov2), prec),
-                _fmt(float(self.abd), prec), _fmt(float(self.conf), prec),
+                fmt % self.coverage, fmt % self.cov2,
+                fmt % self.abd, fmt % self.conf,
                 str(self.count1), str(self.count2), str(len(self.exons))]
-        f = self.features
-        for name in FEATURE_COLUMNS:
-            cols.append(_fmt(getattr(f, name), prec))
+        cols += [(fmt % v) if isinstance(v, float) else str(v)
+                 for v in _FEATURE_GETTER(self.features)]
         fout.write("\t".join(cols) + "\n")
 
 

@@ -33,6 +33,21 @@ i32p = ctypes.POINTER(ctypes.c_int32)
 i64p = ctypes.POINTER(ctypes.c_int64)
 f64p = ctypes.POINTER(ctypes.c_double)
 
+_preview_tls = None
+
+
+def _preview_buf():
+    """Per-thread reusable 1000-slot distance buffer for the previewer."""
+    global _preview_tls
+    if _preview_tls is None:
+        import threading
+        _preview_tls = threading.local()
+    b = getattr(_preview_tls, "buf", None)
+    if b is None:
+        b = np.empty(1000, dtype=np.int64)
+        _preview_tls.buf = b
+    return b
+
 
 def _bind(lib):
     # bind per CDLL instance: the library can be re-loaded (tests/fuzz swap
@@ -40,29 +55,30 @@ def _bind(lib):
     # pointer to c_int
     if getattr(lib, "_core_bound", False):
         return
+    # array parameters are declared c_void_p: callers pass arr.ctypes.data
+    # (a plain int), which skips the per-call POINTER cast overhead
+    vp = ctypes.c_void_p
     vpp = ctypes.POINTER(ctypes.c_void_p)
     lib.core_resolve_group.restype = ctypes.c_void_p
     lib.core_resolve_group.argtypes = [
         ctypes.c_int32, ctypes.c_int32,
-        i32p,
+        vp,
         vpp, vpp,
-        vpp, i64p,
-        vpp, i64p,
-        vpp, i64p,
-        i32p, i32p, i64p, i64p, i64p, i64p,
-        i64p, f64p]
+        vpp, vp,
+        vpp, vp,
+        vpp, vp,
+        vp, vp, vp, vp, vp, vp,
+        vp, vp]
     lib.core_out_sizes.argtypes = [ctypes.c_void_p, i64p]
-    lib.core_out_fill.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p,
-                                  i32p, i64p, f64p, f64p, f64p, i32p, i64p,
-                                  f64p]
+    lib.core_out_fill.argtypes = [ctypes.c_void_p] + [vp] * 12
     lib.core_out_free.argtypes = [ctypes.c_void_p]
     lib.core_preview_bundle.restype = ctypes.c_int64
     lib.core_preview_bundle.argtypes = [
-        ctypes.c_int32, i32p, i32p,
-        i32p, ctypes.c_int64, i32p, ctypes.c_int64,
-        i32p, ctypes.c_int64,
+        ctypes.c_int32, vp, vp,
+        vp, ctypes.c_int64, vp, ctypes.c_int64,
+        vp, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        i64p, f64p, i64p]
+        vp, vp, vp]
     lib._core_bound = True
 
 
@@ -99,23 +115,18 @@ def preview_bundle_native(sb, cfg):
         return None
     lib = _load_lib()
     ci, cd = _cfg_arrays(cfg)
-    fixed = np.ascontiguousarray(sb.fixed, dtype=np.int32)
-    coords = np.ascontiguousarray(sb.coords, dtype=np.int32)
-    mev = np.ascontiguousarray(sb.mev, dtype=np.int32)
-    iev = np.ascontiguousarray(sb.iev, dtype=np.int32)
-    frgs = np.ascontiguousarray(sb.frgs, dtype=np.int32)
-    out_d = np.empty(1000, dtype=np.int64)
+    fixed = sb.fixed
     n = lib.core_preview_bundle(
-        fixed.shape[0], fixed.ctypes.data_as(i32p),
-        coords.ctypes.data_as(i32p),
-        mev.ctypes.data_as(i32p), mev.size // 2,
-        iev.ctypes.data_as(i32p), iev.size // 2,
-        frgs.ctypes.data_as(i32p), frgs.size // 2,
+        fixed.shape[0], fixed.ctypes.data,
+        sb.coords.ctypes.data,
+        sb.mev.ctypes.data, sb.mev.size // 2,
+        sb.iev.ctypes.data, sb.iev.size // 2,
+        sb.frgs.ctypes.data, sb.frgs.size // 2,
         sb.lpos, sb.rpos, int(fixed[0, 22]),   # strand = first hit's, like
                                                # materialize_bundle/add_hit
-        ci.ctypes.data_as(i64p), cd.ctypes.data_as(f64p),
-        out_d.ctypes.data_as(i64p))
-    return out_d[:int(n)].tolist()
+        ci.ctypes.data, cd.ctypes.data,
+        _preview_buf().ctypes.data)
+    return _preview_buf()[:int(n)].tolist()
 
 
 def eligible(asmb, gv):
@@ -197,21 +208,16 @@ def resolve_group_native(asmb, gv, do_bridge):
     cfg_i[n * CFG_NI:] = ci
     cfg_d[n * CFG_ND:] = cd
 
-    def ip(a):
-        return a.ctypes.data_as(i32p)
-
-    def lp(a):
-        return a.ctypes.data_as(i64p)
-
     h = lib.core_resolve_group(
         n, 1 if do_bridge else 0,
-        ip(nh),
+        nh.ctypes.data,
         fixed_p, coords_p,
-        mev_p, lp(mev_cnt),
-        iev_p, lp(iev_cnt),
-        frg_p, lp(frg_cnt),
-        ip(sid), ip(strand), lp(lpos), lp(rpos), lp(ilow), lp(ihigh),
-        lp(cfg_i), cfg_d.ctypes.data_as(f64p))
+        mev_p, mev_cnt.ctypes.data,
+        iev_p, iev_cnt.ctypes.data,
+        frg_p, frg_cnt.ctypes.data,
+        sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
+        rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
+        cfg_i.ctypes.data, cfg_d.ctypes.data)
 
     sizes = (ctypes.c_int64 * 3)()
     lib.core_out_sizes(h, sizes)
@@ -228,12 +234,12 @@ def resolve_group_native(asmb, gv, do_bridge):
     t_nexons = np.zeros(max(nt, 1), dtype=np.int32)
     exons = np.zeros(max(ne, 1), dtype=np.int64)
     feats = np.zeros(max(nt * len(FEATURE_COLUMNS), 1), dtype=np.float64)
-    lib.core_out_fill(h, ip(g_sid), ip(g_sub), ip(t_group), ip(t_pathi),
-                      ip(t_strand), lp(t_count1),
-                      t_cov.ctypes.data_as(f64p),
-                      t_conf.ctypes.data_as(f64p),
-                      t_abd.ctypes.data_as(f64p), ip(t_nexons), lp(exons),
-                      feats.ctypes.data_as(f64p))
+    lib.core_out_fill(h, g_sid.ctypes.data, g_sub.ctypes.data,
+                      t_group.ctypes.data, t_pathi.ctypes.data,
+                      t_strand.ctypes.data, t_count1.ctypes.data,
+                      t_cov.ctypes.data, t_conf.ctypes.data,
+                      t_abd.ctypes.data, t_nexons.ctypes.data,
+                      exons.ctypes.data, feats.ctypes.data)
     lib.core_out_free(h)
 
     _replay_transcripts(asmb, gv[0].chrm, ng, nt, g_sid, g_sub, t_group,

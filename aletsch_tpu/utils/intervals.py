@@ -55,12 +55,9 @@ class CoverageMap:
     def add_pairs(self, arr):
         """Bulk add of unit-weight [l, r) intervals from an (N, 2) array
         (native scanner output); degenerate rows (l >= r) are ignored like
-        add()."""
-        arr = np.asarray(arr, dtype=np.int64).reshape(-1, 2)
-        if arr.size == 0:
-            return
-        arr = arr[arr[:, 0] < arr[:, 1]]
-        if arr.size == 0:
+        add().  Filtering/conversion is deferred to _build so maps that are
+        never queried (light bundles) cost nothing here."""
+        if len(arr) == 0:
             return
         self._chunks.append(arr)
         self._dirty = True
@@ -100,11 +97,19 @@ class CoverageMap:
             parts_p.append(ev[:, 0])
             parts_d.append(ev[:, 1])
         for ch in self._chunks:
+            ch = np.asarray(ch, dtype=np.int64).reshape(-1, 2)
+            ch = ch[ch[:, 0] < ch[:, 1]]          # drop degenerate rows
+            if ch.size == 0:
+                continue
             parts_p.append(ch.reshape(-1))
             d = np.empty(ch.shape[0] * 2, dtype=np.int64)
             d[0::2] = 1
             d[1::2] = -1
             parts_d.append(d)
+        if not parts_p:
+            self._bps = np.empty(0, dtype=np.int64)
+            self._vals = np.empty(0, dtype=np.int64)
+            return
         pos = np.concatenate(parts_p)
         dlt = np.concatenate(parts_d)
         order = np.argsort(pos, kind="stable")
