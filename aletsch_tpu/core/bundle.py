@@ -44,6 +44,7 @@ def materialize_bundle(sb, light=False):
         spl = getattr(sb, "splices", None)
         if spl is not None:
             bb.splices = spl.tolist()      # sorted unique, from the scanner
+            bb._splices_arr = spl          # int32 view for native grouping
         else:
             sc = sf[:, 19]
             rows_s = np.nonzero(sc)[0]

@@ -66,8 +66,20 @@ class BundleGroup:
         self.grouped = []
 
     def resolve(self):
-        """bundle_group.cc:26-56"""
+        """bundle_group.cc:26-56; the clustering rounds run natively
+        (core_cluster_groups) when the library is available — same splice
+        index, similarity thresholds, greedy capped union, group order."""
         self.remove_duplicates()
+        from .native_core import cluster_groups_native
+        gids = cluster_groups_native(self.gset, self.cfg)
+        if gids is not None:
+            self.gvv = []
+            for i, g in enumerate(gids.tolist()):
+                if g == len(self.gvv):
+                    self.gvv.append([i])
+                else:
+                    self.gvv[g].append(i)
+            return
         sindex = self._build_splice_index()
         ds = DisjointSet(len(self.gset))
         self.grouped = [False] * len(self.gset)

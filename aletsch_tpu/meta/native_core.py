@@ -79,6 +79,11 @@ def _bind(lib):
         vp, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         vp, vp, vp]
+    lib.core_cluster_groups.restype = ctypes.c_int64
+    lib.core_cluster_groups.argtypes = [
+        ctypes.c_int32, vpp, vp,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64, vp]
     lib._core_bound = True
 
 
@@ -127,6 +132,33 @@ def preview_bundle_native(sb, cfg):
         ci.ctypes.data, cd.ctypes.data,
         _preview_buf().ctypes.data)
     return _preview_buf()[:int(n)].tolist()
+
+
+def cluster_groups_native(gset, cfg):
+    """Native bundle_group clustering rounds (core_cluster_groups); returns
+    per-bundle group ids in gvv order, or None when unavailable."""
+    if not native_core_available():
+        return None
+    lib = _load_lib()
+    n = len(gset)
+    pp = (ctypes.c_void_p * max(n, 1))()
+    lens = np.empty(max(n, 1), dtype=np.int64)
+    keep = []
+    for i, bd in enumerate(gset):
+        arr = getattr(bd, "_splices_arr", None)
+        if arr is None or len(arr) != len(bd.splices):
+            arr = np.asarray(bd.splices, dtype=np.int32)
+            keep.append(arr)
+        pp[i] = arr.ctypes.data if arr.size else None
+        lens[i] = arr.size
+    out = np.empty(max(n, 1), dtype=np.int32)
+    lib.core_cluster_groups(
+        n, pp, lens.ctypes.data,
+        float(cfg.max_num_junctions_to_combine),
+        float(cfg.max_grouping_similarity),
+        float(cfg.min_grouping_similarity),
+        int(cfg.max_group_size), out.ctypes.data)
+    return out[:n]
 
 
 def eligible(asmb, gv):

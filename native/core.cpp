@@ -9,6 +9,8 @@
 
 #include "core_scallop.h"
 
+#include <functional>
+
 namespace core {
 
 struct CoreOut {
@@ -501,6 +503,127 @@ void core_out_fill(void* h, i32* g_sid, i32* g_subindex,
 }
 
 void core_out_free(void* h) { delete (core::CoreOut*)h; }
+
+// Cross-sample bundle clustering (meta/bundle_group.py resolve after
+// remove_duplicates; meta/bundle_group.cc:26-342): splice index, two
+// similarity rounds, greedy best-first union with size cap, group ids.
+// splices per bundle are sorted unique int32 (scanner-emitted).  Writes the
+// gvv group id per bundle into out_group; returns the group count.
+i64 core_cluster_groups(
+    i32 n, const i32* const* splices_p, const i64* splice_len,
+    double max_junc, double max_sim, double min_sim, i64 max_group_size,
+    i32* out_group) {
+    using core::i64;
+    // disjoint set (bundle_group.py DisjointSet, rank + explicit sizes)
+    std::vector<int> parent(n), rank_(n, 0);
+    std::vector<i64> size_(n, 1);
+    for (i32 i = 0; i < n; i++) parent[i] = i;
+    std::function<int(int)> find = [&](int x) {
+        int root = x;
+        while (parent[root] != root) root = parent[root];
+        while (parent[x] != root) {
+            int nx = parent[x];
+            parent[x] = root;
+            x = nx;
+        }
+        return root;
+    };
+    auto link = [&](int x, int y) {
+        x = find(x);
+        y = find(y);
+        if (x == y) return x;
+        if (rank_[x] < rank_[y]) std::swap(x, y);
+        parent[y] = x;
+        if (rank_[x] == rank_[y]) rank_[x]++;
+        return x;
+    };
+
+    // splice position -> bundle set (insertion into std::map = sorted keys;
+    // values stay ascending because bundles are visited in index order)
+    std::map<int32_t, std::vector<int>> sindex;
+    for (i32 k = 0; k < n; k++)
+        for (i64 j = 0; j < splice_len[k]; j++)
+            sindex[splices_p[k][j]].push_back(k);
+
+    std::vector<bool> grouped(n, false);
+
+    auto isect_count = [&](int a, int b) -> i64 {
+        const int32_t* pa = splices_p[a];
+        const int32_t* pb = splices_p[b];
+        i64 na = splice_len[a], nb = splice_len[b];
+        i64 i = 0, j = 0, c = 0;
+        while (i < na && j < nb) {
+            if (pa[i] < pb[j]) i++;
+            else if (pa[i] > pb[j]) j++;
+            else { c++; i++; j++; }
+        }
+        return c;
+    };
+
+    auto process_subset = [&](const std::vector<int>& s, double thr) {
+        std::vector<int> ss;
+        for (int z : s) {                      // ascending (sorted(s))
+            if (grouped[z]) continue;
+            if (size_[find(z)] >= max_group_size) {
+                grouped[z] = true;
+                continue;
+            }
+            ss.push_back(z);
+        }
+        std::vector<int> cand;
+        for (int i : ss)
+            if ((double)splice_len[i] / 2.0 <= max_junc) cand.push_back(i);
+        // pairs in (i, j) candidate order, exactly like the incidence-matrix
+        // kernel's row-major nonzero scan (ops/similarity.py)
+        struct P { int x, y; double r; };
+        std::vector<P> vpid;
+        for (size_t a = 0; a < cand.size(); a++) {
+            for (size_t b = a + 1; b < cand.size(); b++) {
+                int i = cand[a], j = cand[b];
+                i64 mn = std::min(splice_len[i], splice_len[j]);
+                if (mn <= 0) continue;
+                i64 c = isect_count(i, j);
+                if (!((double)c > 0.50)) continue;
+                double r = (double)c / (double)mn;
+                if (r < thr) continue;
+                if (find(i) == find(j)) continue;
+                vpid.push_back(P{i, j, r});
+            }
+        }
+        std::stable_sort(vpid.begin(), vpid.end(),
+                         [](const P& a, const P& b) { return a.r > b.r; });
+        // greedy best-first union with size cap (bundle_group.cc:296-318)
+        for (const P& p : vpid) {
+            int px = find(p.x), py = find(p.y);
+            if (px == py) continue;
+            i64 sx = size_[px], sy = size_[py];
+            if (sx >= max_group_size || sy >= max_group_size) continue;
+            int q = link(px, py);
+            size_[find(q)] = sx + sy;
+        }
+    };
+
+    for (const auto& kv : sindex)
+        if (kv.second.size() > 1) process_subset(kv.second, max_sim);
+    for (const auto& kv : sindex)
+        if (kv.second.size() > 1) process_subset(kv.second, min_sim);
+
+    // group ids in first-root-seen order (bundle_group.cc:320-342)
+    std::map<int, i32> mm;
+    i32 ng = 0;
+    for (i32 i = 0; i < n; i++) {
+        int p = find(i);
+        auto it = mm.find(p);
+        if (it == mm.end()) {
+            mm[p] = ng;
+            out_group[i] = ng;
+            ng++;
+        } else {
+            out_group[i] = it->second;
+        }
+    }
+    return ng;
+}
 
 // previewer._process (meta/previewer.py:392-423, previewer.cc:252-305):
 // one preview bundle -> up to 1000 fragment inner distances.  Returns the
