@@ -207,6 +207,47 @@ class NativeBamReader:
             params.uniq_only, params.library_type)
         return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
+    def scan_preview_pools(self, params, chunk_records=262144):
+        """Preview scan yielding raw chunk pools — (meta[nb,12] int64,
+        fixed[rows,25], coords, mev, iev, frgs) — with no ScanBundle
+        objects and no qname marshalling; feed for core_preview_chunk."""
+        lib = self._lib
+        sc = lib.abam_scan_open(
+            self._h, 1, -1, 0, params.min_mapq, params.max_num_cigar,
+            params.max_read_span, params.min_bundle_gap, params.use_second,
+            params.uniq_only, params.library_type)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        try:
+            while True:
+                more = lib.abam_scan_next(sc, chunk_records)
+                nb = lib.abam_scan_nbundles(sc)
+                if nb:
+                    sizes = (ctypes.c_int64 * 7)()
+                    lib.abam_scan_chunk_sizes(sc, sizes)
+                    rows, _qn, co, me, ie, fr, sp = (int(x) for x in sizes)
+                    meta = np.empty(nb * 12, dtype=np.int64)
+                    fixed = np.empty((max(rows, 1), 25), dtype=np.int32)
+                    coords = np.empty(max(co, 1), dtype=np.int32)
+                    mev = np.empty(max(me, 1), dtype=np.int32)
+                    iev = np.empty(max(ie, 1), dtype=np.int32)
+                    frgs = np.empty(max(fr, 1), dtype=np.int32)
+                    splices = np.empty(max(sp, 1), dtype=np.int32)
+                    lib.abam_scan_chunk_fill(
+                        sc, meta.ctypes.data_as(i64p),
+                        fixed.ctypes.data_as(i32p), None,
+                        coords.ctypes.data_as(i32p), mev.ctypes.data_as(i32p),
+                        iev.ctypes.data_as(i32p), frgs.ctypes.data_as(i32p),
+                        splices.ctypes.data_as(i32p))
+                    lib.abam_scan_drop(sc)
+                    yield meta.reshape(nb, 12), fixed, coords, mev, iev, frgs
+                else:
+                    lib.abam_scan_drop(sc)
+                if more == 0:
+                    break
+        finally:
+            lib.abam_scan_free(sc)
+
     def tell(self):
         if self._batch is not None and self._cursor < self._batch.count:
             return int(self._batch.voffs[self._cursor])

@@ -79,6 +79,11 @@ def _bind(lib):
         vp, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         vp, vp, vp]
+    if hasattr(lib, "core_preview_chunk"):
+        lib.core_preview_chunk.restype = ctypes.c_int64
+        lib.core_preview_chunk.argtypes = [
+            ctypes.c_int32, vp, vp, vp, vp, vp, vp,
+            ctypes.c_int64, vp, vp, vp, vp]
     lib.core_cluster_groups.restype = ctypes.c_int64
     lib.core_cluster_groups.argtypes = [
         ctypes.c_int32, vpp, vp,
@@ -98,18 +103,24 @@ def native_core_available():
 
 
 def _cfg_arrays(cfg):
-    ints = np.asarray([
-        cfg.min_junction_support, cfg.min_subregion_gap,
-        cfg.min_subregion_length, cfg.max_reads_partition_gap,
-        cfg.bridge_dp_solution_size, cfg.bridge_dp_stack_size,
-        cfg.bridge_end_relaxing, cfg.max_group_boundary_distance,
-        cfg.max_num_exons], dtype=np.int64)
-    dbls = np.asarray([
-        cfg.min_guaranteed_edge_weight, cfg.min_subregion_overlap,
-        cfg.normal_junction_threshold, cfg.extend_junction_threshold,
-        cfg.min_boundary_log_ratio, cfg.min_transcript_coverage]
-        + list(cfg.max_decompose_error_ratio), dtype=np.float64)
+    # validated per-cfg cache: the value token is compared on every call, so
+    # a mutated cfg (tests tweak flags between runs) rebuilds the arrays
+    tok = (cfg.min_junction_support, cfg.min_subregion_gap,
+           cfg.min_subregion_length, cfg.max_reads_partition_gap,
+           cfg.bridge_dp_solution_size, cfg.bridge_dp_stack_size,
+           cfg.bridge_end_relaxing, cfg.max_group_boundary_distance,
+           cfg.max_num_exons,
+           cfg.min_guaranteed_edge_weight, cfg.min_subregion_overlap,
+           cfg.normal_junction_threshold, cfg.extend_junction_threshold,
+           cfg.min_boundary_log_ratio, cfg.min_transcript_coverage,
+           tuple(cfg.max_decompose_error_ratio))
+    cached = getattr(cfg, "_native_cfg_cache", None)
+    if cached is not None and cached[0] == tok:
+        return cached[1], cached[2]
+    ints = np.asarray(tok[:CFG_NI], dtype=np.int64)
+    dbls = np.asarray(tok[CFG_NI:-1] + tok[-1], dtype=np.float64)
     assert ints.size == CFG_NI and dbls.size == CFG_ND
+    cfg._native_cfg_cache = (tok, ints, dbls)
     return ints, dbls
 
 
@@ -132,6 +143,62 @@ def preview_bundle_native(sb, cfg):
         ci.ctypes.data, cd.ctypes.data,
         _preview_buf().ctypes.data)
     return _preview_buf()[:int(n)].tolist()
+
+
+def preview_chunks_available():
+    if not native_core_available():
+        return False
+    return hasattr(_load_lib(), "core_preview_chunk")
+
+
+def collect_insertsizes_chunked(reader, cfg, library_type):
+    """Whole-file insert-size collection with ONE native call per scanner
+    chunk (core_preview_chunk) instead of one per bundle; returns the
+    distance histogram dict.  Cap/epoch semantics match the per-bundle scan
+    (meta/previewer.py:218-235): processing stops at the first bundle of a
+    different epoch after max_preview_reads distances have accumulated."""
+    from ..io.bam_native import scan_params
+    lib = _load_lib()
+    ci, cd = _cfg_arrays(cfg)
+    pr = scan_params(cfg, library_type)
+    min_hits = int(cfg.min_num_hits_in_bundle)
+    cap = cfg.max_preview_reads
+    m = {}
+    cnt = 0
+    capped_epoch = None
+    out_d = np.empty(1, dtype=np.int64)
+    gen = reader.scan_preview_pools(pr)
+    for meta, fixed, coords, mev, iev, frgs in gen:
+        nb = meta.shape[0]
+        rows = fixed.shape[0]
+        if out_d.size < rows:
+            out_d = np.empty(rows, dtype=np.int64)
+        cnts = np.empty(nb, dtype=np.int64)
+        total = lib.core_preview_chunk(
+            nb, meta.ctypes.data, fixed.ctypes.data, coords.ctypes.data,
+            mev.ctypes.data, iev.ctypes.data, frgs.ctypes.data,
+            min_hits, ci.ctypes.data, cd.ctypes.data,
+            out_d.ctypes.data, cnts.ctypes.data)
+        dlist = out_d[:int(total)].tolist()
+        epochs = meta[:, 9].tolist()
+        clist = cnts.tolist()
+        off = 0
+        stop = False
+        for b in range(nb):
+            if capped_epoch is not None and epochs[b] != capped_epoch:
+                stop = True
+                break
+            c = clist[b]
+            for d in dlist[off:off + c]:
+                m[d] = m.get(d, 0) + 1
+            off += c
+            cnt += c
+            if capped_epoch is None and cnt >= cap:
+                capped_epoch = epochs[b]
+        if stop:
+            gen.close()
+            break
+    return m
 
 
 def cluster_groups_native(gset, cfg):
@@ -286,46 +353,75 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
                         t_strand, t_count1, t_cov, t_conf, t_abd, t_nexons,
                         exons, feats):
     """Rebuild Transcript objects and replay the per-graph transcript-set
-    adds in Assembler.assemble_graph order (assembler.cc:1121-1136)."""
+    adds in Assembler.assemble_graph order (assembler.cc:1121-1136).
+
+    Hot glue: bulk-converts the scalar columns up front, fills the feature
+    dataclass with one __dict__.update instead of 41 setattrs, and inserts
+    into the per-graph TranscriptSet buckets directly (equivalent to
+    add_transcript's throwaway single-item set, transcript_set.cc:149-154)."""
     from ..constants import TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
+    from ..core.transcript_set import TransItem, _merge_sorted_items
     from .transcript_store import new_transcript_set
     cfg = asmb.cfg
     nf = len(FEATURE_COLUMNS)
     eoff = 0
     # transcripts arrive grouped in group order (groups assembled in order)
     per_group = [[] for _ in range(ng)]
+    t_group = t_group[:nt].tolist()
+    t_pathi = t_pathi[:nt].tolist()
+    t_strand = t_strand[:nt].tolist()
+    t_count1 = t_count1[:nt].tolist()
+    t_cov = t_cov[:nt].tolist()
+    t_conf = t_conf[:nt].tolist()
+    t_abd = t_abd[:nt].tolist()
+    t_nexons = t_nexons[:nt].tolist()
+    exons = exons.tolist()
+    feats = feats.tolist()
+    g_gid = ["instance.%d.%d.%d.%d.0" % (asmb.rid, asmb.gid, asmb.instance,
+                                         int(g_sub[g])) for g in range(ng)]
+    conv = [int if name in _INT_FEATURES else float
+            for name in FEATURE_COLUMNS]
+    names = FEATURE_COLUMNS
     for k in range(nt):
-        g = int(t_group[k])
+        g = t_group[k]
         t = Transcript()
         t.seqname = chrm
         t.source = "aletsch-tpu"
-        gid = "instance.%d.%d.%d.%d.0" % (asmb.rid, asmb.gid, asmb.instance,
-                                          int(g_sub[g]))
+        gid = g_gid[g]
         t.gene_id = gid
-        t.transcript_id = "chr%s.%s.%d" % (chrm, gid, int(t_pathi[k]))
+        t.transcript_id = "chr%s.%s.%d" % (chrm, gid, t_pathi[k])
         t.meta_tid = t.transcript_id
-        t.strand = chr(int(t_strand[k]))
-        t.coverage = float(t_cov[k])
-        t.cov2 = float(t_cov[k])
-        t.conf = float(t_conf[k])
-        t.abd = float(t_abd[k])
-        t.count1 = int(t_count1[k])
+        t.strand = chr(t_strand[k])
+        t.coverage = t_cov[k]
+        t.cov2 = t_cov[k]
+        t.conf = t_conf[k]
+        t.abd = t_abd[k]
+        t.count1 = t_count1[k]
         t.count2 = 1
-        nx = int(t_nexons[k])
-        for x in range(nx):
-            t.add_exon(int(exons[eoff + 2 * x]), int(exons[eoff + 2 * x + 1]))
+        nx = t_nexons[k]
+        t.exons = [(int(exons[eoff + 2 * x]), int(exons[eoff + 2 * x + 1]))
+                   for x in range(nx)]
         eoff += 2 * nx
-        f = t.features
-        for j, name in enumerate(FEATURE_COLUMNS):
-            v = float(feats[k * nf + j])
-            setattr(f, name, int(v) if name in _INT_FEATURES else v)
+        row = feats[k * nf:(k + 1) * nf]
+        t.features.__dict__.update(
+            (names[j], conv[j](row[j])) for j in range(nf))
         per_group[g].append(t)
+    mode = TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
+    skip_se = cfg.skip_single_exon_transcripts
     for g in range(ng):
         ts = new_transcript_set(chrm, asmb.tmerge.rid, cfg)
+        mt = ts.mt
         sid = int(g_sid[g])
         for t in per_group[g]:
-            if len(t.exons) <= 1 and cfg.skip_single_exon_transcripts:
+            if len(t.exons) <= 1 and skip_se:
                 continue
             t.RPKM = 0
-            ts.add_transcript(t, 1, sid, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
-        asmb.tmerge.add(ts, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
+            h = t.get_intron_chain_hashing()
+            ti = TransItem(t, 1, sid)
+            mine = mt.get(h)
+            if mine is None:
+                mt[h] = [ti]
+            else:
+                mt[h] = _merge_sorted_items(mine, [ti], mode,
+                                            ts.single_exon_overlap)
+        asmb.tmerge.add(ts, mode)

@@ -192,8 +192,14 @@ class Previewer:
 
     def infer_insertsize(self):
         """previewer.cc:151-249"""
+        from .native_core import (collect_insertsizes_chunked,
+                                  preview_chunks_available)
         with open_bam(self.sp.align_file) as r:
-            if hasattr(r, "scan_preview"):
+            if (hasattr(r, "scan_preview_pools")
+                    and preview_chunks_available()):
+                m = collect_insertsizes_chunked(r, self.cfg,
+                                                self.sp.library_type)
+            elif hasattr(r, "scan_preview"):
                 m = self._collect_insertsizes_scan(r)
             elif hasattr(r, "read_batch_arrays"):
                 m = self._collect_insertsizes_batched(r)

@@ -665,4 +665,45 @@ i64 core_preview_bundle(
     return cnt;
 }
 
+// Chunk-batched previewer: one call per scanner chunk instead of one call
+// per bundle (the per-bundle ctypes crossing dominated profile-samples).
+// meta is the scanner's nb x 12 chunk layout (io/bam_native.py:300-315:
+// [0]=strand flag, [1]=tid, [2]=lpos, [3]=rpos, [4]=#rows, [5]=qname bytes,
+// [6]=coords len, [7]=mev len, [8]=iev len, [9]=epoch, [10]=frgs len,
+// [11]=splices len); fixed/coords/mev/iev/frgs are the pooled chunk buffers.
+// For each bundle with min_hits <= n <= 20000 and tid >= 0 the previewer
+// inner loop (core_preview_bundle) runs; out_cnt[b] receives its distance
+// count and the distances append to out_d in bundle order.  Python applies
+// the max_preview_reads/epoch cap on the returned per-bundle counts
+// (meta/previewer.py:218-235 semantics unchanged).
+i64 core_preview_chunk(
+    i32 nb, const i64* meta,
+    const i32* fixed, const i32* coords,
+    const i32* mev, const i32* iev, const i32* frgs,
+    i64 min_hits,
+    const i64* cfg_ints, const double* cfg_dbls,
+    i64* out_d, i64* out_cnt) {
+    i64 ro = 0, co = 0, mo = 0, io = 0, fo = 0;
+    i64 total = 0;
+    for (i32 b = 0; b < nb; b++) {
+        const i64* m = meta + (size_t)b * 12;
+        i64 n = m[4];
+        i64 cl = m[6], ml = m[7], il = m[8], fl = m[10];
+        if (n >= min_hits && n <= 20000 && m[1] >= 0) {
+            i32 strand = fixed[ro * 25 + 22];
+            out_cnt[b] = core_preview_bundle(
+                (i32)n, fixed + ro * 25, coords + co,
+                mev + mo, ml / 2, iev + io, il / 2,
+                frgs + fo, fl / 2,
+                m[2], m[3], strand,
+                cfg_ints, cfg_dbls, out_d + total);
+            total += out_cnt[b];
+        } else {
+            out_cnt[b] = 0;
+        }
+        ro += n; co += cl; mo += ml; io += il; fo += fl;
+    }
+    return total;
+}
+
 }  // extern "C"

@@ -119,3 +119,36 @@ def test_insertsize_parity(tmp_path):
     assert sa.insert_total == sb.insert_total
     assert (sa.insertsize_low, sa.insertsize_high, sa.insertsize_median) == \
         (sb.insertsize_low, sb.insertsize_high, sb.insertsize_median)
+
+
+def test_insertsize_chunked_parity(tmp_path):
+    """Chunk-batched native collector == per-bundle scan collector ==
+    columnar Python collector, histogram-exact."""
+    from aletsch_tpu.meta.native_core import (collect_insertsizes_chunked,
+                                              preview_chunks_available)
+    if not preview_chunks_available():
+        pytest.skip("core_preview_chunk unavailable")
+    p = make_bam(tmp_path)
+    cfg = Parameters()
+    sp = SampleProfile(0, 10**6)
+    sp.align_file = p
+    sp.data_type = PAIRED_END
+
+    with NativeBamReader(p) as r:
+        mc = collect_insertsizes_chunked(r, cfg, sp.library_type)
+    pv = Previewer(cfg, sp)
+    with NativeBamReader(p) as r:
+        ms = pv._collect_insertsizes_scan(r)
+    with NativeBamReader(p) as r:
+        mb = pv._collect_insertsizes_batched(r)
+    assert mc == ms == mb
+
+    # epoch-cap semantics: a tiny cap must stop both paths identically
+    cfg2 = Parameters()
+    cfg2.max_preview_reads = 5
+    with NativeBamReader(p) as r:
+        mc2 = collect_insertsizes_chunked(r, cfg2, sp.library_type)
+    pv2 = Previewer(cfg2, sp)
+    with NativeBamReader(p) as r:
+        ms2 = pv2._collect_insertsizes_scan(r)
+    assert mc2 == ms2   # a one-epoch file caps identically (no truncation)
