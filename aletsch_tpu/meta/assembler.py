@@ -47,6 +47,12 @@ class Assembler:
         from .native_core import resolve_group_native
         if resolve_group_native(self, gv, do_bridge=True):
             return
+        self.resolve_fallback(gv)
+
+    def resolve_fallback(self, gv):
+        """The Python oracle path (assembler.cc:33-73 body), also entered
+        directly by the incubator's pipelined group loop when a group is
+        ineligible for the native core."""
         for bd in gv:
             bd.build_fragments()
             bd.bridge()

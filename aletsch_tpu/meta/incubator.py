@@ -388,6 +388,17 @@ class Incubator:
                                 {"bundles": self.stats["bundles"] - b0,
                                  "groups": self.stats["groups"] - g0})
 
+    def _assemble_groups(self, asms, gvs):
+        """Assemble one strand's groups in order.  Serial on purpose:
+        pipelining native launches on the region thread pool was measured
+        SLOWER here (13.6s -> 16-17s on the production soak at zero steal,
+        2-core host) — the per-group native call is ~2-3 ms, so
+        future/GIL handoff and oversubscription against the scan threads
+        cost more than the overlap wins.  launch_group_native /
+        finish_group_native keep the split shape for many-core hosts."""
+        for asmb, gv in zip(asms, gvs):
+            asmb.resolve(gv)
+
     def init_transcript_sets(self):
         cfg = self.params[DEFAULT]
         for chrm in self.sindex:
@@ -461,14 +472,17 @@ class Incubator:
             self.tracer.group_line(chrm, s, rid, len(g.gset), len(g.gvv))
             instance = g.num_assembled + 1
             gi = STRANDS.index(s)
+            gvs = []
+            asms = []
             for gv_idx in g.gvv:
                 gv = [g.gset[j] for j in gv_idx]
                 if len(gv) == 0:
                     continue
-                asmb = Assembler(cfg, g.tmerge, rid, gi, instance)
-                asmb.resolve(gv)
+                gvs.append(gv)
+                asms.append(Assembler(cfg, g.tmerge, rid, gi, instance))
                 instance += 1
                 self.stats["groups"] += 1
+            self._assemble_groups(asms, gvs)
             # fold region transcripts into the global per-(chrm,strand) set
             self.tts[(chrm, s)].add(g.tmerge, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
             region_sets[s] = g.tmerge

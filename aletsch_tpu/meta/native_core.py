@@ -254,14 +254,14 @@ def eligible(asmb, gv):
 stats = {"native_groups": 0, "fallback_groups": 0}
 
 
-def resolve_group_native(asmb, gv, do_bridge):
-    """Run the whole group assembly natively and replay the transcript-set
-    adds exactly as Assembler.assemble_graph would.  Returns True when
-    handled (bundles are cleared), False when the caller must fall back."""
+def launch_group_native(asmb, gv, do_bridge):
+    """Marshal the group and run the native assembly; returns the raw
+    replay tuple, or None when ineligible.  Safe on a worker thread: the C
+    call releases the GIL and reads only the bundles' scanner arrays —
+    nothing shared is written until finish_group_native replays on the
+    main thread (incubator pipelines launches across groups)."""
     if not eligible(asmb, gv):
-        stats["fallback_groups"] += 1
-        return False
-    stats["native_groups"] += 1
+        return None
     lib = _load_lib()
 
     n = len(gv)
@@ -340,12 +340,28 @@ def resolve_group_native(asmb, gv, do_bridge):
                       t_abd.ctypes.data, t_nexons.ctypes.data,
                       exons.ctypes.data, feats.ctypes.data)
     lib.core_out_free(h)
+    return (ng, nt, g_sid, g_sub, t_group, t_pathi, t_strand, t_count1,
+            t_cov, t_conf, t_abd, t_nexons, exons, feats)
 
-    _replay_transcripts(asmb, gv[0].chrm, ng, nt, g_sid, g_sub, t_group,
-                        t_pathi, t_strand, t_count1, t_cov, t_conf, t_abd,
-                        t_nexons, exons, feats)
+
+def finish_group_native(asmb, gv, out):
+    """Replay a launch_group_native result into the transcript sets and
+    release the bundles (main thread, group order — determinism)."""
+    stats["native_groups"] += 1
+    _replay_transcripts(asmb, gv[0].chrm, *out)
     for bd in gv:
         bd.clear()
+
+
+def resolve_group_native(asmb, gv, do_bridge):
+    """Run the whole group assembly natively and replay the transcript-set
+    adds exactly as Assembler.assemble_graph would.  Returns True when
+    handled (bundles are cleared), False when the caller must fall back."""
+    out = launch_group_native(asmb, gv, do_bridge)
+    if out is None:
+        stats["fallback_groups"] += 1
+        return False
+    finish_group_native(asmb, gv, out)
     return True
 
 
