@@ -98,6 +98,28 @@ def _prep_sample(args):
     return sp
 
 
+_blas_limited = False
+
+
+def _limit_blas_threads():
+    """Pin BLAS pools to one thread: the pipeline issues no large matmuls,
+    and OpenBLAS spin-waiting worker threads cost ~9% CPU on a 2-core host
+    (measured on the production soak).  Env vars can't do this because the
+    interpreter's sitecustomize imports numpy before any of our code runs;
+    threadpoolctl applies to already-loaded pools."""
+    global _blas_limited
+    if _blas_limited:
+        return
+    try:
+        from threadpoolctl import threadpool_limits
+        # keep a reference: limits persist for the process lifetime
+        _limit_blas_threads._limiter = threadpool_limits(limits=1,
+                                                         user_api="blas")
+    except Exception:
+        pass
+    _blas_limited = True
+
+
 class Incubator:
     def __init__(self, params, region_filter=None):
         self.params = params
@@ -114,6 +136,7 @@ class Incubator:
         # regions so combined-graph results are host-count invariant)
         self.region_filter = region_filter
         self._pool = None
+        _limit_blas_threads()
 
     def _region_pool(self, nw):
         if self._pool is None:
@@ -507,8 +530,7 @@ class Incubator:
             # the reference's ofstream silently writes nothing when the
             # directory is missing (incubator.cc:745+); create it instead
             os.makedirs(cfg.output_gtf_dir, exist_ok=True)
-            for i in range(len(self.samples)):
-                self.write_individual_gtf(i)
+            self.write_individual_gtfs()
 
     def write_combined_gtf(self, fout):
         """incubator.cc:713-743"""
@@ -519,8 +541,42 @@ class Incubator:
                     assert len(item.samples) == t.count2
                     t.write(fout, -1, len(item.samples))
 
+    def write_individual_gtfs(self):
+        """incubator.cc:745-796 for all samples in ONE pass over the
+        transcript sets (the reference re-scans everything per sample file;
+        per-file output order is identical because items are visited in the
+        same global order either way)."""
+        cfg = self.params[DEFAULT]
+        n = len(self.samples)
+        fgs, ffs = [], []
+        try:
+            for sid in range(n):
+                fgs.append(open(os.path.join(cfg.output_gtf_dir,
+                                             "%d.gtf" % sid), "w"))
+                ffs.append(open(os.path.join(cfg.output_gtf_dir,
+                                             "%d.trstFeature.csv" % sid),
+                                "w"))
+            min_se = cfg.min_single_exon_individual_coverage
+            for (chrm, strand), tm in sorted(self.tts.items()):
+                for h in sorted(tm.mt.keys()):
+                    for item in tm.mt[h]:
+                        for j, t in item.samples.items():
+                            if j == -1:
+                                j = n - 1
+                            if len(t.exons) == 1:
+                                if t.cov2 < min_se:
+                                    continue
+                                t.write(fgs[j], t.cov2, t.count2)
+                            else:
+                                t.write(fgs[j], t.cov2, t.count2)
+                                t.write_features(ffs[j])
+        finally:
+            for fh in fgs + ffs:
+                fh.close()
+
     def write_individual_gtf(self, sid):
-        """incubator.cc:745-796"""
+        """Single-sample variant of write_individual_gtfs (kept for direct
+        use; incubator.cc:745-796)."""
         cfg = self.params[DEFAULT]
         gtf_path = os.path.join(cfg.output_gtf_dir, "%d.gtf" % sid)
         ftr_path = os.path.join(cfg.output_gtf_dir, "%d.trstFeature.csv" % sid)
