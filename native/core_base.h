@@ -102,7 +102,11 @@ inline Cfg cfg_from_arrays(const i64* ci, const double* cd) {
 // utils/intervals.py CoverageMap: coordinate-compressed difference arrays
 // with split_interval_map semantics (zero-valued segments absent).
 struct CoverageMap {
-    std::vector<std::pair<i64, i64>> events;   // (pos, delta)
+    // unit-weight events packed as (pos << 1) | (delta < 0): flat i64 sort
+    // is ~2x the pair sort (build dominated the native profile); deltas are
+    // +-1 everywhere on the pipeline, the weighted vector is the rare path
+    std::vector<i64> events;
+    std::vector<std::pair<i64, i64>> wevents;  // (pos, delta), |delta| != 1
     bool dirty = false;
     // built state
     std::vector<i64> bps;          // breakpoints, len S+1
@@ -112,8 +116,16 @@ struct CoverageMap {
 
     void add(i64 l, i64 r, i64 w) {
         if (l >= r || w == 0) return;
-        events.push_back({l, w});
-        events.push_back({r, -w});
+        if (w == 1) {
+            events.push_back(l << 1);
+            events.push_back((r << 1) | 1);
+        } else if (w == -1) {
+            events.push_back((l << 1) | 1);
+            events.push_back(r << 1);
+        } else {
+            wevents.push_back({l, w});
+            wevents.push_back({r, -w});
+        }
         dirty = true;
     }
     // bulk unit-weight pairs (scanner mev/iev arrays); skips l >= r rows
@@ -121,17 +133,18 @@ struct CoverageMap {
         for (i64 i = 0; i < npairs; i++) {
             i64 l = arr[2 * i], r = arr[2 * i + 1];
             if (l >= r) continue;
-            events.push_back({l, 1});
-            events.push_back({r, -1});
+            events.push_back(l << 1);
+            events.push_back((r << 1) | 1);
         }
         dirty = events.size() > 0 ? true : dirty;
     }
     void combine(const CoverageMap& o) {
         events.insert(events.end(), o.events.begin(), o.events.end());
+        wevents.insert(wevents.end(), o.wevents.begin(), o.wevents.end());
         dirty = true;
     }
     void clear() {
-        events.clear();
+        events.clear(); wevents.clear();
         bps.clear(); vals.clear();
         segl.clear(); segr.clear(); segv.clear();
         dirty = false;
@@ -141,18 +154,31 @@ struct CoverageMap {
         dirty = false;
         bps.clear(); vals.clear();
         segl.clear(); segr.clear(); segv.clear();
-        if (events.empty()) return;
-        // aggregate deltas per unique position (sum order irrelevant: ints)
-        std::vector<std::pair<i64, i64>> ev(events);
-        std::sort(ev.begin(), ev.end(),
+        if (events.empty() && wevents.empty()) return;
+        // in-place sorts: events are a multiset, order carries no meaning
+        // (delta sums per position commute over ints)
+        std::sort(events.begin(), events.end());
+        std::sort(wevents.begin(), wevents.end(),
                   [](const std::pair<i64, i64>& a, const std::pair<i64, i64>& b)
                   { return a.first < b.first; });
         i64 run = 0;
-        size_t i = 0;
-        while (i < ev.size()) {
-            i64 p = ev[i].first;
+        size_t i = 0, j = 0;
+        const size_t ne = events.size(), nw = wevents.size();
+        while (i < ne || j < nw) {
+            i64 p;
+            if (i < ne && (j >= nw || (events[i] >> 1) <= wevents[j].first))
+                p = events[i] >> 1;
+            else
+                p = wevents[j].first;
             i64 d = 0;
-            while (i < ev.size() && ev[i].first == p) { d += ev[i].second; i++; }
+            while (i < ne && (events[i] >> 1) == p) {
+                d += (events[i] & 1) ? -1 : 1;
+                i++;
+            }
+            while (j < nw && wevents[j].first == p) {
+                d += wevents[j].second;
+                j++;
+            }
             bps.push_back(p);
             run += d;
             vals.push_back(run);
