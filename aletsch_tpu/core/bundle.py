@@ -102,6 +102,7 @@ class BundleBase:
         self.hits = []            # list[Hit]
         self.frgs = []            # list[[h1, h2, type]]
         self.frgs_ready = False   # True when the native scanner paired them
+        self._frgs_mutated = False  # any frgs[k][2] write (native eligible())
         self.splices = []         # sorted unique splice positions
         self.hcst = ChainSet()    # per-hit intron chains
         self.fcst = ChainSet()    # per-fragment bridge chains
@@ -175,6 +176,7 @@ class BundleBase:
         self.hits = []
         self.frgs = []
         self.frgs_ready = False
+        self._frgs_mutated = False
         self.splices = []
         self.hcst = ChainSet()
         self.fcst = ChainSet()
@@ -297,6 +299,7 @@ class BundleBase:
     def update_bridges(self, frlist, chain, strand):
         """Apply one bridge chain to a list of fragments
         (bundle_base.cc:420-507).  strand is 0/1/2."""
+        self._frgs_mutated = True
         cnt = 0
         for k in frlist:
             assert self.frgs[k][2] == 0
@@ -339,6 +342,7 @@ class BundleBase:
 
     def eliminate_bridge(self, k):
         """bundle_base.cc:509-538"""
+        self._frgs_mutated = True
         assert self.frgs[k][2] >= 1
         h1 = self.hits[self.frgs[k][0]]
         h2 = self.hits[self.frgs[k][1]]
@@ -368,6 +372,7 @@ class BundleBase:
 
     def filter_multialigned_hits(self):
         """bundle_base.cc:613-679"""
+        self._frgs_mutated = True
         bridged = set()
         primary = set()
         for f in self.frgs:

@@ -60,10 +60,20 @@ class Generator:
         # the native assembly core consumes them whole (meta/native_core.py)
         light = native_core_available() and cfg.verbose < 2
         pr = scan_params(cfg, sp.library_type)
+        # pre-materialization drop: _generate discards tid < 0 and (when
+        # skip_single_exon_transcripts) splice-free bundles — both are
+        # decidable from the scanner's flush fields, so don't build the
+        # coverage maps for them (the scanner's splices are the same
+        # sorted-unique set _generate would derive)
+        skip_se = cfg.skip_single_exon_transcripts
         for chunk in r.scan_region(tid, sp.end1[tid][rid],
                                    sp.start_off[tid][rid], pr,
                                    need_qnames=not light):
             for sb in chunk:
+                if sb.tid < 0:
+                    continue
+                if skip_se and len(sb.splices) == 0:
+                    continue
                 self._generate(materialize_bundle(sb, light=light))
 
     def _resolve_batched(self, r):

@@ -243,8 +243,10 @@ def eligible(asmb, gv):
             return False
         if not bd.frgs_ready:
             return False
-        # pristine: no bridges applied yet (all fragment types still 0)
-        if any(f[2] != 0 for f in bd.frgs):
+        # pristine: no bridges applied yet (BundleBase flags every
+        # frgs[k][2] write — update_bridges / eliminate_bridge /
+        # filter_multialigned_hits — conservatively at entry)
+        if bd._frgs_mutated:
             return False
     return True
 
