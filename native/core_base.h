@@ -23,6 +23,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <limits>
 #include <map>
 #include <memory>
@@ -594,11 +595,38 @@ struct SpliceGraph {
     char strand = '.';
     i64 reads = 0;
     i64 subgraph = 1;
-    std::vector<std::unique_ptr<GEdge>> pool;     // by eid
+    std::deque<GEdge> pool;                       // by eid; deque keeps
+                                                  // addresses stable and
+                                                  // allocates in chunks
     std::vector<VertexInfo> vinfo;
     std::vector<double> vwrt;
     std::vector<AdjList> vin, vout;
-    std::map<i64, int> lindex, rindex;            // pos -> vertex
+    // pos -> vertex as sorted flat arrays (vertex order is genomic, so keys
+    // arrive ascending; last-wins on duplicates = std::map overwrite)
+    struct PosIndex {
+        std::vector<i64> keys;
+        std::vector<int> vals;
+        void clear() { keys.clear(); vals.clear(); }
+        void insert_ascending(i64 k, int v) {
+            if (!keys.empty() && keys.back() == k) { vals.back() = v; return; }
+            if (!keys.empty() && keys.back() > k) {   // defensive: keep sorted
+                auto it = std::lower_bound(keys.begin(), keys.end(), k);
+                size_t i = (size_t)(it - keys.begin());
+                if (it != keys.end() && *it == k) { vals[i] = v; return; }
+                keys.insert(it, k);
+                vals.insert(vals.begin() + (long)i, v);
+                return;
+            }
+            keys.push_back(k);
+            vals.push_back(v);
+        }
+        int find(i64 k) const {
+            auto it = std::lower_bound(keys.begin(), keys.end(), k);
+            if (it == keys.end() || *it != k) return -1;
+            return vals[(size_t)(it - keys.begin())];
+        }
+    };
+    PosIndex lindex, rindex;
     std::vector<i64> llist;                       // interior lpos (sorted)
     bool has_index = false;
 
@@ -634,8 +662,8 @@ struct SpliceGraph {
     }
 
     GEdge* add_edge(int s, int t) {
-        pool.push_back(std::unique_ptr<GEdge>(new GEdge()));
-        GEdge* e = pool.back().get();
+        pool.emplace_back();
+        GEdge* e = &pool.back();
         e->eid = (i64)pool.size() - 1;
         e->s = s; e->t = t; e->alive = true;
         link_out(vout[s], e);
@@ -670,13 +698,13 @@ struct SpliceGraph {
     // all live edges in eid (creation) order
     std::vector<GEdge*> edges() const {
         std::vector<GEdge*> out;
-        for (const auto& up : pool)
-            if (up->alive) out.push_back(up.get());
+        for (const auto& ge : pool)
+            if (ge.alive) out.push_back(const_cast<GEdge*>(&ge));
         return out;
     }
     i64 num_edges() const {
         i64 n = 0;
-        for (const auto& up : pool) if (up->alive) n++;
+        for (const auto& ge : pool) if (ge.alive) n++;
         return n;
     }
     int in_degree(int v) const { return vin[v].n; }
@@ -721,8 +749,8 @@ struct SpliceGraph {
         int n = num_vertices() - 1;
         for (int i = 0; i <= n; i++) {
             const VertexInfo& v = vinfo[i];
-            if (i != 0) lindex[v.lpos] = i;
-            if (i != n) rindex[v.rpos] = i;
+            if (i != 0) lindex.insert_ascending(v.lpos, i);
+            if (i != n) rindex.insert_ascending(v.rpos, i);
         }
         llist.clear();
         for (int i = 1; i < n; i++) llist.push_back(vinfo[i].lpos);
@@ -751,14 +779,8 @@ struct SpliceGraph {
         if (v.lpos <= p && p < v.rpos) return (int)m;
         return -1;
     }
-    int locate_lbound(i64 p) const {
-        auto it = lindex.find(p);
-        return it == lindex.end() ? -1 : it->second;
-    }
-    int locate_rbound(i64 p) const {
-        auto it = rindex.find(p);
-        return it == rindex.end() ? -1 : it->second;
-    }
+    int locate_lbound(i64 p) const { return lindex.find(p); }
+    int locate_rbound(i64 p) const { return rindex.find(p); }
 
     // Kahn in vertex-id order (graph.py topological_sort)
     std::vector<int> topological_sort() const {

@@ -78,13 +78,13 @@ inline void build_pereads_clusters(const SpliceGraph& gr, Bundle& bd,
     for (int k = 1; k < n - 2; k++)
         if (gr.edge(k, k + 1) != nullptr) adj[k - 1] = 1;
     std::vector<i32> rkeys, rvals, lkeys, lvals;
-    for (const auto& kv : gr.rindex) {
-        rkeys.push_back((i32)kv.first);
-        rvals.push_back((i32)kv.second);
+    for (size_t z = 0; z < gr.rindex.keys.size(); z++) {
+        rkeys.push_back((i32)gr.rindex.keys[z]);
+        rvals.push_back((i32)gr.rindex.vals[z]);
     }
-    for (const auto& kv : gr.lindex) {
-        lkeys.push_back((i32)kv.first);
-        lvals.push_back((i32)kv.second);
+    for (size_t z = 0; z < gr.lindex.keys.size(); z++) {
+        lkeys.push_back((i32)gr.lindex.keys[z]);
+        lvals.push_back((i32)gr.lindex.vals[z]);
     }
     // hit coordinates and chains straight from the scanner rows
     std::vector<i32> hpos(bd.nh), hrpos(bd.nh), choff(bd.nh), chlen(bd.nh);
