@@ -56,6 +56,7 @@ def _build_clusters_native(gr, bd, max_gap, store_hits):
         return None
     import numpy as np
     cand = []
+    bd._frgs_mutated = True    # f[2] writes below (native eligible() flag)
     for i, f in enumerate(bd.frgs):
         if f[2] >= 1 or f[2] <= -1:
             continue
@@ -178,6 +179,7 @@ def _group_pereads(gr, bd):
     groups = []
     extend = []
     cand = []
+    bd._frgs_mutated = True    # f[2] writes below (native eligible() flag)
     for i, f in enumerate(bd.frgs):
         if f[2] >= 1 or f[2] <= -1:
             continue

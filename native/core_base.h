@@ -35,6 +35,7 @@
 namespace core {
 
 typedef int64_t i64;
+typedef uint64_t u64;
 typedef int32_t i32;
 
 static const double INF = std::numeric_limits<double>::infinity();
@@ -117,12 +118,15 @@ struct CoverageMap {
 
     void add(i64 l, i64 r, i64 w) {
         if (l >= r || w == 0) return;
+        // genomic coordinates are >= 0; shifting negative i64 is UB and
+        // would corrupt the packed sort order — fail loudly instead
+        assert(l >= 0);
         if (w == 1) {
-            events.push_back(l << 1);
-            events.push_back((r << 1) | 1);
+            events.push_back((i64)((u64)l << 1));
+            events.push_back((i64)(((u64)r << 1) | 1));
         } else if (w == -1) {
-            events.push_back((l << 1) | 1);
-            events.push_back(r << 1);
+            events.push_back((i64)(((u64)l << 1) | 1));
+            events.push_back((i64)((u64)r << 1));
         } else {
             wevents.push_back({l, w});
             wevents.push_back({r, -w});
