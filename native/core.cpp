@@ -30,9 +30,8 @@ struct CoreOut {
 
 struct GroupAssembler {
     Cfg acfg;                        // assembler parameters (DEFAULT)
-    CoreOut& out;
 
-    GroupAssembler(const Cfg& c, CoreOut& o) : acfg(c), out(o) {}
+    explicit GroupAssembler(const Cfg& c) : acfg(c) {}
 
     static i64 pack(i64 a, i64 b) {
         return (i64)(((uint64_t)a << 32) | ((uint64_t)b & 0xFFFFFFFFu));
@@ -73,56 +72,6 @@ struct GroupAssembler {
             ei.abd = e->wrt;
             ei.count = 1;
         }
-    }
-
-    // assembler.cc:1075-1136
-    void assemble_graph(SpliceGraph& gx, PhaseSet& px, int sid,
-                        int subindex) {
-        gx.extend_strands();
-        std::map<i64, i64> smap =
-            group_start_boundaries(gx, acfg.max_group_boundary_distance);
-        std::map<i64, i64> tmap =
-            group_end_boundaries(gx, acfg.max_group_boundary_distance);
-        px.project_boundaries(smap, tmap);
-        HyperSet hx;
-        hx.init_from_phase_set(gx, px);
-        hx.filter_nodes(gx);
-        int group = (int)out.g_sid.size();
-        out.g_sid.push_back(sid);
-        out.g_subindex.push_back(subindex);
-        Scallop sc(gx, hx, acfg);
-        std::vector<OutTranscript> ts;
-        sc.assemble(ts, group);
-        for (OutTranscript& t : ts) {
-            out.t_group.push_back(t.group);
-            out.t_pathi.push_back(t.path_i);
-            out.t_strand.push_back((i32)t.strand);
-            out.t_count1.push_back(t.count1);
-            out.t_cov.push_back(t.coverage);
-            out.t_conf.push_back(t.conf);
-            out.t_abd.push_back(t.abd);
-            out.t_nexons.push_back((i32)t.exons.size());
-            for (auto& ab : t.exons) {
-                out.exons.push_back(ab.first);
-                out.exons.push_back(ab.second);
-            }
-            size_t base = out.feats.size();
-            out.feats.resize(base + N_FEATURES);
-            features_to_array(t.f, out.feats.data() + base);
-        }
-    }
-
-    // assembler.cc:107-150
-    void assemble_single(Bundle& bd, int subindex) {
-        SpliceGraph gr;
-        transform(bd, true, gr);
-        gr.reads = (i64)bd.frgs.size();
-        gr.subgraph = 1;
-        stamp_own_sample(gr, bd.sample_id);
-        PhaseSet ps;
-        bd.build_phase_set(ps, gr);
-        assemble_graph(gr, ps, bd.sample_id, subindex);
-        bd.clear();
     }
 
     // assembler.cc:152-175 (largest-coverage-first; stable on ties)
@@ -325,95 +274,204 @@ struct GroupAssembler {
         }
     }
 
-    // assembler.cc:177-373
-    void assemble_group(std::vector<Bundle*>& gv) {
-        int subindex = 0;
-        Bundle bx;
-        bx.cfg = acfg;
-        bx.copy_meta_information(*gv[0]);
-        combine_bundles(bx, gv);
-        int bx_subindex = subindex;     // combined graph's gid subindex (0)
-        subindex++;
-        SpliceGraph gx;
-        transform(bx, false, gx);
-        gx.reads = (i64)bx.frgs.size();
-        gx.subgraph = (i64)gv.size();
+};
 
-        std::map<i64, std::vector<int>> junc2sup;
-        std::map<i64, std::map<int, double>> sup2abd;
+// Resumable group assembly (assembler.cc:33-73 resolve + :107-150
+// assemble_single + :177-373 assemble_group + :1075-1136 assemble_graph),
+// restructured as an explicit state machine so the greedy max-path DP can
+// be paused and computed off-process (wave-batched on the TPU,
+// ops/greedy_dp.py).  With device_minv == 0 the machine never pauses and
+// advance() reproduces the original single-call behavior exactly — the
+// Python pipeline and the differential fuzz pin both modes.
+struct GroupRun {
+    CoreOut out;
+    Cfg acfg;
+    std::unique_ptr<GroupAssembler> ga;
+    std::vector<std::unique_ptr<Bundle>> bundles;
+    std::vector<Bundle*> gv;
+    int do_bridge = 1;
+    int device_minv = 0;     // 0: host mode (never pause at the greedy DP)
 
-        auto collect_support = [&](SpliceGraph& gr, int sid) {
-            for (GEdge* e : gr.edges()) {
-                int s = e->s, t = e->t;
-                EdgeInfo& ei = e->info;
-                ei.samples.assign(1, sid);
-                ei.spAbd.clear();
-                ei.spAbd[sid] = e->wrt;
-                ei.abd = e->wrt;
-                ei.count = 1;
-                if (s == 0 || t == gr.num_vertices() - 1) continue;
-                i64 p0r = gr.vinfo[s].rpos;
-                i64 p0l = gr.vinfo[t].lpos;
-                if (p0r == p0l) continue;
-                i64 p = pack(p0r, p0l);
-                auto& sset = junc2sup[p];
-                auto it = std::lower_bound(sset.begin(), sset.end(), sid);
-                if (it == sset.end() || *it != sid) sset.insert(it, sid);
-                sup2abd[p][sid] = e->wrt;
-            }
-        };
+    // ---- machine state (phase: 0 start, 1 independent singles loop,
+    //      2 group prologue, 3 per-bundle loop, 4 epilogue, 9 done)
+    int phase = 0;
+    size_t k = 0;
+    int subindex = 0, bx_subindex = 0;
+    Bundle bx;
+    SpliceGraph gx;
+    std::map<i64, std::vector<int>> junc2sup;
+    std::map<i64, std::map<int, double>> sup2abd;
+    std::vector<std::unique_ptr<SpliceGraph>> grv;
+    std::vector<int> subidx;
+    PhaseSet px;
 
-        collect_support(gx, -1);
+    // ---- paused scallop (alive between advance() returning 1 and the
+    //      next greedy step); sc_gr holds assemble_single's local graph
+    std::unique_ptr<Scallop> sc;
+    std::unique_ptr<HyperSet> sc_hs;
+    std::unique_ptr<SpliceGraph> sc_gr;
+    int sc_group = -1;
 
-        std::vector<std::unique_ptr<SpliceGraph>> grv;
-        std::vector<int> subidx;
-        for (Bundle* bd : gv) {
-            int si = subindex;
-            subindex++;
-            grv.push_back(std::unique_ptr<SpliceGraph>(new SpliceGraph()));
-            SpliceGraph& gr = *grv.back();
-            transform(*bd, true, gr);
-            gr.reads = (i64)bd->frgs.size();
-            gr.subgraph = (i64)gv.size();
-            collect_support(gr, bd->sample_id);
-            subidx.push_back(si);
+    // assembler.cc:177-231 collect_support lambda
+    void collect_support(SpliceGraph& gr, int sid) {
+        for (GEdge* e : gr.edges()) {
+            int s = e->s, t = e->t;
+            EdgeInfo& ei = e->info;
+            ei.samples.assign(1, sid);
+            ei.spAbd.clear();
+            ei.spAbd[sid] = e->wrt;
+            ei.abd = e->wrt;
+            ei.count = 1;
+            if (s == 0 || t == gr.num_vertices() - 1) continue;
+            i64 p0r = gr.vinfo[s].rpos;
+            i64 p0l = gr.vinfo[t].lpos;
+            if (p0r == p0l) continue;
+            i64 p = GroupAssembler::pack(p0r, p0l);
+            auto& sset = junc2sup[p];
+            auto it = std::lower_bound(sset.begin(), sset.end(), sid);
+            if (it == sset.end() || *it != sid) sset.insert(it, sid);
+            sup2abd[p][sid] = e->wrt;
         }
-
-        PhaseSet px;
-        for (size_t k = 0; k < gv.size(); k++) {
-            Bundle* bd = gv[k];
-            SpliceGraph& gr = *grv[k];
-            junction_support(gr, junc2sup, sup2abd);
-            for (size_t j = 0; j < gv.size(); j++) {
-                SpliceGraph& gr1 = *grv[j];
-                start_end_support(gv[j]->sample_id, gr1, gr);
-                non_splicing_support(gv[j]->sample_id, gr1, gr);
-                boundary_extend(gv[j]->sample_id, gr, gr1, 1);
-                boundary_extend(gv[j]->sample_id, gr, gr1, 2);
-                boundary_extend(gv[j]->sample_id, gr, gr1, 3);
-            }
-            PhaseSet ps;
-            bd->build_phase_set(ps, gr);
-            px.combine(ps);
-            start_end_support(bd->sample_id, gr, gx);
-            non_splicing_support(bd->sample_id, gr, gx);
-            boundary_extend(-1, gr, gx, 1);
-            assemble_graph(gr, ps, bd->sample_id, subidx[k]);
-            bd->clear();
-        }
-        bx.clear();
-        junction_support(gx, junc2sup, sup2abd);
-        assemble_graph(gx, px, -1, bx_subindex);
     }
 
-    // assembler.cc:33-73
-    void resolve(std::vector<Bundle*>& gv) {
-        for (Bundle* bd : gv) bridge(*bd);   // build_fragments pre-done
-        if (gv.size() == 1) {
-            assemble_single(*gv[0], 0);
-        } else if (gv.size() >= 2) {
-            joint_bridge(gv);
-            assemble_group(gv);
+    // assembler.cc:1075-1136 up to the Scallop; pauses in device mode
+    void assemble_graph_begin(SpliceGraph& g, PhaseSet& ps, int sid,
+                              int subindex_) {
+        g.extend_strands();
+        std::map<i64, i64> smap =
+            group_start_boundaries(g, acfg.max_group_boundary_distance);
+        std::map<i64, i64> tmap =
+            group_end_boundaries(g, acfg.max_group_boundary_distance);
+        ps.project_boundaries(smap, tmap);
+        sc_hs.reset(new HyperSet());
+        sc_hs->init_from_phase_set(g, ps);
+        sc_hs->filter_nodes(g);
+        sc_group = (int)out.g_sid.size();
+        out.g_sid.push_back(sid);
+        out.g_subindex.push_back(subindex_);
+        sc.reset(new Scallop(g, *sc_hs, acfg));
+        sc->assemble_phase1();
+        if (device_minv <= 0 || sc->greedy_done) {
+            if (!sc->greedy_done) sc->greedy_finish_host();
+            finish_scallop();
+        }
+        // else: paused; the caller feeds greedy tables via the C ABI
+    }
+
+    void finish_scallop() {
+        std::vector<OutTranscript> ts;
+        sc->assemble_phase2(ts, sc_group);
+        for (OutTranscript& t : ts) {
+            out.t_group.push_back(t.group);
+            out.t_pathi.push_back(t.path_i);
+            out.t_strand.push_back((i32)t.strand);
+            out.t_count1.push_back(t.count1);
+            out.t_cov.push_back(t.coverage);
+            out.t_conf.push_back(t.conf);
+            out.t_abd.push_back(t.abd);
+            out.t_nexons.push_back((i32)t.exons.size());
+            for (auto& ab : t.exons) {
+                out.exons.push_back(ab.first);
+                out.exons.push_back(ab.second);
+            }
+            size_t base = out.feats.size();
+            out.feats.resize(base + N_FEATURES);
+            features_to_array(t.f, out.feats.data() + base);
+        }
+        sc.reset();
+        sc_hs.reset();
+        sc_gr.reset();
+        sc_group = -1;
+    }
+
+    // assembler.cc:107-150 (bd.clear() moved before the scallop finishes;
+    // the scallop never reads the bundle)
+    void assemble_single_begin(Bundle& bd, int subindex_) {
+        sc_gr.reset(new SpliceGraph());
+        SpliceGraph& g = *sc_gr;
+        ga->transform(bd, true, g);
+        g.reads = (i64)bd.frgs.size();
+        g.subgraph = 1;
+        ga->stamp_own_sample(g, bd.sample_id);
+        PhaseSet ps;
+        bd.build_phase_set(ps, g);
+        assemble_graph_begin(g, ps, bd.sample_id, subindex_);
+        bd.clear();
+    }
+
+    // run until the next greedy pause (returns 1) or completion (0)
+    int advance() {
+        while (true) {
+            if (sc) return 1;
+            if (phase == 0) {
+                if (do_bridge) {
+                    for (Bundle* bd : gv) ga->bridge(*bd);
+                    if (gv.size() == 1) { phase = 1; k = 0; }
+                    else if (gv.size() >= 2) {
+                        ga->joint_bridge(gv);
+                        phase = 2;
+                    } else phase = 9;
+                } else { phase = 1; k = 0; }
+            } else if (phase == 1) {
+                if (k >= gv.size()) { phase = 9; continue; }
+                Bundle* bd = gv[k];
+                k++;
+                assemble_single_begin(*bd, 0);
+            } else if (phase == 2) {
+                bx.cfg = acfg;
+                bx.copy_meta_information(*gv[0]);
+                ga->combine_bundles(bx, gv);
+                bx_subindex = subindex;
+                subindex++;
+                ga->transform(bx, false, gx);
+                gx.reads = (i64)bx.frgs.size();
+                gx.subgraph = (i64)gv.size();
+                collect_support(gx, -1);
+                for (Bundle* bd : gv) {
+                    int si = subindex;
+                    subindex++;
+                    grv.push_back(std::unique_ptr<SpliceGraph>(
+                        new SpliceGraph()));
+                    SpliceGraph& g = *grv.back();
+                    ga->transform(*bd, true, g);
+                    g.reads = (i64)bd->frgs.size();
+                    g.subgraph = (i64)gv.size();
+                    collect_support(g, bd->sample_id);
+                    subidx.push_back(si);
+                }
+                phase = 3;
+                k = 0;
+            } else if (phase == 3) {
+                if (k >= gv.size()) { phase = 4; continue; }
+                Bundle* bd = gv[k];
+                SpliceGraph& g = *grv[k];
+                ga->junction_support(g, junc2sup, sup2abd);
+                for (size_t j = 0; j < gv.size(); j++) {
+                    SpliceGraph& g1 = *grv[j];
+                    ga->start_end_support(gv[j]->sample_id, g1, g);
+                    ga->non_splicing_support(gv[j]->sample_id, g1, g);
+                    ga->boundary_extend(gv[j]->sample_id, g, g1, 1);
+                    ga->boundary_extend(gv[j]->sample_id, g, g1, 2);
+                    ga->boundary_extend(gv[j]->sample_id, g, g1, 3);
+                }
+                PhaseSet ps;
+                bd->build_phase_set(ps, g);
+                px.combine(ps);
+                ga->start_end_support(bd->sample_id, g, gx);
+                ga->non_splicing_support(bd->sample_id, g, gx);
+                ga->boundary_extend(-1, g, gx, 1);
+                int si = subidx[k];
+                k++;
+                assemble_graph_begin(g, ps, bd->sample_id, si);
+                bd->clear();
+            } else if (phase == 4) {
+                bx.clear();
+                ga->junction_support(gx, junc2sup, sup2abd);
+                phase = 9;
+                assemble_graph_begin(gx, px, -1, bx_subindex);
+            } else {
+                return 0;
+            }
         }
     }
 };
@@ -427,7 +485,7 @@ using core::i64;
 
 extern "C" {
 
-void* core_resolve_group(
+static core::GroupRun* make_group_run(
     i32 n_bundles, i32 do_bridge,
     const i32* nh,
     const i32* const* fixed_p,
@@ -438,13 +496,12 @@ void* core_resolve_group(
     const i32* sample_id, const i32* strand,
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
-    const i64* cfg_ints, const double* cfg_dbls) {
-    core::CoreOut* out = new core::CoreOut();
-    std::vector<std::unique_ptr<core::Bundle>> bundles;
-    std::vector<core::Bundle*> gv;
+    const i64* cfg_ints, const double* cfg_dbls, i32 device_minv) {
+    core::GroupRun* run = new core::GroupRun();
     for (i32 b = 0; b < n_bundles; b++) {
-        bundles.push_back(std::unique_ptr<core::Bundle>(new core::Bundle()));
-        core::Bundle& bd = *bundles.back();
+        run->bundles.push_back(
+            std::unique_ptr<core::Bundle>(new core::Bundle()));
+        core::Bundle& bd = *run->bundles.back();
         bd.cfg = core::cfg_from_arrays(cfg_ints + (size_t)b * core::CFG_NI,
                                        cfg_dbls + (size_t)b * core::CFG_ND);
         bd.sample_id = sample_id[b];
@@ -458,20 +515,113 @@ void* core_resolve_group(
         bd.tid = 0;
         bd.lpos = lpos[b];
         bd.rpos = rpos[b];
-        gv.push_back(&bd);
+        run->gv.push_back(&bd);
     }
-    core::Cfg acfg = core::cfg_from_arrays(
+    run->acfg = core::cfg_from_arrays(
         cfg_ints + (size_t)n_bundles * core::CFG_NI,
         cfg_dbls + (size_t)n_bundles * core::CFG_ND);
-    core::GroupAssembler ga(acfg, *out);
-    if (do_bridge) {
-        ga.resolve(gv);
-    } else {
-        // incubator splice-free path: assemble_single without bridging
-        for (core::Bundle* bd : gv) ga.assemble_single(*bd, 0);
-    }
+    run->ga.reset(new core::GroupAssembler(run->acfg));
+    run->do_bridge = do_bridge;
+    run->device_minv = device_minv;
+    return run;
+}
+
+void* core_resolve_group(
+    i32 n_bundles, i32 do_bridge,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls) {
+    core::GroupRun* run = make_group_run(
+        n_bundles, do_bridge, nh, fixed_p, coords_p, mev_p, mev_cnt,
+        iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
+        ins_low, ins_high, cfg_ints, cfg_dbls, 0);
+    run->advance();
+    core::CoreOut* out = new core::CoreOut(std::move(run->out));
+    delete run;
     return out;
 }
+
+// ---- device-paused group assembly (wave-batched greedy DP on the TPU;
+//      orchestrated by aletsch_tpu/meta/native_core.py + ops/greedy_dp.py)
+
+void* core_group_start(
+    i32 n_bundles, i32 do_bridge,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls, i32 device_minv) {
+    return make_group_run(
+        n_bundles, do_bridge, nh, fixed_p, coords_p, mev_p, mev_cnt,
+        iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
+        ins_low, ins_high, cfg_ints, cfg_dbls,
+        device_minv > 0 ? device_minv : 1);
+}
+
+// run to the first pause (1) or completion (0)
+i32 core_group_advance(void* h) {
+    return ((core::GroupRun*)h)->advance();
+}
+
+// dense f32 adjacency of the paused graph in topo space, or 0 if the
+// graph is device-ineligible (caller then uses core_greedy_solve_host)
+i32 core_greedy_export(void* h, float* W, i32 maxv) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    if (!r->sc) return 0;
+    return r->sc->greedy_export(W, maxv, r->device_minv);
+}
+
+// one device-guided extraction; returns 1 if still paused, 0 if finished
+i32 core_greedy_step(void* h, const float* table) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->sc->greedy_step_device(table);
+    if (r->sc->greedy_done) r->finish_scallop();
+    return r->advance();
+}
+
+// finish the current graph's greedy loop on host; returns like step
+i32 core_greedy_solve_host(void* h) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->sc->greedy_finish_host();
+    r->finish_scallop();
+    return r->advance();
+}
+
+void core_group_sizes(void* h, i64* out3) {
+    core::CoreOut& o = ((core::GroupRun*)h)->out;
+    out3[0] = (i64)o.g_sid.size();
+    out3[1] = (i64)o.t_group.size();
+    out3[2] = (i64)o.exons.size();
+}
+
+void core_out_fill(void* h, i32* g_sid, i32* g_subindex,
+                   i32* t_group, i32* t_pathi, i32* t_strand,
+                   i64* t_count1, double* t_cov, double* t_conf,
+                   double* t_abd, i32* t_nexons, i64* exons, double* feats);
+
+void core_group_fill(void* h, i32* g_sid, i32* g_subindex,
+                     i32* t_group, i32* t_pathi, i32* t_strand,
+                     i64* t_count1, double* t_cov, double* t_conf,
+                     double* t_abd, i32* t_nexons, i64* exons,
+                     double* feats) {
+    core_out_fill(&((core::GroupRun*)h)->out, g_sid, g_subindex, t_group,
+                  t_pathi, t_strand, t_count1, t_cov, t_conf, t_abd,
+                  t_nexons, exons, feats);
+}
+
+void core_group_free(void* h) { delete (core::GroupRun*)h; }
 
 void core_out_sizes(void* h, i64* out3) {
     core::CoreOut* o = (core::CoreOut*)h;

@@ -332,9 +332,26 @@ struct Scallop {
             if (gr.degree(i) > 0) nonzeroset.insert(i);
     }
 
+    // device-paused greedy state (wave-batched DP on the accelerator):
+    // assemble() == assemble_phase1() + greedy_finish_host() +
+    // assemble_phase2(); the device path replaces greedy_finish_host with
+    // per-extraction steps guided by an externally computed bottleneck
+    // table (ops/greedy_dp.py), byte-identical by construction (see
+    // greedy_step_device).
+    SpliceGraph gr_ori;
+    bool greedy_done = false;
+    std::vector<int> dp_topo;       // topo order of the last greedy_export
+
     // scallop.cc:38-188 (copy of gr taken after construction, like Python)
     void assemble(std::vector<OutTranscript>& out, int group) {
-        SpliceGraph gr_ori;
+        assemble_phase1();
+        greedy_finish_host();
+        assemble_phase2(out, group);
+    }
+
+    // ladder + existing st paths + greedy balance prep (scallop.cc:38-188
+    // up to the extraction loop of :2874-2897)
+    void assemble_phase1() {
         gr.copy_into(gr_ori);
         const double* r = cfg.max_decompose_error_ratio;
         while (true) {
@@ -362,7 +379,105 @@ struct Scallop {
             break;
         }
         collect_existing_st_paths();
-        greedy_decompose();
+        // greedy prep (scallop.cc:2874-2880): early-out keeps the graph
+        // unbalanced exactly like the reference when no edges remain
+        if (gr.num_edges() == 0) { greedy_done = true; return; }
+        for (int i = 1; i < gr.num_vertices() - 1; i++) balance_vertex(i);
+        for (int i = 1; i < gr.num_vertices() - 1; i++) balance_vertex(i);
+    }
+
+    // one extraction of the greedy loop (scallop.cc:2881-2896), host DP
+    void greedy_step_host() {
+        std::vector<GEdge*> vpath;
+        double w = gr.compute_maximum_path_w(vpath);
+        if (w < 0) { greedy_done = true; return; }
+        if (w <= cfg.min_transcript_coverage) { greedy_done = true; return; }
+        int e = split_merge_path(vpath, w);
+        if (e < 0) { greedy_done = true; return; }
+        collect_path(e);
+    }
+
+    void greedy_finish_host() { while (!greedy_done) greedy_step_host(); }
+
+    // Export the current graph as a dense maxv*maxv f32 adjacency in
+    // topological-index space for the batched device DP.  Returns the
+    // vertex count V on success; 0 when the graph is device-ineligible
+    // (size outside [minv, maxv], non-DAG, or the f64->f32 cast is not
+    // injective on the weight set -- the injectivity gate is what makes
+    // f32 comparisons on device exactly reproduce the host's f64
+    // comparisons; see greedy_step_device).
+    int greedy_export(float* W, int maxv, int minv) {
+        if (greedy_done) return 0;
+        int n = gr.num_vertices();
+        if (n < minv || n > maxv) return 0;
+        dp_topo = gr.topological_sort();
+        if ((int)dp_topo.size() != n) return 0;
+        std::vector<double> ws;
+        for (GEdge* e : gr.edges()) {
+            double w = e->wrt;
+            if (!(w >= 0.0) || w > 1e17) return 0;
+            ws.push_back(w);
+        }
+        std::sort(ws.begin(), ws.end());
+        for (size_t i = 1; i < ws.size(); i++) {
+            if (ws[i] != ws[i - 1] && (float)ws[i] == (float)ws[i - 1])
+                return 0;       // f32 collision: order not preserved
+        }
+        std::vector<int> pos(n, 0);
+        for (int i = 0; i < n; i++) pos[dp_topo[i]] = i;
+        const float NEGF = -1.0e18f;
+        for (int i = 0; i < maxv * maxv; i++) W[i] = NEGF;
+        for (GEdge* e : gr.edges()) {
+            int a = pos[e->s], b = pos[e->t];
+            float w = (float)e->wrt;
+            float& slot = W[(size_t)a * maxv + b];
+            if (w > slot) slot = w;    // max over parallel edges
+        }
+        return n;
+    }
+
+    // One extraction guided by the device bottleneck table (f32, topo
+    // space, from ops/greedy_dp.py).  The device computes
+    // T[v] = max over paths 0->v of the min edge weight, in f32; the
+    // injectivity gate in greedy_export guarantees f32 comparisons agree
+    // with the host's f64 DP (graph.py compute_maximum_st_path_w /
+    // splice_graph.cc:819-885), so the backtrace below (last in-edge
+    // achieving the max, ties to the later edge, exactly the forward
+    // pass's `ww >= max_abd` rule) recovers the identical path, and the
+    // f64 bottleneck is recovered exactly as the min edge weight along it.
+    void greedy_step_device(const float* t32) {
+        int n = gr.num_vertices();
+        int tt = n - 1;
+        std::vector<float> tv(n);
+        for (int i = 0; i < n; i++) tv[dp_topo[i]] = t32[i];
+        if (tv[tt] < 0.0f) { greedy_done = true; return; }   // w < 0
+        std::vector<GEdge*> vpath;
+        int x = tt;
+        bool ok = true;
+        while (x != 0) {
+            float best = 0.0f;
+            GEdge* be = nullptr;
+            for (GEdge* e = gr.vin[x].head; e; e = e->inext) {
+                if (tv[e->s] < 0.0f) continue;
+                float ww = std::min((float)e->wrt, tv[e->s]);
+                if (ww >= best) { best = ww; be = e; }
+            }
+            if (be == nullptr) { ok = false; break; }
+            vpath.push_back(be);
+            x = be->s;
+        }
+        if (!ok) { greedy_step_host(); return; }   // defensive: re-solve
+        std::reverse(vpath.begin(), vpath.end());
+        double w = INF;
+        for (GEdge* e : vpath) w = std::min(w, e->wrt);
+        if (vpath.empty()) { greedy_step_host(); return; }
+        if (w <= cfg.min_transcript_coverage) { greedy_done = true; return; }
+        int e = split_merge_path(vpath, w);
+        if (e < 0) { greedy_done = true; return; }
+        collect_path(e);
+    }
+
+    void assemble_phase2(std::vector<OutTranscript>& out, int group) {
         build_transcripts(gr_ori, out, group);
     }
 
@@ -1001,22 +1116,6 @@ struct Scallop {
         }
         gr.remove_edge(ee);
         i2e[e] = nullptr;
-    }
-
-    // scallop.cc:2874-2897
-    void greedy_decompose() {
-        if (gr.num_edges() == 0) return;
-        for (int i = 1; i < gr.num_vertices() - 1; i++) balance_vertex(i);
-        for (int i = 1; i < gr.num_vertices() - 1; i++) balance_vertex(i);
-        std::vector<GEdge*> vpath;
-        while (true) {
-            double w = gr.compute_maximum_path_w(vpath);
-            if (w < 0) break;
-            if (w <= cfg.min_transcript_coverage) break;
-            int e = split_merge_path(vpath, w);
-            if (e < 0) break;
-            collect_path(e);
-        }
     }
 
     // scallop.cc:3250-3266
