@@ -40,6 +40,13 @@ class Parameters:
     boost_precision: bool = False
     skip_single_exon_transcripts: bool = True
 
+    # TPU additions: wave-batched greedy DP on the accelerator
+    # (meta/device_wave.py; "auto" engages when a wave has enough paused
+    # graphs to amortize a dispatch, "on" forces it, "off" disables)
+    device_greedy: str = "auto"
+    device_min_vertices: int = 16   # smaller graphs solve faster on host
+    device_min_groups: int = 16     # min groups per wave to engage "auto"
+
     # meta-assembly
     max_group_size: int = 200
     min_grouping_similarity: float = 0.10
@@ -145,6 +152,9 @@ _GENERIC_FLAGS = {
     "-g": ("region_partition_length", int),
     "--region_partition_length": ("region_partition_length", int),
     "--verbose": ("verbose", int),
+    "--device_greedy": ("device_greedy", str),
+    "--device_min_vertices": ("device_min_vertices", int),
+    "--device_min_groups": ("device_min_groups", int),
     "--jax_profile_dir": ("jax_profile_dir", str),
     "--checkpoint_dir": ("checkpoint_dir", str),
     "--min_bridging_score": ("min_bridging_score", float),

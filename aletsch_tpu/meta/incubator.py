@@ -24,6 +24,7 @@ from concurrent.futures import ThreadPoolExecutor
 from ..constants import (DEFAULT, PAIRED_END,
                          TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
 from ..io.bam_native import open_bam
+from . import device_wave
 from .assembler import Assembler
 from .bundle_group import BundleGroup
 from .generator import Generator
@@ -412,13 +413,24 @@ class Incubator:
                                  "groups": self.stats["groups"] - g0})
 
     def _assemble_groups(self, asms, gvs):
-        """Assemble one strand's groups in order.  Serial on purpose:
-        pipelining native launches on the region thread pool was measured
-        SLOWER here (13.6s -> 16-17s on the production soak at zero steal,
-        2-core host) — the per-group native call is ~2-3 ms, so
-        future/GIL handoff and oversubscription against the scan threads
-        cost more than the overlap wins.  launch_group_native /
-        finish_group_native keep the split shape for many-core hosts."""
+        """Assemble one strand's groups in order.
+
+        Device path: when the wave is large enough, every group's greedy
+        max-path DP runs wave-batched on the TPU (meta/device_wave.py) —
+        byte-identical to the serial path (fuzz-enforced), with the batch
+        axis over groups.
+
+        Host path is serial on purpose: pipelining native launches on the
+        region thread pool was measured SLOWER here (13.6s -> 16-17s on
+        the production soak at zero steal, 2-core host) — the per-group
+        native call is ~2-3 ms, so future/GIL handoff and
+        oversubscription against the scan threads cost more than the
+        overlap wins.  launch_group_native / finish_group_native keep the
+        split shape for many-core hosts."""
+        cfg = self.params[DEFAULT]
+        if asms and device_wave.enabled(cfg, len(asms)):
+            if device_wave.assemble_groups(asms, gvs, cfg):
+                return
         for asmb, gv in zip(asms, gvs):
             asmb.resolve(gv)
 

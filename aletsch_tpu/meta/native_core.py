@@ -89,6 +89,24 @@ def _bind(lib):
         ctypes.c_int32, vpp, vp,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int64, vp]
+    # device-paused group assembly (wave-batched greedy DP; core.cpp
+    # GroupRun + ops/greedy_dp.py)
+    if hasattr(lib, "core_group_start"):
+        lib.core_group_start.restype = ctypes.c_void_p
+        lib.core_group_start.argtypes = \
+            lib.core_resolve_group.argtypes + [ctypes.c_int32]
+        lib.core_group_advance.restype = ctypes.c_int32
+        lib.core_group_advance.argtypes = [ctypes.c_void_p]
+        lib.core_greedy_export.restype = ctypes.c_int32
+        lib.core_greedy_export.argtypes = [ctypes.c_void_p, vp,
+                                           ctypes.c_int32]
+        lib.core_greedy_step.restype = ctypes.c_int32
+        lib.core_greedy_step.argtypes = [ctypes.c_void_p, vp]
+        lib.core_greedy_solve_host.restype = ctypes.c_int32
+        lib.core_greedy_solve_host.argtypes = [ctypes.c_void_p]
+        lib.core_group_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.core_group_fill.argtypes = [ctypes.c_void_p] + [vp] * 12
+        lib.core_group_free.argtypes = [ctypes.c_void_p]
     lib._core_bound = True
 
 
@@ -256,16 +274,11 @@ def eligible(asmb, gv):
 stats = {"native_groups": 0, "fallback_groups": 0}
 
 
-def launch_group_native(asmb, gv, do_bridge):
-    """Marshal the group and run the native assembly; returns the raw
-    replay tuple, or None when ineligible.  Safe on a worker thread: the C
-    call releases the GIL and reads only the bundles' scanner arrays —
-    nothing shared is written until finish_group_native replays on the
-    main thread (incubator pipelines launches across groups)."""
-    if not eligible(asmb, gv):
-        return None
-    lib = _load_lib()
-
+def _marshal_group(asmb, gv, do_bridge):
+    """Build the core_resolve_group / core_group_start argument list.
+    Returns (args, keep): `keep` holds contiguous array copies that the
+    native bundle keeps raw pointers into (init_from_scan) — a paused
+    GroupRun handle must keep them alive until core_group_free."""
     n = len(gv)
     nh = np.asarray([bd._scan_fixed.shape[0] for bd in gv], dtype=np.int32)
 
@@ -309,19 +322,24 @@ def launch_group_native(asmb, gv, do_bridge):
     cfg_i[n * CFG_NI:] = ci
     cfg_d[n * CFG_ND:] = cd
 
-    h = lib.core_resolve_group(
-        n, 1 if do_bridge else 0,
-        nh.ctypes.data,
-        fixed_p, coords_p,
-        mev_p, mev_cnt.ctypes.data,
-        iev_p, iev_cnt.ctypes.data,
-        frg_p, frg_cnt.ctypes.data,
-        sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
-        rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
-        cfg_i.ctypes.data, cfg_d.ctypes.data)
+    _keep.extend((nh, mev_cnt, iev_cnt, frg_cnt, sid, strand, lpos, rpos,
+                  ilow, ihigh, cfg_i, cfg_d, fixed_p, coords_p, mev_p,
+                  iev_p, frg_p, _empty))
+    args = (n, 1 if do_bridge else 0,
+            nh.ctypes.data,
+            fixed_p, coords_p,
+            mev_p, mev_cnt.ctypes.data,
+            iev_p, iev_cnt.ctypes.data,
+            frg_p, frg_cnt.ctypes.data,
+            sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
+            rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
+            cfg_i.ctypes.data, cfg_d.ctypes.data)
+    return args, _keep
 
+
+def _fetch_out(lib, h, sizes_fn, fill_fn):
     sizes = (ctypes.c_int64 * 3)()
-    lib.core_out_sizes(h, sizes)
+    sizes_fn(h, sizes)
     ng, nt, ne = int(sizes[0]), int(sizes[1]), int(sizes[2])
     g_sid = np.zeros(max(ng, 1), dtype=np.int32)
     g_sub = np.zeros(max(ng, 1), dtype=np.int32)
@@ -335,15 +353,91 @@ def launch_group_native(asmb, gv, do_bridge):
     t_nexons = np.zeros(max(nt, 1), dtype=np.int32)
     exons = np.zeros(max(ne, 1), dtype=np.int64)
     feats = np.zeros(max(nt * len(FEATURE_COLUMNS), 1), dtype=np.float64)
-    lib.core_out_fill(h, g_sid.ctypes.data, g_sub.ctypes.data,
-                      t_group.ctypes.data, t_pathi.ctypes.data,
-                      t_strand.ctypes.data, t_count1.ctypes.data,
-                      t_cov.ctypes.data, t_conf.ctypes.data,
-                      t_abd.ctypes.data, t_nexons.ctypes.data,
-                      exons.ctypes.data, feats.ctypes.data)
-    lib.core_out_free(h)
+    fill_fn(h, g_sid.ctypes.data, g_sub.ctypes.data,
+            t_group.ctypes.data, t_pathi.ctypes.data,
+            t_strand.ctypes.data, t_count1.ctypes.data,
+            t_cov.ctypes.data, t_conf.ctypes.data,
+            t_abd.ctypes.data, t_nexons.ctypes.data,
+            exons.ctypes.data, feats.ctypes.data)
     return (ng, nt, g_sid, g_sub, t_group, t_pathi, t_strand, t_count1,
             t_cov, t_conf, t_abd, t_nexons, exons, feats)
+
+
+def launch_group_native(asmb, gv, do_bridge):
+    """Marshal the group and run the native assembly; returns the raw
+    replay tuple, or None when ineligible.  Safe on a worker thread: the C
+    call releases the GIL and reads only the bundles' scanner arrays —
+    nothing shared is written until finish_group_native replays on the
+    main thread (incubator pipelines launches across groups)."""
+    if not eligible(asmb, gv):
+        return None
+    lib = _load_lib()
+    args, _keep = _marshal_group(asmb, gv, do_bridge)
+    h = lib.core_resolve_group(*args)
+    out = _fetch_out(lib, h, lib.core_out_sizes, lib.core_out_fill)
+    lib.core_out_free(h)
+    return out
+
+
+class GroupHandle:
+    """A paused native GroupRun: keeps the scanner arrays the native
+    bundles point into alive until core_group_free."""
+
+    __slots__ = ("h", "asmb", "gv", "keep", "paused")
+
+    def __init__(self, h, asmb, gv, keep, paused):
+        self.h = h
+        self.asmb = asmb
+        self.gv = gv
+        self.keep = keep
+        self.paused = paused
+
+
+def start_group_device(asmb, gv, do_bridge, minv):
+    """Begin a device-paused group assembly; returns a GroupHandle, or
+    None when the group is ineligible for the native core."""
+    if not eligible(asmb, gv):
+        return None
+    lib = _load_lib()
+    if not hasattr(lib, "core_group_start"):
+        return None
+    args, keep = _marshal_group(asmb, gv, do_bridge)
+    h = lib.core_group_start(*(args + (int(minv),)))
+    paused = bool(lib.core_group_advance(h))
+    return GroupHandle(h, asmb, gv, keep, paused)
+
+
+def greedy_export(gh, Wrow, maxv):
+    """Export the paused graph's adjacency into Wrow ([maxv, maxv] f32
+    slice); returns V > 0 or 0 (device-ineligible)."""
+    lib = _load_lib()
+    return int(lib.core_greedy_export(gh.h, Wrow.ctypes.data, maxv))
+
+
+def greedy_step(gh, table_row):
+    lib = _load_lib()
+    gh.paused = bool(lib.core_greedy_step(gh.h, table_row.ctypes.data))
+    return gh.paused
+
+
+def greedy_solve_host(gh):
+    lib = _load_lib()
+    gh.paused = bool(lib.core_greedy_solve_host(gh.h))
+    return gh.paused
+
+
+def finish_group_device(gh):
+    """Fetch + replay a completed handle's transcripts (group order)."""
+    assert not gh.paused
+    lib = _load_lib()
+    out = _fetch_out(lib, gh.h, lib.core_group_sizes, lib.core_group_fill)
+    lib.core_group_free(gh.h)
+    gh.h = None
+    gh.keep = None
+    stats["native_groups"] += 1
+    _replay_transcripts(gh.asmb, gh.gv[0].chrm, *out)
+    for bd in gh.gv:
+        bd.clear()
 
 
 def finish_group_native(asmb, gv, out):

@@ -38,6 +38,26 @@ def _get_jax_fn():
     return _JIT_CACHE["fn"]
 
 
+def _pad(n, step=128):
+    """Round up to shape buckets so the relay compiles a handful of
+    shapes instead of one per region (first compile is ~0.5s each)."""
+    return max(step, ((n + step - 1) // step) * step)
+
+
+def _intersection_matrix_device(inc):
+    """MXU matmul over a zero-padded bucket; exact for 0/1 incidence."""
+    fn = _get_jax_fn()
+    if fn is None:
+        return _intersection_matrix_host(inc)
+    n, p = inc.shape
+    nb, pb = _pad(n), _pad(p)
+    if (nb, pb) != (n, p):
+        buf = np.zeros((nb, pb), dtype=np.float32)
+        buf[:n, :p] = inc
+        inc = buf
+    return np.asarray(fn(inc))[:n, :n]
+
+
 def pairwise_splice_similarity(splice_lists, min_similarity):
     """Return [(i, j, count, ratio)] for i < j with count > 0.5 and
     ratio >= min_similarity; ratio = |A ^ B| / min(|A|, |B|)."""
@@ -55,11 +75,7 @@ def pairwise_splice_similarity(splice_lists, min_similarity):
         for p in s:
             inc[i, pidx[p]] = 1.0
     if n >= _JAX_THRESHOLD:
-        fn = _get_jax_fn()
-        if fn is not None:
-            c = np.asarray(fn(inc))
-        else:
-            c = _intersection_matrix_host(inc)
+        c = _intersection_matrix_device(inc)
     else:
         c = _intersection_matrix_host(inc)
     out = []

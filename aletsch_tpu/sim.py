@@ -95,6 +95,118 @@ def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
                         xs=r.get("xs", "."), nh=r.get("nh", 1))
 
 
+# ---------------------------------------------------------------------------
+# adversarial loci: structures the clean generator above never produces.
+# These create mixed-strand splice-graph vertices (the one shape the
+# scallop resolution ladder cannot decompose, scallop.cc:47-173), NH>1
+# multi-alignment webs through the eliminate path (bundle_base.cc:613-679),
+# and coverage cliffs at min_subregion_gap borders.
+
+
+def make_adversarial_locus(rng, pos, prefix, kind, depth=40):
+    """Return (records, span) for one adversarial locus starting near pos.
+
+    kind:
+      'overlap'   two spliced genes on opposite strands sharing the locus
+                  (unstranded library => one bundle with conflicting XS
+                  junction strands => mixed-strand vertices => greedy DP)
+      'xsconf'    one gene whose junction reads carry conflicting XS tags
+      'multimap'  NH>1 pairs duplicated across two sites of the locus
+      'cliff'     single exon with an abrupt internal coverage cliff
+    """
+    recs = []
+    if kind == "overlap":
+        ne = rng.randint(3, 5)
+        p = pos
+        exons_p = []
+        for _ in range(ne):
+            el = rng.randint(150, 400)
+            exons_p.append((p, p + el))
+            p += el + rng.randint(300, 900)
+        # '-' gene staggered so its exons/introns interleave with '+'
+        q = pos + rng.randint(80, 220)
+        exons_m = []
+        for _ in range(ne):
+            el = rng.randint(150, 400)
+            exons_m.append((q, q + el))
+            q += el + rng.randint(300, 900)
+        recs += simulate_pairs(exons_p, depth, "+", rng,
+                               prefix=prefix + "p")
+        recs += simulate_pairs(exons_m, depth, "-", rng,
+                               prefix=prefix + "m")
+        span = max(p, q) - pos
+    elif kind == "xsconf":
+        ne = rng.randint(3, 4)
+        p = pos
+        exons = []
+        for _ in range(ne):
+            el = rng.randint(150, 400)
+            exons.append((p, p + el))
+            p += el + rng.randint(300, 900)
+        recs += simulate_pairs(exons, depth, "+", rng, prefix=prefix + "a")
+        # a minority of junction reads tagged with the opposite strand
+        bad = simulate_pairs(exons, max(4, depth // 5), "-", rng,
+                             prefix=prefix + "x")
+        recs += bad
+        span = p - pos
+    elif kind == "multimap":
+        ne = 3
+        p = pos
+        exons = []
+        for _ in range(ne):
+            el = rng.randint(150, 300)
+            exons.append((p, p + el))
+            p += el + rng.randint(300, 600)
+        shift = p - pos + rng.randint(500, 1500)
+        exons2 = [(a + shift, b + shift) for a, b in exons]
+        prim = simulate_pairs(exons, depth, "+", rng, prefix=prefix + "u")
+        recs += prim
+        # the same qnames aligned again at the shifted copy with NH=2
+        for r in prim:
+            recs.append(dict(r, pos=r["pos"] + shift,
+                             mpos=r["mpos"] + shift, nh=2,
+                             flag=r["flag"] | 0x100))
+        for r in prim:
+            r["nh"] = 2
+        recs += simulate_pairs(exons2, depth // 2, "+", rng,
+                               prefix=prefix + "v")
+        span = exons2[-1][1] + 500 - pos
+    elif kind == "cliff":
+        el = rng.randint(900, 1400)
+        exon = [(pos, pos + el)]
+        # deep left shoulder, shallow right: a cliff inside one region
+        half = [(pos, pos + el // 2)]
+        recs += simulate_pairs(exon, depth // 4, "+", rng,
+                               prefix=prefix + "c", frag_lo=200,
+                               frag_hi=min(360, el))
+        recs += simulate_pairs(half, depth, "+", rng, prefix=prefix + "d",
+                               frag_lo=200, frag_hi=min(360, el // 2))
+        span = el
+    else:
+        raise ValueError(kind)
+    return recs, span
+
+
+ADVERSARIAL_KINDS = ("overlap", "xsconf", "multimap", "cliff")
+
+
+def simulate_adversarial_sample(path, seed, n_loci=8, start=100000,
+                                names=("chr1",), lengths=(40_000_000,),
+                                kinds=ADVERSARIAL_KINDS):
+    """A chromosome of adversarial loci (one bundle each)."""
+    rng = random.Random(seed)
+    recs = []
+    pos = start
+    for i in range(n_loci):
+        kind = kinds[i % len(kinds)]
+        r, span = make_adversarial_locus(rng, pos, "s%dl%d" % (seed, i),
+                                         kind)
+        recs += r
+        pos += span + rng.randint(20000, 40000)
+    write_bam(path, recs, names, lengths)
+    return recs
+
+
 # standard two-gene test genome on chr1
 GENE_A_ISO1 = [(10000, 10300), (15000, 15200), (20000, 20400)]
 GENE_A_ISO2 = [(10000, 10300), (20000, 20400)]

@@ -6,18 +6,25 @@ import aletsch_tpu.io.bam_native as bam_native
 from aletsch_tpu.io.bam_native import NativeBamReader
 from aletsch_tpu.config import default_params
 from aletsch_tpu.meta.incubator import Incubator
-from aletsch_tpu.sim import simulate_pairs, write_bam
+from aletsch_tpu.sim import (ADVERSARIAL_KINDS, make_adversarial_locus,
+                             simulate_pairs, write_bam)
 from aletsch_tpu.io.bam import CINS, CDEL, CMATCH
 
-def random_cohort(tmp, seed):
+def random_cohort(tmp, seed, adversarial=True):
     rng = random.Random(seed)
     nchrm = rng.randint(1, 3)
     names = tuple("chr%d" % (i + 1) for i in range(nchrm))
     lengths = tuple(rng.choice([10**6, 3 * 10**6]) for _ in range(nchrm))
     genes = []
+    adv = []          # (tid, pos, kind) adversarial loci, shared coords
     for tid in range(nchrm):
         pos = rng.randint(20000, 60000)
         for g in range(rng.randint(3, 10)):
+            if adversarial and rng.random() < 0.25:
+                kind = rng.choice(ADVERSARIAL_KINDS)
+                adv.append((tid, pos, kind))
+                pos += rng.randint(15000, 40000)
+                continue
             exons, p = [], pos
             for e in range(rng.randint(1, 6)):
                 el = rng.randint(250, 500)
@@ -44,6 +51,15 @@ def random_cohort(tmp, seed):
                 if srng.random() < 0.02:
                     r["flag"] |= 0x100
             recs += rr
+        for ai, (tid, pos, kind) in enumerate(adv):
+            if srng.random() < 0.2:
+                continue
+            rr, _ = make_adversarial_locus(srng, pos,
+                                           "s%da%d" % (s, ai), kind,
+                                           depth=srng.randint(15, 50))
+            for r in rr:
+                r["tid"] = tid; r["mtid"] = tid
+            recs += rr
         # indel + weird records
         for k in range(srng.randint(0, 8)):
             tid, exons = genes[srng.randrange(len(genes))]
@@ -63,7 +79,7 @@ def random_cohort(tmp, seed):
                                 for b, pr in zip(bams, protos)))
     return bl
 
-def run(tmp, bl, tag, native):
+def run(tmp, bl, tag, native, device="off", max_exons=None):
     out_gtf = os.path.join(tmp, tag + ".gtf")
     out_dir = os.path.join(tmp, tag + "_d")
     os.makedirs(out_dir, exist_ok=True)
@@ -73,6 +89,11 @@ def run(tmp, bl, tag, native):
         p.output_gtf_file = out_gtf
         p.output_gtf_dir = out_dir
         p.verbose = 0
+        p.device_greedy = device
+        p.device_min_vertices = 2
+        p.device_min_groups = 0
+        if max_exons is not None:
+            p.max_num_exons = max_exons
     saved = (bam_native._LIB, bam_native._LIB_TRIED)
     sr = getattr(NativeBamReader, "scan_region", None)
     spv = getattr(NativeBamReader, "scan_preview", None)
@@ -144,6 +165,32 @@ def fuzz_checkpoint(tmp, seeds=(5, 6)):
     return bad
 
 
+def fuzz_device(tmp, seeds=(31, 32, 33, 34)):
+    """TPU-path invariance: the wave-batched device greedy DP
+    (meta/device_wave.py) must be byte-transparent, both at the default
+    config (greedy cold) and at max_num_exons=8 (greedy hot: every larger
+    graph extracts its paths through the device table)."""
+    from aletsch_tpu.meta import device_wave
+    bad = 0
+    for seed in seeds:
+        bl = random_cohort(tmp, 300 + seed)
+        for me, tag in ((None, "cold"), (8, "hot")):
+            g1, d1 = run(tmp, "%s" % bl, "dv0_%s_%d" % (tag, seed), "scan",
+                         "off", me)
+            s0 = device_wave.stats["device_steps"]
+            g2, d2 = run(tmp, "%s" % bl, "dv1_%s_%d" % (tag, seed), "scan",
+                         "on", me)
+            ok = open(g1).read() == open(g2).read()
+            for fn in sorted(os.listdir(d1)):
+                ok = ok and (open(os.path.join(d1, fn)).read() ==
+                             open(os.path.join(d2, fn)).read())
+            steps = device_wave.stats["device_steps"] - s0
+            print("device seed %d %s: %s (%d device extractions)"
+                  % (seed, tag, "OK" if ok else "DIVERGED", steps))
+            bad += 0 if ok else 1
+    return bad
+
+
 tmp = tempfile.mkdtemp(prefix="fuzzdiff_")
 bad = 0
 for seed in range(1, 21):
@@ -163,9 +210,10 @@ for seed in range(1, 21):
         bad += 1
         print("  kept dir:", tmp)
 print("DONE: %d/20 diverged" % bad)
+bad += fuzz_device(tmp)
 bad += fuzz_jobs(tmp)
 bad += fuzz_checkpoint(tmp)
-print("DONE+jobs+ckpt: %d total divergences" % bad)
+print("DONE+jobs+ckpt+device: %d total divergences" % bad)
 if bad == 0:
     shutil.rmtree(tmp, ignore_errors=True)
 
