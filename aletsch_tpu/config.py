@@ -46,6 +46,8 @@ class Parameters:
     device_greedy: str = "auto"
     device_min_vertices: int = 16   # smaller graphs solve faster on host
     device_min_groups: int = 16     # min groups per wave to engage "auto"
+    device_similarity: str = "auto"  # clustering rounds via the MXU matmul
+    device_min_cluster: int = 4096   # region size where the matmul wins
 
     # meta-assembly
     max_group_size: int = 200
@@ -155,6 +157,8 @@ _GENERIC_FLAGS = {
     "--device_greedy": ("device_greedy", str),
     "--device_min_vertices": ("device_min_vertices", int),
     "--device_min_groups": ("device_min_groups", int),
+    "--device_similarity": ("device_similarity", str),
+    "--device_min_cluster": ("device_min_cluster", int),
     "--jax_profile_dir": ("jax_profile_dir", str),
     "--checkpoint_dir": ("checkpoint_dir", str),
     "--min_bridging_score": ("min_bridging_score", float),

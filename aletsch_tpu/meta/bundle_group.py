@@ -65,21 +65,42 @@ class BundleGroup:
         self.num_assembled = 0
         self.grouped = []
 
+    def _use_device_similarity(self):
+        """Route the clustering rounds through the MXU matmul path
+        (ops/similarity.py) instead of the native intersections.  Default
+        "auto" engages only at region sizes where the matmul can win:
+        measured on the tunneled single chip, host->device bandwidth
+        (~25 MB/s) makes the n^2 count-matrix round trip slower than the
+        native sorted-merge intersections up to at least n=1600
+        (docs/DESIGN.md "speed-of-light notes"), so the auto threshold is
+        high; PCIe/ICI-attached chips would lower it."""
+        import os
+        mode = getattr(self.cfg, "device_similarity", "auto")
+        if os.environ.get("ALETSCH_DEVICE") == "0" or mode == "off":
+            return False
+        if mode == "on":
+            return True
+        return len(self.gset) >= getattr(self.cfg, "device_min_cluster",
+                                         4096)
+
     def resolve(self):
         """bundle_group.cc:26-56; the clustering rounds run natively
         (core_cluster_groups) when the library is available — same splice
-        index, similarity thresholds, greedy capped union, group order."""
+        index, similarity thresholds, greedy capped union, group order —
+        or through the batched device similarity (byte-identical,
+        fuzz-pinned) when _use_device_similarity says the MXU wins."""
         self.remove_duplicates()
-        from .native_core import cluster_groups_native
-        gids = cluster_groups_native(self.gset, self.cfg)
-        if gids is not None:
-            self.gvv = []
-            for i, g in enumerate(gids.tolist()):
-                if g == len(self.gvv):
-                    self.gvv.append([i])
-                else:
-                    self.gvv[g].append(i)
-            return
+        if not self._use_device_similarity():
+            from .native_core import cluster_groups_native
+            gids = cluster_groups_native(self.gset, self.cfg)
+            if gids is not None:
+                self.gvv = []
+                for i, g in enumerate(gids.tolist()):
+                    if g == len(self.gvv):
+                        self.gvv.append([i])
+                    else:
+                        self.gvv[g].append(i)
+                return
         sindex = self._build_splice_index()
         ds = DisjointSet(len(self.gset))
         self.grouped = [False] * len(self.gset)

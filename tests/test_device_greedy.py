@@ -100,3 +100,27 @@ def test_device_greedy_default_config_parity(tmp_path):
     off = _run(tmp_path, lst, "doff", "off", 10000)
     on = _run(tmp_path, lst, "don", "on", 10000)
     assert off == on
+
+
+@pytest.mark.skipif(os.environ.get("ALETSCH_NATIVE_CORE") == "0",
+                    reason="compares native vs device clustering")
+def test_device_similarity_parity(tmp_path):
+    """--device_similarity on (MXU matmul clustering path) must be
+    byte-identical to the native intersections (meta/bundle_group.py)."""
+    from aletsch_tpu.config import default_params
+    from aletsch_tpu.meta.incubator import Incubator
+    lst = _cohort(tmp_path, n_loci=8)
+    outs = {}
+    for mode in ("off", "on"):
+        out = tmp_path / ("sim_" + mode)
+        (out / "gtf").mkdir(parents=True)
+        params = default_params()
+        for p in params:
+            p.input_bam_list = lst
+            p.output_gtf_file = str(out / "meta.gtf")
+            p.output_gtf_dir = str(out / "gtf")
+            p.verbose = 0
+            p.device_similarity = mode
+        Incubator(params).resolve()
+        outs[mode] = (out / "meta.gtf").read_bytes()
+    assert outs["off"] == outs["on"]
