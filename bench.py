@@ -66,9 +66,10 @@ def make_workload(tmpdir):
     return listpath
 
 
-def run_pipeline(tmpdir, listpath, sub="run"):
+def run_pipeline(tmpdir, listpath, sub="run", tweak=None, reps=5):
     from aletsch_tpu.config import default_params
     from aletsch_tpu.meta.incubator import Incubator
+    from aletsch_tpu.meta import device_wave
     os.makedirs(os.path.join(tmpdir, sub), exist_ok=True)
     out_gtf = os.path.join(tmpdir, sub, "meta.gtf")
     out_dir = os.path.join(tmpdir, sub, "gtf")
@@ -79,19 +80,29 @@ def run_pipeline(tmpdir, listpath, sub="run"):
         p.output_gtf_file = out_gtf
         p.output_gtf_dir = out_dir
         p.verbose = 0
+        if tweak:
+            tweak(p)
     # best-of-5: the absolute workload is sub-second, so single-shot timing
     # is dominated by filesystem-cache and TPU-relay noise
     best = None
-    for _ in range(5):
+    wall_total = 0.0
+    d0 = device_wave.device_stats()
+    for _ in range(reps):
         inc = Incubator(params)
         t0 = time.time()
         inc.resolve()
         dt = time.time() - t0
+        wall_total += dt
         if best is None or dt < best[1]:
             best = (inc, dt)
     inc, dt = best
+    d1 = device_wave.device_stats()
+    dstat = {k: d1.get(k, 0) - d0.get(k, 0) for k in d1}
+    dstat["wall_total"] = wall_total
+    dstat["device_share"] = (dstat.get("device_time", 0.0) / wall_total
+                             if wall_total > 0 else 0.0)
     n_trst = sum(1 for line in open(out_gtf) if "\ttranscript\t" in line)
-    return inc.stats["bundles"], dt, n_trst
+    return inc.stats["bundles"], dt, n_trst, dstat
 
 
 def kernel_probe():
@@ -117,6 +128,54 @@ def kernel_probe():
     except Exception as e:                    # pragma: no cover
         print("kernel probe failed: %s" % e, file=sys.stderr)
         return 0.0
+
+
+def device_engaged_probe(tmpdir):
+    """Device-on-the-hot-path probe: an adversarial cohort assembled with
+    max_num_exons=8, which routes every larger graph straight to the greedy
+    max-path loop (scallop.cc:49) — the configuration under which the
+    wave-batched device DP (meta/device_wave.py) carries the extractions.
+    Runs host-forced then device-forced on the SAME inputs (byte parity of
+    the GTFs is test-enforced elsewhere) and reports both walls plus the
+    device-time share of the device run."""
+    from aletsch_tpu.sim import simulate_adversarial_sample
+    sub = os.path.join(tmpdir, "devprobe")
+    os.makedirs(sub, exist_ok=True)
+    bams = []
+    for s in range(2):
+        path = os.path.join(sub, "a%d.bam" % s)
+        simulate_adversarial_sample(path, seed=21 + s, n_loci=8)
+        bams.append(path)
+    listpath = os.path.join(sub, "bams.list")
+    with open(listpath, "w") as fh:
+        for b in bams:
+            fh.write("%s %s.bai paired_end\n" % (b, b))
+
+    def mk(device):
+        def tweak(p):
+            p.device_greedy = device
+            p.device_min_vertices = 2
+            p.device_min_groups = 0
+            p.max_num_exons = 8
+        return tweak
+
+    # single rep: each device dispatch costs seconds of relay round-trip on
+    # the tunneled chip, so best-of-5 would stretch bench by minutes while
+    # measuring the same thing
+    _, host_dt, _, _ = run_pipeline(tmpdir, listpath, sub="devprobe/host",
+                                    tweak=mk("off"), reps=1)
+    _, dev_dt, _, dstat = run_pipeline(tmpdir, listpath, sub="devprobe/dev",
+                                       tweak=mk("on"), reps=1)
+    return {
+        "host_wall_s": round(host_dt, 4),
+        "device_wall_s": round(dev_dt, 4),
+        "device_time_s": round(dstat.get("device_time", 0.0), 4),
+        "device_share_of_wall": round(dstat.get("device_share", 0.0), 4),
+        "device_steps": dstat.get("device_steps", 0),
+        "device_dispatches": dstat.get("dispatches", 0),
+        "device_graphs": dstat.get("graphs", 0),
+        "host_fallback_graphs": dstat.get("host_graphs", 0),
+    }
 
 
 def make_deep_workload(tmpdir):
@@ -186,11 +245,12 @@ def main():
     tmpdir = tempfile.mkdtemp(prefix="aletsch_bench_")
     try:
         listpath = make_workload(tmpdir)
-        bundles, dt, n_trst = run_pipeline(tmpdir, listpath)
+        bundles, dt, n_trst, dstat = run_pipeline(tmpdir, listpath)
         bps = bundles / dt if dt > 0 else 0.0
         deep_list, deep_reads = make_deep_workload(tmpdir)
-        dbundles, ddt, dn = run_pipeline(tmpdir, deep_list, sub="deep")
+        dbundles, ddt, dn, ddstat = run_pipeline(tmpdir, deep_list, sub="deep")
         kps = kernel_probe()
+        dev = device_engaged_probe(tmpdir)
         print("bench: %d bundles in %.2fs -> %.2f bundles/s; "
               "%d transcripts; kernel probe %.0f graphs/s"
               % (bundles, dt, bps, n_trst, kps), file=sys.stderr)
@@ -198,12 +258,21 @@ def main():
               "%.0f reads/s; %d transcripts"
               % (dbundles, deep_reads, ddt, dbundles / ddt,
                  deep_reads / ddt, dn), file=sys.stderr)
+        print("device share (default config): %.4f of wall on device "
+              "(the greedy loop is cold below max_num_exons and the "
+              "similarity auto-threshold sits above this workload; see "
+              "docs/DESIGN.md for the measured host<->device bandwidth "
+              "analysis)" % dstat.get("device_share", 0.0), file=sys.stderr)
+        print("device-engaged probe (max_num_exons=8 forces the greedy "
+              "loop hot): %s" % json.dumps(dev), file=sys.stderr)
         print(scaling_probe(), file=sys.stderr)
         print(json.dumps({
             "metric": "bundles_per_second",
             "value": round(bps, 3),
             "unit": "bundles/s",
             "vs_baseline": round(bps / BENCH_BASELINE, 3),
+            "device_share_default": round(dstat.get("device_share", 0.0), 4),
+            "device_probe": dev,
         }))
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
