@@ -48,6 +48,10 @@ class Parameters:
     device_min_groups: int = 16     # min groups per wave to engage "auto"
     device_similarity: str = "auto"  # clustering rounds via the MXU matmul
     device_min_cluster: int = 4096   # region size where the matmul wins
+    # bridging pier DPs wave-batched on device (ops/bridge_topk.py);
+    # "auto" == off on tunnel-attached chips (measured: transfer dominates,
+    # see meta/device_wave.py bridge_enabled), "on" forces it
+    device_bridge: str = "auto"
 
     # meta-assembly
     max_group_size: int = 200
@@ -159,6 +163,7 @@ _GENERIC_FLAGS = {
     "--device_min_groups": ("device_min_groups", int),
     "--device_similarity": ("device_similarity", str),
     "--device_min_cluster": ("device_min_cluster", int),
+    "--device_bridge": ("device_bridge", str),
     "--jax_profile_dir": ("jax_profile_dir", str),
     "--checkpoint_dir": ("checkpoint_dir", str),
     "--min_bridging_score": ("min_bridging_score", float),

@@ -1,18 +1,29 @@
-"""Wave-level orchestration of the device greedy max-path DP.
+"""Wave-level orchestration of the device DPs (greedy max-path + bridging).
 
 One region wave's groups (meta/incubator.py process_region) are assembled
-concurrently as paused native GroupRuns: every group's currently-active
-splice graph is exported into one padded adjacency batch, the bottleneck
-tables for all of them are computed in a single TPU dispatch
-(ops/greedy_dp.py), and each group consumes its table and advances to the
-next extraction or the next graph.  Graphs within a group stay strictly
-sequential (later graphs' cross-sample supports read earlier graphs'
-post-greedy state, assembler.cc:177-373), so the batch axis is the group
-axis — exactly the parallel structure SURVEY §2.8 identifies.
+concurrently as paused native GroupRuns; the runs pause at two kinds of
+device-offloadable DP:
 
-Device-ineligible graphs (too small / too large / f32-lossy weights) are
-solved by the native host DP mid-stream; results are byte-identical either
-way (the differential fuzz runs this path forced on).
+- kind 1, greedy max-path: every group's currently-active splice graph is
+  exported into one padded adjacency batch and all bottleneck tables are
+  computed in a single TPU dispatch (ops/greedy_dp.py); each group consumes
+  its table and advances (matches rnacore/splice_graph.cc:819-880 via
+  scallop/scallop.cc:2874-2897).
+- kind 2, bridging pier DP: every paused (source-run, strand) DP instance
+  across the wave's bundles is exported into one padded batch; a single
+  dispatch computes the top-K min-edge-stack tables + parent tables
+  (ops/bridge_topk.py) and the native backtrace + vote consume them
+  (matches bridge/bridge_solver.cc:484-568, 276-385).
+
+Graphs within a group stay strictly sequential (later graphs' cross-sample
+supports read earlier graphs' post-greedy state, assembler.cc:177-373), so
+the batch axis is the group axis — exactly the parallel structure SURVEY
+§2.8 identifies.
+
+Device-ineligible instances (too small / too large / f32-lossy weights /
+over-padded windows) are solved by the native host DP mid-stream; results
+are byte-identical either way (the differential fuzz runs this path forced
+on).
 """
 
 from __future__ import annotations
@@ -25,11 +36,15 @@ from . import native_core
 stats = {
     "host_graphs": 0,        # paused graphs solved by the native host DP
     "device_steps": 0,       # device-guided path extractions
+    "host_bridge_insts": 0,  # pier-DP instances solved by the host DP
+    "device_bridge_insts": 0,  # pier-DP instances consumed from the device
     "waves": 0,
 }
 
 _DEVICE = None
 _DEVICE_FAILED = False
+_BRIDGE = None
+_BRIDGE_FAILED = False
 
 
 def _get_device():
@@ -43,10 +58,23 @@ def _get_device():
     return _DEVICE
 
 
+def _get_bridge_device():
+    global _BRIDGE, _BRIDGE_FAILED
+    if _BRIDGE is None and not _BRIDGE_FAILED:
+        try:
+            from ..ops.bridge_topk import DeviceBridge
+            _BRIDGE = DeviceBridge()
+        except Exception:
+            _BRIDGE_FAILED = True
+    return _BRIDGE
+
+
 def device_stats():
     d = dict(stats)
     if _DEVICE is not None:
         d.update(_DEVICE.stats)
+    if _BRIDGE is not None:
+        d.update(_BRIDGE.stats)
     return d
 
 
@@ -56,7 +84,7 @@ def enabled(cfg, n_groups):
     env = os.environ.get("ALETSCH_DEVICE")
     if env == "0":
         return False
-    if env == "1" or mode == "on":
+    if env == "1" or mode == "on" or bridge_enabled(cfg):
         return native_core.native_core_available()
     if mode != "auto":
         return False
@@ -65,17 +93,40 @@ def enabled(cfg, n_groups):
     return native_core.native_core_available()
 
 
+def bridge_enabled(cfg):
+    """Decide whether GroupRuns also pause at bridging pier-DP instances.
+
+    'auto' stays off on this host: one 64-instance dispatch moves ~1 MB
+    over the ~25 MB/s tunnel (>40 ms) while the native host DP solves the
+    same 64 instances in single-digit ms — measured in bench.py's
+    device-bridge probe.  'on' forces the device path (fuzz/parity runs,
+    directly-attached parts)."""
+    mode = getattr(cfg, "device_bridge", "off")
+    env = os.environ.get("ALETSCH_DEVICE_BRIDGE")
+    if env == "0":
+        return False
+    if env == "1" or mode == "on":
+        return native_core.bridge_pause_available()
+    return False
+
+
 def assemble_groups(asms, gvs, cfg):
     """Device-batched equivalent of the serial `asmb.resolve(gv)` loop.
     Returns True when handled; False when the caller should fall back."""
     dev = _get_device()
     if dev is None:
         return False
+    bridge_dev = bridge_enabled(cfg)
+    bdev = _get_bridge_device() if bridge_dev else None
+    if bridge_dev and bdev is None:
+        bridge_dev = False
     minv = int(getattr(cfg, "device_min_vertices", 16))
+    from ..ops.bridge_topk import K, S
     runs = []               # (asmb, gv, handle-or-None) in group order
     active = []
     for asmb, gv in zip(asms, gvs):
-        gh = native_core.start_group_device(asmb, gv, True, minv)
+        gh = native_core.start_group_device(asmb, gv, True, minv,
+                                            bridge_dev)
         runs.append((asmb, gv, gh))
         if gh is not None and gh.paused:
             active.append(gh)
@@ -83,30 +134,55 @@ def assemble_groups(asms, gvs, cfg):
 
     while active:
         nxt = []
-        exported = []
+        g_exp = []          # greedy-paused handles with exported rows
+        b_exp = []          # bridge-paused handles with exported rows
 
-        def flush():
-            if not exported:
+        def flush_greedy():
+            if not g_exp:
                 return
-            tables = dev.solve(len(exported))
-            for i, g in enumerate(exported):
+            tables = dev.solve(len(g_exp))
+            for i, g in enumerate(g_exp):
                 stats["device_steps"] += 1
                 if native_core.greedy_step(g, tables[i]):
                     nxt.append(g)
-            del exported[:]
+            del g_exp[:]
+
+        def flush_bridge():
+            if not b_exp:
+                return
+            ostk, par, pix = bdev.solve(len(b_exp))
+            for i, g in enumerate(b_exp):
+                stats["device_bridge_insts"] += 1
+                if native_core.bridge_step(g, ostk[i], par[i], pix[i],
+                                           K, S):
+                    nxt.append(g)
+            del b_exp[:]
 
         for gh in active:
-            v = native_core.greedy_export(gh, dev.row(len(exported)),
+            if gh.pause_kind == 2:
+                v = native_core.bridge_export(
+                    gh, bdev.row(len(b_exp)), K, S) if bridge_dev else 0
+                if v <= 0:
+                    stats["host_bridge_insts"] += 1
+                    if native_core.bridge_solve_host(gh):
+                        nxt.append(gh)
+                    continue
+                b_exp.append(gh)
+                if len(b_exp) == bdev.batch:
+                    flush_bridge()
+                continue
+            v = native_core.greedy_export(gh, dev.row(len(g_exp)),
                                           dev.maxv)
             if v <= 0:
                 stats["host_graphs"] += 1
                 if native_core.greedy_solve_host(gh):
                     nxt.append(gh)
                 continue
-            exported.append(gh)
-            if len(exported) == dev.batch:
-                flush()
-        flush()
+            g_exp.append(gh)
+            if len(g_exp) == dev.batch:
+                flush_greedy()
+        flush_greedy()
+        flush_bridge()
         active = nxt
 
     # replay in group order (determinism), host-fallback where ineligible

@@ -94,7 +94,8 @@ def _bind(lib):
     if hasattr(lib, "core_group_start"):
         lib.core_group_start.restype = ctypes.c_void_p
         lib.core_group_start.argtypes = \
-            lib.core_resolve_group.argtypes + [ctypes.c_int32]
+            lib.core_resolve_group.argtypes + [ctypes.c_int32,
+                                               ctypes.c_int32]
         lib.core_group_advance.restype = ctypes.c_int32
         lib.core_group_advance.argtypes = [ctypes.c_void_p]
         lib.core_greedy_export.restype = ctypes.c_int32
@@ -107,6 +108,17 @@ def _bind(lib):
         lib.core_group_sizes.argtypes = [ctypes.c_void_p, i64p]
         lib.core_group_fill.argtypes = [ctypes.c_void_p] + [vp] * 12
         lib.core_group_free.argtypes = [ctypes.c_void_p]
+    # device-paused bridging DP (wave-batched top-K stack DP;
+    # ops/bridge_topk.py)
+    if hasattr(lib, "core_bridge_export"):
+        lib.core_bridge_export.restype = ctypes.c_int32
+        lib.core_bridge_export.argtypes = \
+            [ctypes.c_void_p] + [vp] * 4 + [ctypes.c_int32] * 5
+        lib.core_bridge_step.restype = ctypes.c_int32
+        lib.core_bridge_step.argtypes = \
+            [ctypes.c_void_p] + [vp] * 3 + [ctypes.c_int32] * 4
+        lib.core_bridge_solve_host.restype = ctypes.c_int32
+        lib.core_bridge_solve_host.argtypes = [ctypes.c_void_p]
     lib._core_bound = True
 
 
@@ -381,30 +393,44 @@ def launch_group_native(asmb, gv, do_bridge):
 
 class GroupHandle:
     """A paused native GroupRun: keeps the scanner arrays the native
-    bundles point into alive until core_group_free."""
+    bundles point into alive until core_group_free.  `pause_kind` is the
+    last core_group_advance result: 0 done, 1 greedy pause, 2 bridge
+    pause (`paused` is its truthiness)."""
 
-    __slots__ = ("h", "asmb", "gv", "keep", "paused")
+    __slots__ = ("h", "asmb", "gv", "keep", "pause_kind")
 
-    def __init__(self, h, asmb, gv, keep, paused):
+    def __init__(self, h, asmb, gv, keep, pause_kind):
         self.h = h
         self.asmb = asmb
         self.gv = gv
         self.keep = keep
-        self.paused = paused
+        self.pause_kind = pause_kind
+
+    @property
+    def paused(self):
+        return self.pause_kind != 0
 
 
-def start_group_device(asmb, gv, do_bridge, minv):
+def bridge_pause_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_bridge_export")
+
+
+def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False):
     """Begin a device-paused group assembly; returns a GroupHandle, or
-    None when the group is ineligible for the native core."""
+    None when the group is ineligible for the native core.  bridge_dev
+    additionally pauses at every bridging pier-DP instance."""
     if not eligible(asmb, gv):
         return None
     lib = _load_lib()
     if not hasattr(lib, "core_group_start"):
         return None
+    if bridge_dev and not hasattr(lib, "core_bridge_export"):
+        bridge_dev = False
     args, keep = _marshal_group(asmb, gv, do_bridge)
-    h = lib.core_group_start(*(args + (int(minv),)))
-    paused = bool(lib.core_group_advance(h))
-    return GroupHandle(h, asmb, gv, keep, paused)
+    h = lib.core_group_start(*(args + (int(minv), 1 if bridge_dev else 0)))
+    kind = int(lib.core_group_advance(h))
+    return GroupHandle(h, asmb, gv, keep, kind)
 
 
 def greedy_export(gh, Wrow, maxv):
@@ -416,14 +442,43 @@ def greedy_export(gh, Wrow, maxv):
 
 def greedy_step(gh, table_row):
     lib = _load_lib()
-    gh.paused = bool(lib.core_greedy_step(gh.h, table_row.ctypes.data))
-    return gh.paused
+    gh.pause_kind = int(lib.core_greedy_step(gh.h, table_row.ctypes.data))
+    return gh.pause_kind
 
 
 def greedy_solve_host(gh):
     lib = _load_lib()
-    gh.paused = bool(lib.core_greedy_solve_host(gh.h))
-    return gh.paused
+    gh.pause_kind = int(lib.core_greedy_solve_host(gh.h))
+    return gh.pause_kind
+
+
+def bridge_export(gh, rows, K, S):
+    """Export the paused bridging instance into one DeviceBridge batch row
+    (rows = (P, Wt, Lv, tgt) slices); returns the window size > 0, or 0
+    when this instance must be solved on host."""
+    lib = _load_lib()
+    P, Wt, Lv, tgt = rows
+    V, E = P.shape
+    T = tgt.shape[0]
+    return int(lib.core_bridge_export(
+        gh.h, P.ctypes.data, Wt.ctypes.data, Lv.ctypes.data,
+        tgt.ctypes.data, V, E, T, int(K), int(S)))
+
+
+def bridge_step(gh, ostk, par, pix, K, S):
+    """Feed one instance's device results ([T,K,S] stacks + [V,K] parent /
+    entry-index tables) back; returns the next pause kind."""
+    lib = _load_lib()
+    gh.pause_kind = int(lib.core_bridge_step(
+        gh.h, ostk.ctypes.data, par.ctypes.data, pix.ctypes.data,
+        par.shape[0], ostk.shape[0], int(K), int(S)))
+    return gh.pause_kind
+
+
+def bridge_solve_host(gh):
+    lib = _load_lib()
+    gh.pause_kind = int(lib.core_bridge_solve_host(gh.h))
+    return gh.pause_kind
 
 
 def finish_group_device(gh):

@@ -154,6 +154,57 @@ def get_bridge_fn(V=DEFAULT_V, E=DEFAULT_E, T=DEFAULT_T):
     return fn
 
 
+class DeviceBridge:
+    """Reusable pinned-shape batch solver for production wave bridging
+    (meta/device_wave.py): one dispatch computes the top-K stack DP for up
+    to `batch` pier-DP instances paused across a region wave's groups."""
+
+    def __init__(self, batch=DEFAULT_B, maxv=DEFAULT_V, maxe=DEFAULT_E,
+                 maxt=DEFAULT_T):
+        self.batch = batch
+        self.maxv = maxv
+        self.maxe = maxe
+        self.maxt = maxt
+        self.P = np.full((batch, maxv, maxe), -1, dtype=np.int32)
+        self.Wt = np.zeros((batch, maxv, maxe), dtype=np.int32)
+        self.Lv = np.zeros((batch, maxv), dtype=np.int32)
+        self.tgt = np.full((batch, maxt), -1, dtype=np.int32)
+        self.fn = get_bridge_fn(maxv, maxe, maxt)
+        self.stats = {"bridge_dispatches": 0, "bridge_instances": 0,
+                      "bridge_device_time": 0.0}
+        import jax.numpy as jnp
+        out = self.fn(jnp.asarray(self.P), jnp.asarray(self.Wt),
+                      jnp.asarray(self.Lv), jnp.asarray(self.tgt))
+        out[0].block_until_ready()      # warm-up compile before timing
+
+    def row(self, i):
+        """Writable (P, Wt, Lv, tgt) slices for the native export."""
+        return self.P[i], self.Wt[i], self.Lv[i], self.tgt[i]
+
+    def solve(self, nrows):
+        """(ostk [n,T,K,S], par [n,V,K], pix [n,V,K]) int32 for the first
+        nrows batch slots."""
+        import time
+
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        ostk, par, pix = self.fn(jnp.asarray(self.P), jnp.asarray(self.Wt),
+                                 jnp.asarray(self.Lv), jnp.asarray(self.tgt))
+        ostk = np.asarray(ostk)
+        par = np.asarray(par)
+        pix = np.asarray(pix)
+        self.stats["bridge_device_time"] += time.perf_counter() - t0
+        self.stats["bridge_dispatches"] += 1
+        self.stats["bridge_instances"] += nrows
+        return ostk[:nrows], par[:nrows], pix[:nrows]
+
+    def reset_rows(self, nrows):
+        self.P[:nrows] = -1
+        self.Wt[:nrows] = 0
+        self.Lv[:nrows] = 0
+        self.tgt[:nrows] = -1
+
+
 def bridge_dp_host(P, Wt, Lv, tgt):
     """Numpy oracle with identical semantics (tests pin kernel == this ==
     the solver.py DP)."""

@@ -312,6 +312,75 @@ struct GroupRun {
     std::unique_ptr<SpliceGraph> sc_gr;
     int sc_group = -1;
 
+    // ---- paused bridging (device_bridge mode: the per-instance pier DPs
+    //      run wave-batched on the device, ops/bridge_topk.py; alive
+    //      between advance() returning 2 and the next bridge step)
+    int device_bridge = 0;
+    int bphase = 0;         // 0: per-bundle bridge(), 1: joint_bridge()
+    size_t bk = 0;          // bundle index within bphase
+    std::unique_ptr<BridgeSolver> br_bs;
+    std::vector<PereadsCluster> br_vc;
+    std::unique_ptr<SpliceGraph> br_gr;   // per-bundle local graph
+    std::unique_ptr<Bundle> br_cb;        // joint combined bundle
+    std::unique_ptr<SpliceGraph> br_gx;   // joint combined graph
+    Bundle* br_bd = nullptr;
+
+    // meta/bundle.cc:55-88 / assembler.cc:977-1018 restructured around the
+    // deferred BridgeSolver; byte-identical to GroupAssembler::bridge /
+    // joint_bridge when every instance is solved (host or device)
+    void bridge_begin(Bundle& bd, bool joint) {
+        const Cfg& bcfg = joint ? acfg : bd.cfg;
+        if (!joint) {
+            br_gr.reset(new SpliceGraph());
+            GraphBuilder(bd, bd.cfg).build(*br_gr);
+            br_gr->build_vertex_index();
+        }
+        SpliceGraph& g = joint ? *br_gx : *br_gr;
+        br_vc.clear();
+        build_pereads_clusters(g, bd, bcfg.max_reads_partition_gap, br_vc);
+        if (joint && br_vc.empty()) {       // joint_bridge skips empty vc
+            return;
+        }
+        br_bd = &bd;
+        br_bs.reset(new BridgeSolver(g, br_vc, bcfg, bd.insert_low,
+                                     bd.insert_high, /*defer=*/true));
+        if (br_bs->insts_done()) bridge_finish();
+    }
+
+    void bridge_finish() {
+        br_bs->finalize();
+        for (size_t j = 0; j < br_vc.size(); j++) {
+            if (br_bs->opt[j].type <= 0) continue;
+            br_bd->update_bridges(br_vc[j].frlist, br_bs->opt[j].chain,
+                                  br_bs->opt[j].strand);
+        }
+        br_bs.reset();
+        br_gr.reset();
+        br_bd = nullptr;
+    }
+
+    void joint_setup() {
+        br_cb.reset(new Bundle());
+        br_cb->cfg = acfg;
+        br_cb->copy_meta_information(*gv[0]);
+        ga->combine_bundles(*br_cb, gv);
+        br_gx.reset(new SpliceGraph());
+        ga->transform(*br_cb, false, *br_gx);
+    }
+
+    // phase transition after all bridging (mirrors the original phase-0
+    // tail exactly)
+    void post_bridge() {
+        if (gv.size() == 1) {
+            phase = 1;
+            k = 0;
+        } else if (gv.size() >= 2) {
+            phase = 2;
+        } else {
+            phase = 9;
+        }
+    }
+
     // assembler.cc:177-231 collect_support lambda
     void collect_support(SpliceGraph& gr, int sid) {
         for (GEdge* e : gr.edges()) {
@@ -399,19 +468,49 @@ struct GroupRun {
         bd.clear();
     }
 
-    // run until the next greedy pause (returns 1) or completion (0)
+    // run until the next pause (1 = greedy, 2 = bridge) or completion (0)
     int advance() {
         while (true) {
             if (sc) return 1;
+            if (br_bs) return 2;
             if (phase == 0) {
-                if (do_bridge) {
+                if (!do_bridge) {
+                    phase = 1;
+                    k = 0;
+                    continue;
+                }
+                if (!device_bridge) {
                     for (Bundle* bd : gv) ga->bridge(*bd);
-                    if (gv.size() == 1) { phase = 1; k = 0; }
-                    else if (gv.size() >= 2) {
-                        ga->joint_bridge(gv);
-                        phase = 2;
-                    } else phase = 9;
-                } else { phase = 1; k = 0; }
+                    if (gv.size() >= 2) ga->joint_bridge(gv);
+                    post_bridge();
+                    continue;
+                }
+                // device bridging: per-bundle bridge() then joint_bridge(),
+                // pausing at every pier-DP instance
+                if (bphase == 0) {
+                    if (bk >= gv.size()) {
+                        if (gv.size() >= 2) {
+                            joint_setup();
+                            bphase = 1;
+                            bk = 0;
+                        } else {
+                            post_bridge();
+                        }
+                        continue;
+                    }
+                    bridge_begin(*gv[bk], /*joint=*/false);
+                    bk++;
+                } else {
+                    if (bk >= gv.size()) {
+                        br_cb->clear();
+                        br_cb.reset();
+                        br_gx.reset();
+                        post_bridge();
+                        continue;
+                    }
+                    bridge_begin(*gv[bk], /*joint=*/true);
+                    bk++;
+                }
             } else if (phase == 1) {
                 if (k >= gv.size()) { phase = 9; continue; }
                 Bundle* bd = gv[k];
@@ -496,7 +595,8 @@ static core::GroupRun* make_group_run(
     const i32* sample_id, const i32* strand,
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
-    const i64* cfg_ints, const double* cfg_dbls, i32 device_minv) {
+    const i64* cfg_ints, const double* cfg_dbls, i32 device_minv,
+    i32 device_bridge) {
     core::GroupRun* run = new core::GroupRun();
     for (i32 b = 0; b < n_bundles; b++) {
         run->bundles.push_back(
@@ -523,6 +623,7 @@ static core::GroupRun* make_group_run(
     run->ga.reset(new core::GroupAssembler(run->acfg));
     run->do_bridge = do_bridge;
     run->device_minv = device_minv;
+    run->device_bridge = device_bridge;
     return run;
 }
 
@@ -541,7 +642,7 @@ void* core_resolve_group(
     core::GroupRun* run = make_group_run(
         n_bundles, do_bridge, nh, fixed_p, coords_p, mev_p, mev_cnt,
         iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
-        ins_low, ins_high, cfg_ints, cfg_dbls, 0);
+        ins_low, ins_high, cfg_ints, cfg_dbls, 0, 0);
     run->advance();
     core::CoreOut* out = new core::CoreOut(std::move(run->out));
     delete run;
@@ -562,17 +663,46 @@ void* core_group_start(
     const i32* sample_id, const i32* strand,
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
-    const i64* cfg_ints, const double* cfg_dbls, i32 device_minv) {
+    const i64* cfg_ints, const double* cfg_dbls, i32 device_minv,
+    i32 device_bridge) {
     return make_group_run(
         n_bundles, do_bridge, nh, fixed_p, coords_p, mev_p, mev_cnt,
         iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
         ins_low, ins_high, cfg_ints, cfg_dbls,
-        device_minv > 0 ? device_minv : 1);
+        device_minv > 0 ? device_minv : 1, device_bridge);
 }
 
-// run to the first pause (1) or completion (0)
+// run to the first pause (1 = greedy, 2 = bridge) or completion (0)
 i32 core_group_advance(void* h) {
     return ((core::GroupRun*)h)->advance();
+}
+
+// ---- device-paused bridging DP (wave-batched top-K stack DP on the TPU;
+//      ops/bridge_topk.py).  Export fills one padded batch row for the
+//      current pier-DP instance; step consumes the device stacks + parent
+//      tables; solve_host is the per-instance fallback.  All return like
+//      core_group_advance.
+
+i32 core_bridge_export(void* h, i32* P, i32* Wt, i32* Lv, i32* tgt,
+                       i32 V, i32 E, i32 T, i32 K, i32 S) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    if (!r->br_bs) return 0;
+    return r->br_bs->export_inst(P, Wt, Lv, tgt, V, E, T, K, S);
+}
+
+i32 core_bridge_step(void* h, const i32* ostk, const i32* par,
+                     const i32* pix, i32 V, i32 T, i32 K, i32 S) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->br_bs->consume_device(ostk, par, pix, V, T, K, S);
+    if (r->br_bs->insts_done()) r->bridge_finish();
+    return r->advance();
+}
+
+i32 core_bridge_solve_host(void* h) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->br_bs->solve_inst_host();
+    if (r->br_bs->insts_done()) r->bridge_finish();
+    return r->advance();
 }
 
 // dense f32 adjacency of the paused graph in topo space, or 0 if the

@@ -168,13 +168,27 @@ struct BridgeSolver {
         int trace1, trace2;
     };
 
+    // One DP program of nominate(): a (strand, same-source pier run) pair
+    // over the window [k1, k2] (bridge_solver.cc:180-257).  In deferred
+    // mode these are solved one by one — on device (ops/bridge_topk.py)
+    // or by the host DP — between construction and finalize().
+    struct DPInst {
+        int strand, b1, b2, k1, k2;
+    };
+    std::vector<DPInst> insts;
+    size_t inst_i = 0;          // next instance to solve
+
     BridgeSolver(SpliceGraph& g, std::vector<PereadsCluster>& v,
-                 const Cfg& c, i64 low, i64 high)
+                 const Cfg& c, i64 low, i64 high, bool defer = false)
         : gr(g), vc(v), cfg(c), length_low(low), length_high(high) {
         add_adjacent_edges();
         build_pseudo_introns();
         build_bridging_vertices();
         build_piers();
+        if (defer) {
+            prepare_instances();
+            return;
+        }
         nominate();
         vote_all();
         remove_adjacent_edges();
@@ -392,8 +406,43 @@ struct BridgeSolver {
         return bounds;
     }
 
+    // consume one DP table for the pier run [b1, b2]
+    // (the inner loop of bridge_solver.cc:227-252)
+    void consume_host_table(int b1, int b2,
+                            const std::vector<std::vector<Entry>>& table) {
+        std::vector<i64> chain;
+        for (int b = b1; b <= b2; b++) {
+            int bt = piers[b].bt;
+            auto paths = trace_back(bt, table);
+            for (size_t j = 0; j < paths.size(); j++) {
+                BridgePath p;
+                p.score = table[bt][j].stack[0];
+                p.stack = table[bt][j].stack;
+                p.v = paths[j];
+                build_intron_coordinates_from_path(gr, p.v, chain);
+                p.chain = filter_pseudo_introns(chain);
+                piers[b].bridges.push_back(std::move(p));
+            }
+        }
+    }
+
     // bridge_solver.cc:180-257
     void nominate() {
+        prepare_instances();
+        for (const DPInst& in : insts) {
+            auto table = dynamic_programming(in.k1, in.k2, in.strand);
+            consume_host_table(in.b1, in.b2, table);
+        }
+        for (auto& pr : piers) refine_pier(pr);
+    }
+
+    // ---- deferred mode (device bridging, ops/bridge_topk.py): the pier
+    // sort + bounds + strand expansion of nominate(), instances solved
+    // between construction and finalize()
+
+    void prepare_instances() {
+        insts.clear();
+        inst_i = 0;
         if (piers.empty()) return;
         std::stable_sort(piers.begin(), piers.end(),
             [](const Pier& a, const Pier& b) {
@@ -405,29 +454,112 @@ struct BridgeSolver {
         if (gr.strand == '.') strands = {1, 2};
         else if (gr.strand == '+') strands = {1};
         else strands = {2};
-        std::vector<i64> chain;
-        for (int st : strands) {
-            for (auto& bb : bounds) {
-                int b1 = bb.first, b2 = bb.second;
-                int k1 = piers[b2].bs;
-                int k2 = piers[b2].bt;
-                auto table = dynamic_programming(k1, k2, st);
-                for (int b = b1; b <= b2; b++) {
-                    int bt = piers[b].bt;
-                    auto paths = trace_back(bt, table);
-                    for (size_t j = 0; j < paths.size(); j++) {
-                        BridgePath p;
-                        p.score = table[bt][j].stack[0];
-                        p.stack = table[bt][j].stack;
-                        p.v = paths[j];
-                        build_intron_coordinates_from_path(gr, p.v, chain);
-                        p.chain = filter_pseudo_introns(chain);
-                        piers[b].bridges.push_back(std::move(p));
-                    }
-                }
+        for (int st : strands)
+            for (auto& bb : bounds)
+                insts.push_back(DPInst{st, bb.first, bb.second,
+                                       piers[bb.second].bs,
+                                       piers[bb.second].bt});
+    }
+
+    // host-solve the current instance (fallback for device-ineligible ones)
+    void solve_inst_host() {
+        const DPInst& in = insts[inst_i];
+        auto table = dynamic_programming(in.k1, in.k2, in.strand);
+        consume_host_table(in.b1, in.b2, table);
+        inst_i++;
+    }
+
+    // Export the current instance as one padded batch row for the device
+    // kernel (ops/bridge_topk.py layout: P/Wt [V, E] i32 predecessor /
+    // clamped weight per in-edge slot in host in-edge order, Lv [V] vertex
+    // lengths, tgt [T] topo-local targets; -1 = absent).  Coordinates are
+    // topo-local to the window (k1 -> 0).  Returns the window size on
+    // success, 0 when the instance must be solved on host (window or
+    // in-degree or target-run beyond the padded shape, or a cfg K/S the
+    // kernel was not built for).
+    int export_inst(i32* P, i32* Wt, i32* Lv, i32* tgt,
+                    int V, int E, int T, int K, int S) {
+        const DPInst& in = insts[inst_i];
+        if (cfg.bridge_dp_solution_size != K) return 0;
+        if (cfg.bridge_dp_stack_size != S) return 0;
+        int n = in.k2 - in.k1 + 1;
+        if (n > V) return 0;
+        if (in.b2 - in.b1 + 1 > T) return 0;
+        for (int r = 0; r < V * E; r++) {
+            P[r] = -1;
+            Wt[r] = 0;
+        }
+        for (int r = 0; r < V; r++) Lv[r] = 0;
+        for (int t = 0; t < T; t++) tgt[t] = -1;
+        for (int k = in.k1; k <= in.k2; k++) {
+            int lr = k - in.k1;
+            Lv[lr] = (i32)(gr.vinfo[k].rpos - gr.vinfo[k].lpos);
+            if (lr == 0) continue;      // source row: no in-edges in the DP
+            int c = 0;
+            for (GEdge* e = gr.vin[k].head; e; e = e->inext) {
+                int s = e->info.strand;
+                if (s != 0 && s != in.strand) continue;
+                int j = e->s;
+                if (j < in.k1) continue;
+                i64 w = (i64)e->wrt;    // truncation toward zero, like int()
+                if (w < 0) return 0;    // kernel clamp assumes w >= 0
+                if (w > 999999) w = 999999;
+                if (c >= E) return 0;
+                P[lr * E + c] = j - in.k1;
+                Wt[lr * E + c] = (i32)w;
+                c++;
             }
         }
+        for (int b = in.b1; b <= in.b2; b++)
+            tgt[b - in.b1] = piers[b].bt - in.k1;
+        return n;
+    }
+
+    // Consume the device results for the current instance: target stacks
+    // ostk [T, K, S] (entry j valid iff ostk[t][j][0] >= 0; valid entries
+    // form a prefix of the K slots) plus the full parent / entry-index
+    // tables par / pix [V, K] for the backtrace (bridge_solver.cc:548-568).
+    void consume_device(const i32* ostk, const i32* par, const i32* pix,
+                        int V, int T, int K, int S) {
+        const DPInst& in = insts[inst_i];
+        (void)V;
+        (void)T;
+        std::vector<i64> chain;
+        for (int b = in.b1; b <= in.b2; b++) {
+            int t = b - in.b1;
+            for (int j = 0; j < K; j++) {
+                const i32* st = ostk + ((size_t)t * K + j) * S;
+                if (st[0] < 0) break;
+                BridgePath p;
+                p.score = st[0];
+                p.stack.assign(st, st + S);
+                int pv = piers[b].bt - in.k1, q = j;
+                std::vector<int> v;
+                while (true) {
+                    v.push_back(pv + in.k1);
+                    int np = par[(size_t)pv * K + q];
+                    int nq = pix[(size_t)pv * K + q];
+                    if (np < 0) break;
+                    pv = np;
+                    q = nq;
+                }
+                std::reverse(v.begin(), v.end());
+                p.v = std::move(v);
+                build_intron_coordinates_from_path(gr, p.v, chain);
+                p.chain = filter_pseudo_introns(chain);
+                piers[b].bridges.push_back(std::move(p));
+            }
+        }
+        inst_i++;
+    }
+
+    bool insts_done() const { return inst_i >= insts.size(); }
+
+    // deferred-mode epilogue: the tail of the non-deferred constructor
+    void finalize() {
         for (auto& pr : piers) refine_pier(pr);
+        vote_all();
+        remove_adjacent_edges();
     }
 
     // bridge_solver.cc:276-285

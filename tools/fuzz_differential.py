@@ -79,7 +79,8 @@ def random_cohort(tmp, seed, adversarial=True):
                                 for b, pr in zip(bams, protos)))
     return bl
 
-def run(tmp, bl, tag, native, device="off", max_exons=None):
+def run(tmp, bl, tag, native, device="off", max_exons=None,
+        device_bridge="off"):
     out_gtf = os.path.join(tmp, tag + ".gtf")
     out_dir = os.path.join(tmp, tag + "_d")
     os.makedirs(out_dir, exist_ok=True)
@@ -92,6 +93,7 @@ def run(tmp, bl, tag, native, device="off", max_exons=None):
         p.device_greedy = device
         p.device_min_vertices = 2
         p.device_min_groups = 0
+        p.device_bridge = device_bridge
         if max_exons is not None:
             p.max_num_exons = max_exons
     saved = (bam_native._LIB, bam_native._LIB_TRIED)
@@ -166,10 +168,11 @@ def fuzz_checkpoint(tmp, seeds=(5, 6)):
 
 
 def fuzz_device(tmp, seeds=(31, 32, 33, 34)):
-    """TPU-path invariance: the wave-batched device greedy DP
-    (meta/device_wave.py) must be byte-transparent, both at the default
-    config (greedy cold) and at max_num_exons=8 (greedy hot: every larger
-    graph extracts its paths through the device table)."""
+    """TPU-path invariance: the wave-batched device greedy DP and the
+    device bridging pier DP (meta/device_wave.py) must be byte-transparent
+    — at the default config (greedy cold), at max_num_exons=8 (greedy hot:
+    every larger graph extracts its paths through the device table), and
+    with --device_bridge on (every eligible pier DP solved on device)."""
     from aletsch_tpu.meta import device_wave
     bad = 0
     for seed in seeds:
@@ -178,15 +181,18 @@ def fuzz_device(tmp, seeds=(31, 32, 33, 34)):
             g1, d1 = run(tmp, "%s" % bl, "dv0_%s_%d" % (tag, seed), "scan",
                          "off", me)
             s0 = device_wave.stats["device_steps"]
+            b0 = device_wave.stats["device_bridge_insts"]
             g2, d2 = run(tmp, "%s" % bl, "dv1_%s_%d" % (tag, seed), "scan",
-                         "on", me)
+                         "on", me, device_bridge="on")
             ok = open(g1).read() == open(g2).read()
             for fn in sorted(os.listdir(d1)):
                 ok = ok and (open(os.path.join(d1, fn)).read() ==
                              open(os.path.join(d2, fn)).read())
             steps = device_wave.stats["device_steps"] - s0
-            print("device seed %d %s: %s (%d device extractions)"
-                  % (seed, tag, "OK" if ok else "DIVERGED", steps))
+            binsts = device_wave.stats["device_bridge_insts"] - b0
+            print("device seed %d %s: %s (%d device extractions, "
+                  "%d device bridge DPs)"
+                  % (seed, tag, "OK" if ok else "DIVERGED", steps, binsts))
             bad += 0 if ok else 1
     return bad
 
