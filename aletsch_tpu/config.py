@@ -52,6 +52,9 @@ class Parameters:
     # "auto" == off on tunnel-attached chips (measured: transfer dominates,
     # see meta/device_wave.py bridge_enabled), "on" forces it
     device_bridge: str = "auto"
+    # cross-sample junction-support reduce on device (ops/support.py);
+    # same auto posture (see meta/device_wave.py support_enabled)
+    device_support: str = "auto"
 
     # meta-assembly
     max_group_size: int = 200
@@ -164,6 +167,7 @@ _GENERIC_FLAGS = {
     "--device_similarity": ("device_similarity", str),
     "--device_min_cluster": ("device_min_cluster", int),
     "--device_bridge": ("device_bridge", str),
+    "--device_support": ("device_support", str),
     "--jax_profile_dir": ("jax_profile_dir", str),
     "--checkpoint_dir": ("checkpoint_dir", str),
     "--min_bridging_score": ("min_bridging_score", float),

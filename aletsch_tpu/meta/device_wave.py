@@ -38,6 +38,8 @@ stats = {
     "device_steps": 0,       # device-guided path extractions
     "host_bridge_insts": 0,  # pier-DP instances solved by the host DP
     "device_bridge_insts": 0,  # pier-DP instances consumed from the device
+    "host_support_groups": 0,   # support reduces solved by the host sums
+    "device_support_groups": 0,  # support reduces consumed from the device
     "waves": 0,
 }
 
@@ -45,6 +47,8 @@ _DEVICE = None
 _DEVICE_FAILED = False
 _BRIDGE = None
 _BRIDGE_FAILED = False
+_SUPPORT = None
+_SUPPORT_FAILED = False
 
 
 def _get_device():
@@ -69,12 +73,25 @@ def _get_bridge_device():
     return _BRIDGE
 
 
+def _get_support_device():
+    global _SUPPORT, _SUPPORT_FAILED
+    if _SUPPORT is None and not _SUPPORT_FAILED:
+        try:
+            from ..ops.support import DeviceSupport
+            _SUPPORT = DeviceSupport()
+        except Exception:
+            _SUPPORT_FAILED = True
+    return _SUPPORT
+
+
 def device_stats():
     d = dict(stats)
     if _DEVICE is not None:
         d.update(_DEVICE.stats)
     if _BRIDGE is not None:
         d.update(_BRIDGE.stats)
+    if _SUPPORT is not None:
+        d.update(_SUPPORT.stats)
     return d
 
 
@@ -84,7 +101,8 @@ def enabled(cfg, n_groups):
     env = os.environ.get("ALETSCH_DEVICE")
     if env == "0":
         return False
-    if env == "1" or mode == "on" or bridge_enabled(cfg):
+    if env == "1" or mode == "on" or bridge_enabled(cfg) \
+            or support_enabled(cfg):
         return native_core.native_core_available()
     if mode != "auto":
         return False
@@ -110,6 +128,23 @@ def bridge_enabled(cfg):
     return False
 
 
+def support_enabled(cfg):
+    """Decide whether GroupRuns also pause at the cross-sample junction
+    support reduce (ops/support.py).  Same posture as bridge_enabled:
+    'auto' == off on tunnel-attached chips (the [64,16,64] f32 batch is
+    ~256 KB up / 16 KB down per dispatch while the host sums are a few
+    microseconds per group); 'on' forces it for parity runs and
+    directly-attached parts, where the reduce rides the mesh sample axis
+    (parallel/mesh.py)."""
+    mode = getattr(cfg, "device_support", "off")
+    env = os.environ.get("ALETSCH_DEVICE_SUPPORT")
+    if env == "0":
+        return False
+    if env == "1" or mode == "on":
+        return native_core.support_pause_available()
+    return False
+
+
 def assemble_groups(asms, gvs, cfg):
     """Device-batched equivalent of the serial `asmb.resolve(gv)` loop.
     Returns True when handled; False when the caller should fall back."""
@@ -120,13 +155,17 @@ def assemble_groups(asms, gvs, cfg):
     bdev = _get_bridge_device() if bridge_dev else None
     if bridge_dev and bdev is None:
         bridge_dev = False
+    support_dev = support_enabled(cfg)
+    sdev = _get_support_device() if support_dev else None
+    if support_dev and sdev is None:
+        support_dev = False
     minv = int(getattr(cfg, "device_min_vertices", 16))
     from ..ops.bridge_topk import K, S
     runs = []               # (asmb, gv, handle-or-None) in group order
     active = []
     for asmb, gv in zip(asms, gvs):
         gh = native_core.start_group_device(asmb, gv, True, minv,
-                                            bridge_dev)
+                                            bridge_dev, support_dev)
         runs.append((asmb, gv, gh))
         if gh is not None and gh.paused:
             active.append(gh)
@@ -136,6 +175,7 @@ def assemble_groups(asms, gvs, cfg):
         nxt = []
         g_exp = []          # greedy-paused handles with exported rows
         b_exp = []          # bridge-paused handles with exported rows
+        s_exp = []          # support-paused handles with exported rows
 
         def flush_greedy():
             if not g_exp:
@@ -158,7 +198,29 @@ def assemble_groups(asms, gvs, cfg):
                     nxt.append(g)
             del b_exp[:]
 
+        def flush_support():
+            if not s_exp:
+                return
+            sums = sdev.solve(len(s_exp))
+            for i, g in enumerate(s_exp):
+                stats["device_support_groups"] += 1
+                if native_core.support_step(g, sums[i]):
+                    nxt.append(g)
+            del s_exp[:]
+
         for gh in active:
+            if gh.pause_kind == 3:
+                v = native_core.support_export(
+                    gh, sdev.row(len(s_exp))) if support_dev else 0
+                if v <= 0:
+                    stats["host_support_groups"] += 1
+                    if native_core.support_solve_host(gh):
+                        nxt.append(gh)
+                    continue
+                s_exp.append(gh)
+                if len(s_exp) == sdev.batch:
+                    flush_support()
+                continue
             if gh.pause_kind == 2:
                 v = native_core.bridge_export(
                     gh, bdev.row(len(b_exp)), K, S) if bridge_dev else 0
@@ -183,6 +245,7 @@ def assemble_groups(asms, gvs, cfg):
                 flush_greedy()
         flush_greedy()
         flush_bridge()
+        flush_support()
         active = nxt
 
     # replay in group order (determinism), host-fallback where ineligible

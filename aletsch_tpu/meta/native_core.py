@@ -94,8 +94,7 @@ def _bind(lib):
     if hasattr(lib, "core_group_start"):
         lib.core_group_start.restype = ctypes.c_void_p
         lib.core_group_start.argtypes = \
-            lib.core_resolve_group.argtypes + [ctypes.c_int32,
-                                               ctypes.c_int32]
+            lib.core_resolve_group.argtypes + [ctypes.c_int32] * 3
         lib.core_group_advance.restype = ctypes.c_int32
         lib.core_group_advance.argtypes = [ctypes.c_void_p]
         lib.core_greedy_export.restype = ctypes.c_int32
@@ -119,6 +118,15 @@ def _bind(lib):
             [ctypes.c_void_p] + [vp] * 3 + [ctypes.c_int32] * 4
         lib.core_bridge_solve_host.restype = ctypes.c_int32
         lib.core_bridge_solve_host.argtypes = [ctypes.c_void_p]
+    # device-paused cross-sample support reduce (ops/support.py)
+    if hasattr(lib, "core_support_export"):
+        lib.core_support_export.restype = ctypes.c_int32
+        lib.core_support_export.argtypes = [ctypes.c_void_p, vp,
+                                            ctypes.c_int32, ctypes.c_int32]
+        lib.core_support_step.restype = ctypes.c_int32
+        lib.core_support_step.argtypes = [ctypes.c_void_p, vp]
+        lib.core_support_solve_host.restype = ctypes.c_int32
+        lib.core_support_solve_host.argtypes = [ctypes.c_void_p]
     lib._core_bound = True
 
 
@@ -416,10 +424,17 @@ def bridge_pause_available():
     return lib is not None and hasattr(lib, "core_bridge_export")
 
 
-def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False):
+def support_pause_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_support_export")
+
+
+def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False,
+                       support_dev=False):
     """Begin a device-paused group assembly; returns a GroupHandle, or
     None when the group is ineligible for the native core.  bridge_dev
-    additionally pauses at every bridging pier-DP instance."""
+    additionally pauses at every bridging pier-DP instance; support_dev at
+    the cross-sample junction-support reduce."""
     if not eligible(asmb, gv):
         return None
     lib = _load_lib()
@@ -427,8 +442,11 @@ def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False):
         return None
     if bridge_dev and not hasattr(lib, "core_bridge_export"):
         bridge_dev = False
+    if support_dev and not hasattr(lib, "core_support_export"):
+        support_dev = False
     args, keep = _marshal_group(asmb, gv, do_bridge)
-    h = lib.core_group_start(*(args + (int(minv), 1 if bridge_dev else 0)))
+    h = lib.core_group_start(*(args + (int(minv), 1 if bridge_dev else 0,
+                                       1 if support_dev else 0)))
     kind = int(lib.core_group_advance(h))
     return GroupHandle(h, asmb, gv, keep, kind)
 
@@ -478,6 +496,28 @@ def bridge_step(gh, ostk, par, pix, K, S):
 def bridge_solve_host(gh):
     lib = _load_lib()
     gh.pause_kind = int(lib.core_bridge_solve_host(gh.h))
+    return gh.pause_kind
+
+
+def support_export(gh, jw_row):
+    """Export the paused group's per-(sample-slot, junction) weights into
+    one DeviceSupport batch row ([NS, J] f32); returns the number of
+    offloadable junctions (0 = solve on host)."""
+    lib = _load_lib()
+    NS, J = jw_row.shape
+    return int(lib.core_support_export(gh.h, jw_row.ctypes.data, NS, J))
+
+
+def support_step(gh, sums_row):
+    """Feed the [J] f32 device sums back; returns the next pause kind."""
+    lib = _load_lib()
+    gh.pause_kind = int(lib.core_support_step(gh.h, sums_row.ctypes.data))
+    return gh.pause_kind
+
+
+def support_solve_host(gh):
+    lib = _load_lib()
+    gh.pause_kind = int(lib.core_support_solve_host(gh.h))
     return gh.pause_kind
 
 

@@ -108,10 +108,13 @@ struct GroupAssembler {
         cb.clear();
     }
 
-    // assembler.cc:375-417
+    // assembler.cc:375-417; dev_jsum (optional) holds device-computed
+    // per-junction abd sums (exactness-gated at export, so substituting
+    // them is byte-identical to the sorted-key host sum)
     void junction_support(SpliceGraph& gr,
                           const std::map<i64, std::vector<int>>& junc2sup,
-                          const std::map<i64, std::map<int, double>>& sup2abd) {
+                          const std::map<i64, std::map<int, double>>& sup2abd,
+                          const std::map<i64, double>* dev_jsum = nullptr) {
         for (GEdge* e : gr.edges()) {
             int s = e->s, t = e->t;
             if (s == 0 || t == gr.num_vertices() - 1) continue;
@@ -125,6 +128,13 @@ struct GroupAssembler {
             ei.spAbd = ab;
             ei.count = (i64)ei.samples.size();
             double sum = 0.0;
+            if (dev_jsum != nullptr) {
+                auto dv = dev_jsum->find(p);
+                if (dv != dev_jsum->end()) {
+                    ei.abd += dv->second;
+                    continue;
+                }
+            }
             for (const auto& kv : ab) sum += kv.second;   // sorted-key order
             ei.abd += sum;
         }
@@ -368,6 +378,65 @@ struct GroupRun {
         ga->transform(*br_cb, false, *br_gx);
     }
 
+    // ---- paused cross-sample support reduce (device_support mode): after
+    //      phase 2 the junc2sup/sup2abd maps are final; the per-junction
+    //      abd sums (assembler.cc:375-417 `ei.abd += sum`) run as one
+    //      wave-batched sample-axis reduce on the device (ops/support.py).
+    int device_support = 0;
+    bool support_pending = false;
+    std::map<i64, double> dev_jsum;
+    std::vector<uint8_t> sup_gate;      // per exported junction: f32-exact?
+    int sup_exported = 0;
+
+    // Fill one [NS, J] f32 batch row with per-(sample-slot, junction)
+    // weights, ascending junction key, map order within a junction (both
+    // orders are irrelevant to the sum; the exactness gate below makes the
+    // f32 sum equal the host's sorted-key f64 sum bit-for-bit).  Returns
+    // the number of junctions exported (0 = nothing to offload).
+    int support_export(float* jw, i32 NS, i32 J) {
+        for (i64 r = 0; r < (i64)NS * J; r++) jw[r] = 0.0f;
+        sup_gate.assign(sup2abd.size(), 0);
+        int j = 0;
+        int usable = 0;
+        for (const auto& kv : sup2abd) {
+            if (j >= J) break;          // overflow junctions stay on host
+            const auto& ab = kv.second;
+            bool ok = (i32)ab.size() <= NS;
+            double mx = 0.0;
+            if (ok) {
+                for (const auto& sw : ab) {
+                    double w = sw.second;
+                    // gate: non-negative integral weights whose total is
+                    // exactly representable in f32 (sum of <= NS integers
+                    // each <= mx stays < 2^24)
+                    if (w < 0 || w != (double)(i64)w) { ok = false; break; }
+                    if (w > mx) mx = w;
+                }
+            }
+            if (ok && mx * (double)ab.size() >= 16777216.0) ok = false;
+            if (ok) {
+                int r = 0;
+                for (const auto& sw : ab)
+                    jw[(size_t)r++ * J + j] = (float)sw.second;
+                usable++;
+            }
+            sup_gate[j] = ok ? 1 : 0;
+            j++;
+        }
+        sup_exported = j;
+        return usable;
+    }
+
+    void support_consume(const float* sums) {
+        int j = 0;
+        for (const auto& kv : sup2abd) {
+            if (j >= sup_exported) break;
+            if (sup_gate[j]) dev_jsum[kv.first] = (double)sums[j];
+            j++;
+        }
+        support_pending = false;
+    }
+
     // phase transition after all bridging (mirrors the original phase-0
     // tail exactly)
     void post_bridge() {
@@ -473,6 +542,7 @@ struct GroupRun {
         while (true) {
             if (sc) return 1;
             if (br_bs) return 2;
+            if (support_pending) return 3;
             if (phase == 0) {
                 if (!do_bridge) {
                     phase = 1;
@@ -540,11 +610,14 @@ struct GroupRun {
                 }
                 phase = 3;
                 k = 0;
+                // junc2sup/sup2abd are final here: offload the abd sums
+                if (device_support && !sup2abd.empty())
+                    support_pending = true;
             } else if (phase == 3) {
                 if (k >= gv.size()) { phase = 4; continue; }
                 Bundle* bd = gv[k];
                 SpliceGraph& g = *grv[k];
-                ga->junction_support(g, junc2sup, sup2abd);
+                ga->junction_support(g, junc2sup, sup2abd, &dev_jsum);
                 for (size_t j = 0; j < gv.size(); j++) {
                     SpliceGraph& g1 = *grv[j];
                     ga->start_end_support(gv[j]->sample_id, g1, g);
@@ -565,7 +638,7 @@ struct GroupRun {
                 bd->clear();
             } else if (phase == 4) {
                 bx.clear();
-                ga->junction_support(gx, junc2sup, sup2abd);
+                ga->junction_support(gx, junc2sup, sup2abd, &dev_jsum);
                 phase = 9;
                 assemble_graph_begin(gx, px, -1, bx_subindex);
             } else {
@@ -596,7 +669,7 @@ static core::GroupRun* make_group_run(
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
     const i64* cfg_ints, const double* cfg_dbls, i32 device_minv,
-    i32 device_bridge) {
+    i32 device_bridge, i32 device_support) {
     core::GroupRun* run = new core::GroupRun();
     for (i32 b = 0; b < n_bundles; b++) {
         run->bundles.push_back(
@@ -624,6 +697,7 @@ static core::GroupRun* make_group_run(
     run->do_bridge = do_bridge;
     run->device_minv = device_minv;
     run->device_bridge = device_bridge;
+    run->device_support = device_support;
     return run;
 }
 
@@ -642,7 +716,7 @@ void* core_resolve_group(
     core::GroupRun* run = make_group_run(
         n_bundles, do_bridge, nh, fixed_p, coords_p, mev_p, mev_cnt,
         iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
-        ins_low, ins_high, cfg_ints, cfg_dbls, 0, 0);
+        ins_low, ins_high, cfg_ints, cfg_dbls, 0, 0, 0);
     run->advance();
     core::CoreOut* out = new core::CoreOut(std::move(run->out));
     delete run;
@@ -664,17 +738,41 @@ void* core_group_start(
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
     const i64* cfg_ints, const double* cfg_dbls, i32 device_minv,
-    i32 device_bridge) {
+    i32 device_bridge, i32 device_support) {
     return make_group_run(
         n_bundles, do_bridge, nh, fixed_p, coords_p, mev_p, mev_cnt,
         iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
         ins_low, ins_high, cfg_ints, cfg_dbls,
-        device_minv > 0 ? device_minv : 1, device_bridge);
+        device_minv > 0 ? device_minv : 1, device_bridge, device_support);
 }
 
-// run to the first pause (1 = greedy, 2 = bridge) or completion (0)
+// run to the first pause (1 = greedy, 2 = bridge, 3 = support reduce) or
+// completion (0)
 i32 core_group_advance(void* h) {
     return ((core::GroupRun*)h)->advance();
+}
+
+// ---- paused cross-sample support reduce (wave-batched sample-axis sum on
+//      the device, ops/support.py).  Export fills one [NS, J] f32 batch
+//      row; step consumes the [J] per-junction sums; solve_host skips the
+//      offload (junction_support then falls back to the host sums).
+
+i32 core_support_export(void* h, float* jw, i32 NS, i32 J) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    if (!r->support_pending) return 0;
+    return r->support_export(jw, NS, J);
+}
+
+i32 core_support_step(void* h, const float* sums) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->support_consume(sums);
+    return r->advance();
+}
+
+i32 core_support_solve_host(void* h) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->support_pending = false;
+    return r->advance();
 }
 
 // ---- device-paused bridging DP (wave-batched top-K stack DP on the TPU;

@@ -80,7 +80,7 @@ def random_cohort(tmp, seed, adversarial=True):
     return bl
 
 def run(tmp, bl, tag, native, device="off", max_exons=None,
-        device_bridge="off"):
+        device_bridge="off", device_support="off"):
     out_gtf = os.path.join(tmp, tag + ".gtf")
     out_dir = os.path.join(tmp, tag + "_d")
     os.makedirs(out_dir, exist_ok=True)
@@ -94,6 +94,7 @@ def run(tmp, bl, tag, native, device="off", max_exons=None,
         p.device_min_vertices = 2
         p.device_min_groups = 0
         p.device_bridge = device_bridge
+        p.device_support = device_support
         if max_exons is not None:
             p.max_num_exons = max_exons
     saved = (bam_native._LIB, bam_native._LIB_TRIED)
@@ -182,17 +183,20 @@ def fuzz_device(tmp, seeds=(31, 32, 33, 34)):
                          "off", me)
             s0 = device_wave.stats["device_steps"]
             b0 = device_wave.stats["device_bridge_insts"]
+            u0 = device_wave.stats["device_support_groups"]
             g2, d2 = run(tmp, "%s" % bl, "dv1_%s_%d" % (tag, seed), "scan",
-                         "on", me, device_bridge="on")
+                         "on", me, device_bridge="on", device_support="on")
             ok = open(g1).read() == open(g2).read()
             for fn in sorted(os.listdir(d1)):
                 ok = ok and (open(os.path.join(d1, fn)).read() ==
                              open(os.path.join(d2, fn)).read())
             steps = device_wave.stats["device_steps"] - s0
             binsts = device_wave.stats["device_bridge_insts"] - b0
+            sgrps = device_wave.stats["device_support_groups"] - u0
             print("device seed %d %s: %s (%d device extractions, "
-                  "%d device bridge DPs)"
-                  % (seed, tag, "OK" if ok else "DIVERGED", steps, binsts))
+                  "%d device bridge DPs, %d device support reduces)"
+                  % (seed, tag, "OK" if ok else "DIVERGED", steps, binsts,
+                     sgrps))
             bad += 0 if ok else 1
     return bad
 
