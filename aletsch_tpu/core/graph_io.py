@@ -76,6 +76,37 @@ def read_graph_flat(fin):
     return gr
 
 
+def read_graph_reference(fin, positions=True):
+    """Parse a reference-format ``.graph`` instance exactly like
+    splice_graph::build (rnacore/splice_graph.cc:329-376): first line is
+    the vertex count, then one ``<name> <weight> <length>`` line per
+    vertex, then ``<x> <y> <weight> <length>`` edge lines until EOF.
+
+    The reference build() leaves vertices position-less (pure structural
+    mode); with positions=True the vertices are laid out as contiguous
+    100 bp blocks (source/sink collapsed to points, like
+    splice_graph::simulate, :479-500) so the full decomposition ladder —
+    which reads lpos/rpos for boundary grouping and transcript exons —
+    can run on reference-era fixtures."""
+    if isinstance(fin, str):
+        with open(fin) as fh:
+            return read_graph_reference(fh, positions)
+    gr = read_graph_flat(fin)
+    if positions:
+        nv = gr.num_vertices()
+        for i in range(nv):
+            vi = gr.get_vertex_info(i)
+            vi.lpos = i * 100
+            vi.rpos = i * 100 + 100
+            vi.length = 100
+            if i == 0:
+                vi.rpos = vi.lpos
+            if i == nv - 1:
+                vi.lpos = vi.rpos
+        gr.build_vertex_index()
+    return gr
+
+
 def simulate_graph(nv, ne, mw, seed=0):
     """Random flow-consistent DAG (splice_graph::simulate,
     splice_graph.cc:479-570): add random forward edges, then rewrite edge
