@@ -51,9 +51,20 @@ def _build(jax, jnp, V):
 def get_greedy_fn(V=DEFAULT_V):
     fn = _CACHE.get(V)
     if fn is None:
+        import os
+
         import jax
         import jax.numpy as jnp
-        fn = jax.jit(_build(jax, jnp, V))
+        if os.environ.get("ALETSCH_PALLAS_GREEDY") == "1":
+            # Pallas v2 backend: bit-identical to the XLA scan and equally
+            # dispatch-floor-bound at production shapes (~0.03 ms for
+            # [64,64,64] on the tunneled chip; docs/DESIGN.md "pallas").
+            # Kept selectable rather than default: same measured speed,
+            # one less compiler dependency on the default path.
+            from .pallas_kernels import get_greedy_pallas_fn
+            fn = get_greedy_pallas_fn(V)
+        else:
+            fn = jax.jit(_build(jax, jnp, V))
         _CACHE[V] = fn
     return fn
 
