@@ -4,15 +4,19 @@ One region wave's groups (meta/incubator.py process_region) are assembled
 concurrently as paused native GroupRuns; the runs pause at two kinds of
 device-offloadable DP:
 
-- kind 1, greedy max-path: every group's currently-active splice graph is
-  exported into one padded adjacency batch and all bottleneck tables are
-  computed in a single TPU dispatch (ops/greedy_dp.py); each group consumes
-  its table and advances (matches rnacore/splice_graph.cc:819-880 via
-  scallop/scallop.cc:2874-2897).
-- kind 2, bridging pier DP: every paused (source-run, strand) DP instance
-  across the wave's bundles is exported into one padded batch; a single
-  dispatch computes the top-K min-edge-stack tables + parent tables
-  (ops/bridge_topk.py) and the native backtrace + vote consume them
+- kind 1, greedy decomposition: every group's currently-active splice
+  graph is exported ONCE into one padded [B, V, V] batch and a single
+  fused dispatch runs each graph's whole repeat-until-drained loop
+  (ops/greedy_fused.py: f64 while_loop of DP -> backtrace -> bottleneck
+  subtraction), returning packed path tables the native side replays
+  (matches rnacore/splice_graph.cc:819-885 via scallop/scallop.cc:
+  2874-2897).  ALETSCH_DEVICE_GREEDY=step restores the round-2
+  per-extraction table path (ops/greedy_dp.py) for A/B measurement.
+- kind 2, bridging pier DP: each group pauses once per bridging PHASE
+  with every queued (source-run, strand) DP instance of every bundle
+  exported together (core.cpp GroupRun::queue_bridge); the wave batches
+  instances across groups into [64, ...] dispatches (ops/bridge_topk.py)
+  and feeds results back in queue order for the native backtrace + vote
   (matches bridge/bridge_solver.cc:484-568, 276-385).
 
 Graphs within a group stay strictly sequential (later graphs' cross-sample
@@ -45,6 +49,9 @@ stats = {
 
 _DEVICE = None
 _DEVICE_FAILED = False
+_FUSED = None
+_FUSED_FAILED = False
+_FUSED_TRUST = None
 _BRIDGE = None
 _BRIDGE_FAILED = False
 _SUPPORT = None
@@ -60,6 +67,26 @@ def _get_device():
         except Exception:       # no jax / no backend: stay on host
             _DEVICE_FAILED = True
     return _DEVICE
+
+
+def _get_fused_device():
+    """Fused-drain solver (ops/greedy_fused.py): the default greedy device
+    path -- one dispatch drains every exported graph of the round instead
+    of one dispatch per extraction.  ALETSCH_DEVICE_GREEDY=step restores
+    the per-extraction path for A/B measurements."""
+    global _FUSED, _FUSED_FAILED, _FUSED_TRUST
+    if os.environ.get("ALETSCH_DEVICE_GREEDY") == "step":
+        return None
+    if not native_core.fused_available():
+        return None
+    if _FUSED is None and not _FUSED_FAILED:
+        try:
+            from ..ops.greedy_fused import DeviceGreedyFused, device_f64_exact
+            _FUSED_TRUST = device_f64_exact()
+            _FUSED = DeviceGreedyFused()
+        except Exception:
+            _FUSED_FAILED = True
+    return _FUSED
 
 
 def _get_bridge_device():
@@ -88,6 +115,11 @@ def device_stats():
     d = dict(stats)
     if _DEVICE is not None:
         d.update(_DEVICE.stats)
+    if _FUSED is not None:
+        d.update(_FUSED.stats)
+        d["fused_trust"] = bool(_FUSED_TRUST)
+        d["fused_agree"] = int(native_core.fused_stats[0])
+        d["fused_total"] = int(native_core.fused_stats[1])
     if _BRIDGE is not None:
         d.update(_BRIDGE.stats)
     if _SUPPORT is not None:
@@ -148,8 +180,9 @@ def support_enabled(cfg):
 def assemble_groups(asms, gvs, cfg):
     """Device-batched equivalent of the serial `asmb.resolve(gv)` loop.
     Returns True when handled; False when the caller should fall back."""
-    dev = _get_device()
-    if dev is None:
+    fdev = _get_fused_device()
+    dev = _get_device() if fdev is None else None
+    if fdev is None and dev is None:
         return False
     bridge_dev = bridge_enabled(cfg)
     bdev = _get_bridge_device() if bridge_dev else None
@@ -174,7 +207,7 @@ def assemble_groups(asms, gvs, cfg):
     while active:
         nxt = []
         g_exp = []          # greedy-paused handles with exported rows
-        b_exp = []          # bridge-paused handles with exported rows
+        f_exp = []          # fused-drain handles with exported rows
         s_exp = []          # support-paused handles with exported rows
 
         def flush_greedy():
@@ -187,16 +220,50 @@ def assemble_groups(asms, gvs, cfg):
                     nxt.append(g)
             del g_exp[:]
 
-        def flush_bridge():
-            if not b_exp:
+        def flush_fused():
+            if not f_exp:
                 return
-            ostk, par, pix = bdev.solve(len(b_exp))
-            for i, g in enumerate(b_exp):
-                stats["device_bridge_insts"] += 1
-                if native_core.bridge_step(g, ostk[i], par[i], pix[i],
-                                           K, S):
+            paths, ws, npaths = fdev.solve(len(f_exp))
+            for i, g in enumerate(f_exp):
+                if _FUSED_TRUST:
+                    stats["device_steps"] += int(npaths[i])
+                if native_core.greedy_consume_fused(
+                        g, ws[i], paths[i], int(npaths[i]), fdev.maxv,
+                        _FUSED_TRUST):
                     nxt.append(g)
-            del b_exp[:]
+            del f_exp[:]
+
+        b_results = []      # per exported instance: (ostk, par, pix)
+        b_cur = []          # result slots filled in the current dispatch
+        b_feed = []         # (handle, plan); plan entry = slot id or -1
+
+        def flush_bridge_rows():
+            if not b_cur:
+                return
+            ostk, par, pix = bdev.solve(len(b_cur))
+            for i, sl in enumerate(b_cur):
+                b_results[sl] = (ostk[i], par[i], pix[i])
+            del b_cur[:]
+
+        def feed_bridges():
+            # feed every queued instance back in flattened queue order
+            # (the native consume order; see core.cpp bridge_export_at)
+            flush_bridge_rows()
+            for g, plan in b_feed:
+                kind = g.pause_kind
+                for sl in plan:
+                    if sl >= 0:
+                        ostk, par, pix = b_results[sl]
+                        stats["device_bridge_insts"] += 1
+                        kind = native_core.bridge_step(g, ostk, par, pix,
+                                                       K, S)
+                    else:
+                        stats["host_bridge_insts"] += 1
+                        kind = native_core.bridge_solve_host(g)
+                if kind:
+                    nxt.append(g)
+            del b_feed[:]
+            del b_results[:]
 
         def flush_support():
             if not s_exp:
@@ -222,16 +289,38 @@ def assemble_groups(asms, gvs, cfg):
                     flush_support()
                 continue
             if gh.pause_kind == 2:
-                v = native_core.bridge_export(
-                    gh, bdev.row(len(b_exp)), K, S) if bridge_dev else 0
+                # one pause covers the whole bridging phase: export every
+                # queued pier-DP instance now, feed them all after the
+                # batched dispatch(es)
+                n = native_core.bridge_pending(gh)
+                plan = []
+                for j in range(n):
+                    v = 0
+                    if bridge_dev:
+                        v = native_core.bridge_export_at(
+                            gh, j, bdev.row(len(b_cur)), K, S)
+                    if v > 0:
+                        sl = len(b_results)
+                        b_results.append(None)
+                        plan.append(sl)
+                        b_cur.append(sl)
+                        if len(b_cur) == bdev.batch:
+                            flush_bridge_rows()
+                    else:
+                        plan.append(-1)
+                b_feed.append((gh, plan))
+                continue
+            if fdev is not None:
+                v = native_core.greedy_export_fused(
+                    gh, fdev.row(len(f_exp)), fdev.maxv)
                 if v <= 0:
-                    stats["host_bridge_insts"] += 1
-                    if native_core.bridge_solve_host(gh):
+                    stats["host_graphs"] += 1
+                    if native_core.greedy_solve_host(gh):
                         nxt.append(gh)
                     continue
-                b_exp.append(gh)
-                if len(b_exp) == bdev.batch:
-                    flush_bridge()
+                f_exp.append(gh)
+                if len(f_exp) == fdev.batch:
+                    flush_fused()
                 continue
             v = native_core.greedy_export(gh, dev.row(len(g_exp)),
                                           dev.maxv)
@@ -244,7 +333,8 @@ def assemble_groups(asms, gvs, cfg):
             if len(g_exp) == dev.batch:
                 flush_greedy()
         flush_greedy()
-        flush_bridge()
+        flush_fused()
+        feed_bridges()
         flush_support()
         active = nxt
 

@@ -107,6 +107,15 @@ def _bind(lib):
         lib.core_group_sizes.argtypes = [ctypes.c_void_p, i64p]
         lib.core_group_fill.argtypes = [ctypes.c_void_p] + [vp] * 12
         lib.core_group_free.argtypes = [ctypes.c_void_p]
+    # fused greedy drain (one dispatch per wave round; ops/greedy_fused.py)
+    if hasattr(lib, "core_greedy_export_fused"):
+        lib.core_greedy_export_fused.restype = ctypes.c_int32
+        lib.core_greedy_export_fused.argtypes = [
+            ctypes.c_void_p, vp, vp, ctypes.c_int32, vp, vp]
+        lib.core_greedy_consume_fused.restype = ctypes.c_int32
+        lib.core_greedy_consume_fused.argtypes = [
+            ctypes.c_void_p, vp, vp, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, vp]
     # device-paused bridging DP (wave-batched top-K stack DP;
     # ops/bridge_topk.py)
     if hasattr(lib, "core_bridge_export"):
@@ -118,6 +127,13 @@ def _bind(lib):
             [ctypes.c_void_p] + [vp] * 3 + [ctypes.c_int32] * 4
         lib.core_bridge_solve_host.restype = ctypes.c_int32
         lib.core_bridge_solve_host.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "core_bridge_pending"):
+        lib.core_bridge_pending.restype = ctypes.c_int64
+        lib.core_bridge_pending.argtypes = [ctypes.c_void_p]
+        lib.core_bridge_export_at.restype = ctypes.c_int32
+        lib.core_bridge_export_at.argtypes = \
+            [ctypes.c_void_p, ctypes.c_int64] + [vp] * 4 + \
+            [ctypes.c_int32] * 5
     # device-paused cross-sample support reduce (ops/support.py)
     if hasattr(lib, "core_support_export"):
         lib.core_support_export.restype = ctypes.c_int32
@@ -451,6 +467,37 @@ def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False,
     return GroupHandle(h, asmb, gv, keep, kind)
 
 
+def fused_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_greedy_export_fused")
+
+
+# cumulative fused-drain agreement stats: [agreeing paths, device paths]
+fused_stats = np.zeros(2, dtype=np.int64)
+
+
+def greedy_export_fused(gh, rows, maxv):
+    """Export the paused graph for the fused drain into one batch row
+    (rows = (W, P, sink, scal) slices); returns V > 0 or 0 (ineligible)."""
+    lib = _load_lib()
+    W, P, sink, scal = rows
+    return int(lib.core_greedy_export_fused(
+        gh.h, W.ctypes.data, P.ctypes.data, maxv,
+        sink.ctypes.data, scal.ctypes.data))
+
+
+def greedy_consume_fused(gh, ws_row, paths_row, npaths, maxv, trust):
+    """Feed one graph's fused-drain results back (paths consumed in trust
+    mode, compared in verify mode; host drain always re-checked); returns
+    the next pause kind."""
+    lib = _load_lib()
+    pm = np.ascontiguousarray(paths_row, dtype=np.uint8)
+    gh.pause_kind = int(lib.core_greedy_consume_fused(
+        gh.h, ws_row.ctypes.data, pm.ctypes.data, int(npaths), maxv,
+        0 if trust else 1, fused_stats.ctypes.data))
+    return gh.pause_kind
+
+
 def greedy_export(gh, Wrow, maxv):
     """Export the paused graph's adjacency into Wrow ([maxv, maxv] f32
     slice); returns V > 0 or 0 (device-ineligible)."""
@@ -480,6 +527,25 @@ def bridge_export(gh, rows, K, S):
     T = tgt.shape[0]
     return int(lib.core_bridge_export(
         gh.h, P.ctypes.data, Wt.ctypes.data, Lv.ctypes.data,
+        tgt.ctypes.data, V, E, T, int(K), int(S)))
+
+
+def bridge_pending(gh):
+    """Number of unsolved pier-DP instances across the paused queue (the
+    whole bridging phase pauses once; VERDICT r2 #1)."""
+    lib = _load_lib()
+    return int(lib.core_bridge_pending(gh.h))
+
+
+def bridge_export_at(gh, j, rows, K, S):
+    """Export the j-th remaining instance (flattened queue order) without
+    advancing; returns the window size > 0, or 0 (host fallback)."""
+    lib = _load_lib()
+    P, Wt, Lv, tgt = rows
+    V, E = P.shape
+    T = tgt.shape[0]
+    return int(lib.core_bridge_export_at(
+        gh.h, int(j), P.ctypes.data, Wt.ctypes.data, Lv.ctypes.data,
         tgt.ctypes.data, V, E, T, int(K), int(S)))
 
 

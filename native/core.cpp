@@ -322,51 +322,99 @@ struct GroupRun {
     std::unique_ptr<SpliceGraph> sc_gr;
     int sc_group = -1;
 
-    // ---- paused bridging (device_bridge mode: the per-instance pier DPs
-    //      run wave-batched on the device, ops/bridge_topk.py; alive
-    //      between advance() returning 2 and the next bridge step)
+    // ---- paused bridging (device_bridge mode): ALL pier-DP instances of
+    //      a queue of deferred BridgeSolvers are exported per pause so one
+    //      wave dispatch covers the whole phase (ops/bridge_topk.py;
+    //      VERDICT r2 #1: one-dispatch-per-wave for the bridge loop too).
+    //      Phase 0 queues every bundle's independent solver at once
+    //      (bridge/bridge_solver.cc:32-46 reads only its own graph);
+    //      the joint phase (assembler.cc:977-1018) queues every bundle's
+    //      solver over the SHARED combined graph with the adjacent edges
+    //      hoisted once -- serial solvers see the identical graph because
+    //      each adds and removes the same adjacent-edge set and
+    //      update_bridges never touches the combined graph.
     int device_bridge = 0;
-    int bphase = 0;         // 0: per-bundle bridge(), 1: joint_bridge()
-    size_t bk = 0;          // bundle index within bphase
-    std::unique_ptr<BridgeSolver> br_bs;
-    std::vector<PereadsCluster> br_vc;
-    std::unique_ptr<SpliceGraph> br_gr;   // per-bundle local graph
+    int bphase = 0;         // 0: queue phase-0, 1: queue joint, 2: cleanup
+    struct BridgeEntry {
+        Bundle* bd = nullptr;
+        std::unique_ptr<SpliceGraph> gr;  // phase-0 local graph
+        std::vector<PereadsCluster> vc;
+        std::unique_ptr<BridgeSolver> bs;
+    };
+    std::vector<std::unique_ptr<BridgeEntry>> brq;
+    size_t brq_i = 0;                     // first entry with unfed insts
     std::unique_ptr<Bundle> br_cb;        // joint combined bundle
     std::unique_ptr<SpliceGraph> br_gx;   // joint combined graph
-    Bundle* br_bd = nullptr;
+    std::vector<GEdge*> shared_adj;       // hoisted joint adjacent edges
 
     // meta/bundle.cc:55-88 / assembler.cc:977-1018 restructured around the
     // deferred BridgeSolver; byte-identical to GroupAssembler::bridge /
     // joint_bridge when every instance is solved (host or device)
-    void bridge_begin(Bundle& bd, bool joint) {
+    void queue_bridge(Bundle& bd, bool joint) {
+        std::unique_ptr<BridgeEntry> en(new BridgeEntry());
+        en->bd = &bd;
         const Cfg& bcfg = joint ? acfg : bd.cfg;
         if (!joint) {
-            br_gr.reset(new SpliceGraph());
-            GraphBuilder(bd, bd.cfg).build(*br_gr);
-            br_gr->build_vertex_index();
+            en->gr.reset(new SpliceGraph());
+            GraphBuilder(bd, bd.cfg).build(*en->gr);
+            en->gr->build_vertex_index();
         }
-        SpliceGraph& g = joint ? *br_gx : *br_gr;
-        br_vc.clear();
-        build_pereads_clusters(g, bd, bcfg.max_reads_partition_gap, br_vc);
-        if (joint && br_vc.empty()) {       // joint_bridge skips empty vc
+        SpliceGraph& g = joint ? *br_gx : *en->gr;
+        build_pereads_clusters(g, bd, bcfg.max_reads_partition_gap, en->vc);
+        if (joint && en->vc.empty()) return;   // joint_bridge skips empty vc
+        en->bs.reset(new BridgeSolver(g, en->vc, bcfg, bd.insert_low,
+                                      bd.insert_high, /*defer=*/true,
+                                      joint ? &shared_adj : nullptr));
+        if (en->bs->insts_done()) {
+            finish_entry(*en);
             return;
         }
-        br_bd = &bd;
-        br_bs.reset(new BridgeSolver(g, br_vc, bcfg, bd.insert_low,
-                                     bd.insert_high, /*defer=*/true));
-        if (br_bs->insts_done()) bridge_finish();
+        brq.push_back(std::move(en));
     }
 
-    void bridge_finish() {
-        br_bs->finalize();
-        for (size_t j = 0; j < br_vc.size(); j++) {
-            if (br_bs->opt[j].type <= 0) continue;
-            br_bd->update_bridges(br_vc[j].frlist, br_bs->opt[j].chain,
-                                  br_bs->opt[j].strand);
+    void finish_entry(BridgeEntry& en) {
+        en.bs->finalize();
+        for (size_t j = 0; j < en.vc.size(); j++) {
+            if (en.bs->opt[j].type <= 0) continue;
+            en.bd->update_bridges(en.vc[j].frlist, en.bs->opt[j].chain,
+                                  en.bs->opt[j].strand);
         }
-        br_bs.reset();
-        br_gr.reset();
-        br_bd = nullptr;
+        en.bs.reset();
+        en.gr.reset();
+        std::vector<PereadsCluster>().swap(en.vc);
+    }
+
+    bool bridge_queued() const { return brq_i < brq.size(); }
+
+    i64 bridge_pending() const {
+        i64 n = 0;
+        for (size_t i = brq_i; i < brq.size(); i++)
+            n += (i64)brq[i]->bs->pending();
+        return n;
+    }
+
+    // export the j-th remaining instance (flattened queue order) without
+    // advancing; 0 = that instance is device-ineligible
+    int bridge_export_at(i64 j, i32* P, i32* Wt, i32* Lv, i32* tgt,
+                         int V, int E, int T, int K, int S) {
+        for (size_t i = brq_i; i < brq.size(); i++) {
+            BridgeSolver& bs = *brq[i]->bs;
+            i64 p = (i64)bs.pending();
+            if (j < p)
+                return bs.export_inst_at(bs.inst_i + (size_t)j, P, Wt, Lv,
+                                         tgt, V, E, T, K, S);
+            j -= p;
+        }
+        return 0;
+    }
+
+    // after the current solver consumed one instance (device or host)
+    void bridge_feed_done() {
+        BridgeEntry& en = *brq[brq_i];
+        if (en.bs->insts_done()) {
+            finish_entry(en);
+            brq_i++;
+        }
     }
 
     void joint_setup() {
@@ -376,6 +424,16 @@ struct GroupRun {
         ga->combine_bundles(*br_cb, gv);
         br_gx.reset(new SpliceGraph());
         ga->transform(*br_cb, false, *br_gx);
+        // hoisted add_adjacent_edges (bridge_solver.cc:71-95): shared by
+        // every joint solver, removed in the bphase-2 cleanup
+        shared_adj.clear();
+        for (int i = 1; i < br_gx->num_vertices() - 2; i++) {
+            if (br_gx->edge(i, i + 1) != nullptr) continue;
+            GEdge* e = br_gx->add_edge(i, i + 1);
+            e->wrt = 0.5;
+            e->info.weight = 0.5;
+            shared_adj.push_back(e);
+        }
     }
 
     // ---- paused cross-sample support reduce (device_support mode): after
@@ -541,7 +599,7 @@ struct GroupRun {
     int advance() {
         while (true) {
             if (sc) return 1;
-            if (br_bs) return 2;
+            if (bridge_queued()) return 2;
             if (support_pending) return 3;
             if (phase == 0) {
                 if (!do_bridge) {
@@ -555,31 +613,30 @@ struct GroupRun {
                     post_bridge();
                     continue;
                 }
-                // device bridging: per-bundle bridge() then joint_bridge(),
-                // pausing at every pier-DP instance
+                // device bridging: ONE pause per phase with every
+                // solver's instances queued (wave-batched dispatch)
                 if (bphase == 0) {
-                    if (bk >= gv.size()) {
-                        if (gv.size() >= 2) {
-                            joint_setup();
-                            bphase = 1;
-                            bk = 0;
-                        } else {
-                            post_bridge();
-                        }
-                        continue;
+                    for (Bundle* bd : gv) queue_bridge(*bd, false);
+                    bphase = 1;
+                } else if (bphase == 1) {
+                    if (gv.size() >= 2) {
+                        joint_setup();
+                        for (Bundle* bd : gv) queue_bridge(*bd, true);
                     }
-                    bridge_begin(*gv[bk], /*joint=*/false);
-                    bk++;
+                    bphase = 2;
                 } else {
-                    if (bk >= gv.size()) {
+                    if (br_cb) {
                         br_cb->clear();
                         br_cb.reset();
-                        br_gx.reset();
-                        post_bridge();
-                        continue;
                     }
-                    bridge_begin(*gv[bk], /*joint=*/true);
-                    bk++;
+                    if (br_gx) {
+                        for (GEdge* e : shared_adj) br_gx->remove_edge(e);
+                        br_gx.reset();
+                    }
+                    shared_adj.clear();
+                    brq.clear();
+                    brq_i = 0;
+                    post_bridge();
                 }
             } else if (phase == 1) {
                 if (k >= gv.size()) { phase = 9; continue; }
@@ -781,25 +838,63 @@ i32 core_support_solve_host(void* h) {
 //      tables; solve_host is the per-instance fallback.  All return like
 //      core_group_advance.
 
+// number of unsolved pier-DP instances across the paused queue
+i64 core_bridge_pending(void* h) {
+    return ((core::GroupRun*)h)->bridge_pending();
+}
+
+// export the j-th remaining instance (flattened queue order, no advance)
+i32 core_bridge_export_at(void* h, i64 j, i32* P, i32* Wt, i32* Lv,
+                          i32* tgt, i32 V, i32 E, i32 T, i32 K, i32 S) {
+    return ((core::GroupRun*)h)->bridge_export_at(j, P, Wt, Lv, tgt,
+                                                  V, E, T, K, S);
+}
+
 i32 core_bridge_export(void* h, i32* P, i32* Wt, i32* Lv, i32* tgt,
                        i32 V, i32 E, i32 T, i32 K, i32 S) {
     core::GroupRun* r = (core::GroupRun*)h;
-    if (!r->br_bs) return 0;
-    return r->br_bs->export_inst(P, Wt, Lv, tgt, V, E, T, K, S);
+    if (!r->bridge_queued()) return 0;
+    return r->bridge_export_at(0, P, Wt, Lv, tgt, V, E, T, K, S);
 }
 
+// feed the CURRENT instance's device results (instances must be fed in
+// flattened queue order, matching the export order)
 i32 core_bridge_step(void* h, const i32* ostk, const i32* par,
                      const i32* pix, i32 V, i32 T, i32 K, i32 S) {
     core::GroupRun* r = (core::GroupRun*)h;
-    r->br_bs->consume_device(ostk, par, pix, V, T, K, S);
-    if (r->br_bs->insts_done()) r->bridge_finish();
+    r->brq[r->brq_i]->bs->consume_device(ostk, par, pix, V, T, K, S);
+    r->bridge_feed_done();
     return r->advance();
 }
 
 i32 core_bridge_solve_host(void* h) {
     core::GroupRun* r = (core::GroupRun*)h;
-    r->br_bs->solve_inst_host();
-    if (r->br_bs->insts_done()) r->bridge_finish();
+    r->brq[r->brq_i]->bs->solve_inst_host();
+    r->bridge_feed_done();
+    return r->advance();
+}
+
+// ---- fused drain (ops/greedy_fused.py): one export + one consume per
+//      paused graph; the device runs the whole repeat-until-drained loop.
+
+// f64 adjacency + in-edge-position matrix of the paused graph (topo
+// space), or 0 when fused-ineligible (caller falls back per graph)
+i32 core_greedy_export_fused(void* h, double* W, i32* P, i32 maxv,
+                             i32* sink_pos, double* scal3) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    if (!r->sc) return 0;
+    return r->sc->greedy_export_fused(W, P, maxv, r->device_minv,
+                                      sink_pos, scal3);
+}
+
+// consume the device's packed paths (+ final host drain check); returns
+// the next pause kind.  mode 0 = trust, 1 = verify (see core_scallop.h).
+i32 core_greedy_consume_fused(void* h, const double* ws,
+                              const uint8_t* paths, i32 npaths, i32 maxv,
+                              i32 mode, i64* stats2) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->sc->greedy_consume_fused(ws, paths, npaths, maxv, mode, stats2);
+    r->finish_scallop();
     return r->advance();
 }
 

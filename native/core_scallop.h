@@ -477,6 +477,124 @@ struct Scallop {
         collect_path(e);
     }
 
+    // ---- fused drain (ops/greedy_fused.py): export once, the device runs
+    //      the whole repeat-until-drained loop, consume replays the paths.
+
+    // Export the current graph for the fused drain: dense maxv*maxv f64
+    // adjacency W plus the in-edge-list position matrix P (both topo
+    // space), the sink's topo position, and the per-graph cfg scalars
+    // {min_transcript_coverage, min_guaranteed_edge_weight, SMIN}.
+    // Returns V, or 0 when the graph is fused-ineligible (size outside
+    // [minv, maxv], non-DAG, parallel edges -- the matrix model cannot
+    // track which parallel edge the host backtrace consumes -- or weights
+    // outside [0, 1e17]).  No f32-injectivity gate: the kernel is f64.
+    int greedy_export_fused(double* W, i32* P, int maxv, int minv,
+                            i32* sink_pos, double* scal3) {
+        if (greedy_done) return 0;
+        int n = gr.num_vertices();
+        if (n < minv || n > maxv) return 0;
+        dp_topo = gr.topological_sort();
+        if ((int)dp_topo.size() != n) return 0;
+        std::vector<int> pos(n, 0);
+        for (int i = 0; i < n; i++) pos[dp_topo[i]] = i;
+        if (pos[0] != 0) return 0;
+        int sp = pos[n - 1];
+        if (sp <= 0) return 0;
+        const double NEGD = -1.0e18;
+        for (int i = 0; i < maxv * maxv; i++) { W[i] = NEGD; P[i] = -1; }
+        for (int x = 0; x < n; x++) {
+            int c = 0;
+            for (GEdge* e = gr.vin[x].head; e; e = e->inext) {
+                double w = e->wrt;
+                if (!(w >= 0.0) || w > 1e17) return 0;
+                size_t slot = (size_t)pos[e->s] * maxv + pos[x];
+                if (P[slot] >= 0) return 0;     // parallel edge
+                W[slot] = w;
+                P[slot] = c;
+                c++;
+            }
+        }
+        *sink_pos = sp;
+        scal3[0] = cfg.min_transcript_coverage;
+        scal3[1] = cfg.min_guaranteed_edge_weight;
+        scal3[2] = SMIN;
+        return n;
+    }
+
+    // Decode one device path (topo-space vertex mask) into graph edges;
+    // returns false on any structural inconsistency.
+    bool decode_fused_path(const uint8_t* m, std::vector<GEdge*>& vpath,
+                           double& w) {
+        int n = gr.num_vertices();
+        vpath.clear();
+        w = INF;
+        int prev = -1;
+        for (int p = 0; p < n; p++) {
+            if (!m[p]) continue;
+            if (prev < 0) {
+                if (dp_topo[p] != 0) return false;      // must start at source
+            } else {
+                GEdge* e = gr.edge(dp_topo[prev], dp_topo[p]);
+                if (e == nullptr) return false;
+                vpath.push_back(e);
+                w = std::min(w, e->wrt);
+            }
+            prev = p;
+        }
+        if (prev < 0 || dp_topo[prev] != n - 1) return false;  // end at sink
+        return !vpath.empty();
+    }
+
+    // Consume the fused-drain results.  mode 0 = trust (exact-f64 backend:
+    // device paths are consumed directly after structural + bitwise-weight
+    // checks); mode 1 = verify (emulated-f64 backend: the host drain is
+    // authoritative and device paths only feed the agreement stats).  In
+    // both modes greedy_finish_host() runs last, so a device that stopped
+    // early (MAXP cap) or diverged degrades to host results, never to
+    // wrong bytes.  stats2 accumulates {agreeing paths, device paths}.
+    void greedy_consume_fused(const double* ws, const uint8_t* paths,
+                              int npaths, int maxv, int mode, i64* stats2) {
+        stats2[1] += npaths;
+        if (mode != 0) {
+            int i = 0;
+            while (!greedy_done) {
+                std::vector<GEdge*> vpath;
+                double w = gr.compute_maximum_path_w(vpath);
+                if (w < 0) { greedy_done = true; break; }
+                if (w <= cfg.min_transcript_coverage) {
+                    greedy_done = true;
+                    break;
+                }
+                if (i < npaths && ws[i] == w) {
+                    std::vector<GEdge*> dv;
+                    double dw;
+                    if (decode_fused_path(paths + (size_t)i * maxv, dv, dw)
+                        && dv == vpath)
+                        stats2[0]++;
+                }
+                i++;
+                int e = split_merge_path(vpath, w);
+                if (e < 0) { greedy_done = true; break; }
+                collect_path(e);
+            }
+            greedy_finish_host();
+            return;
+        }
+        for (int i = 0; i < npaths; i++) {
+            std::vector<GEdge*> vpath;
+            double w;
+            if (!decode_fused_path(paths + (size_t)i * maxv, vpath, w))
+                break;
+            if (!(w == ws[i])) break;           // bitwise f64 agreement
+            if (w <= cfg.min_transcript_coverage) break;
+            stats2[0]++;
+            int e = split_merge_path(vpath, w);
+            if (e < 0) { greedy_done = true; break; }
+            collect_path(e);
+        }
+        greedy_finish_host();
+    }
+
     void assemble_phase2(std::vector<OutTranscript>& out, int group) {
         build_transcripts(gr_ori, out, group);
     }

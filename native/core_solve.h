@@ -178,10 +178,21 @@ struct BridgeSolver {
     std::vector<DPInst> insts;
     size_t inst_i = 0;          // next instance to solve
 
+    bool owns_adj = true;   // false: adjacent edges hoisted by the caller
+                            // (shared across the joint phase's solvers --
+                            // serial solvers see the identical graph, see
+                            // GroupRun::joint_setup)
+
     BridgeSolver(SpliceGraph& g, std::vector<PereadsCluster>& v,
-                 const Cfg& c, i64 low, i64 high, bool defer = false)
+                 const Cfg& c, i64 low, i64 high, bool defer = false,
+                 const std::vector<GEdge*>* shared_adj = nullptr)
         : gr(g), vc(v), cfg(c), length_low(low), length_high(high) {
-        add_adjacent_edges();
+        if (shared_adj != nullptr) {
+            adjedges = *shared_adj;
+            owns_adj = false;
+        } else {
+            add_adjacent_edges();
+        }
         build_pseudo_introns();
         build_bridging_vertices();
         build_piers();
@@ -191,7 +202,7 @@ struct BridgeSolver {
         }
         nominate();
         vote_all();
-        remove_adjacent_edges();
+        if (owns_adj) remove_adjacent_edges();
     }
 
     // bridge_solver.cc:71-95
@@ -479,7 +490,11 @@ struct BridgeSolver {
     // kernel was not built for).
     int export_inst(i32* P, i32* Wt, i32* Lv, i32* tgt,
                     int V, int E, int T, int K, int S) {
-        const DPInst& in = insts[inst_i];
+        return export_inst_at(inst_i, P, Wt, Lv, tgt, V, E, T, K, S);
+    }
+    int export_inst_at(size_t idx, i32* P, i32* Wt, i32* Lv, i32* tgt,
+                       int V, int E, int T, int K, int S) {
+        const DPInst& in = insts[idx];
         if (cfg.bridge_dp_solution_size != K) return 0;
         if (cfg.bridge_dp_stack_size != S) return 0;
         int n = in.k2 - in.k1 + 1;
@@ -559,8 +574,10 @@ struct BridgeSolver {
     void finalize() {
         for (auto& pr : piers) refine_pier(pr);
         vote_all();
-        remove_adjacent_edges();
+        if (owns_adj) remove_adjacent_edges();
     }
+
+    size_t pending() const { return insts.size() - inst_i; }
 
     // bridge_solver.cc:276-285
     void vote_all() {
