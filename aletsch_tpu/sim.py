@@ -213,12 +213,31 @@ GENE_A_ISO2 = [(10000, 10300), (20000, 20400)]
 GENE_B_ISO1 = [(100000, 100500), (105000, 105600)]
 
 
+def sentinel_target(recs, names, lengths):
+    """Append a trailing dummy target carrying one mapped single-end read.
+
+    Works around a reference-binary quirk: set_batch_boundaries
+    (/root/reference/rnacore/sample_profile.cc:167-252) never closes the
+    final region of the final target (end1 stays 0), so reference Aletsch
+    silently skips it.  A sentinel target makes the reference process
+    every real chromosome; the sentinel bundle itself is dropped by
+    min_num_hits_in_bundle on both implementations.  Used by the golden
+    harness (tools/refbuild/compare.py)."""
+    tid = len(names)
+    recs = list(recs) + [dict(qname="sentinel", flag=0, tid=tid, pos=1000,
+                              cigar=[(0, 100)], mtid=tid, mpos=1000,
+                              isize=0, xs=".")]
+    return recs, tuple(names) + ("chrS",), tuple(lengths) + (10000,)
+
+
 def simulate_sample(path, seed, n1=60, n2=25, n3=50, names=("chr1",),
-                    lengths=(1000000,)):
+                    lengths=(1000000,), sentinel=False):
     rng = random.Random(seed)
     recs = []
     recs += simulate_pairs(GENE_A_ISO1, n1, "+", rng, prefix="a%d" % seed)
     recs += simulate_pairs(GENE_A_ISO2, n2, "+", rng, prefix="b%d" % seed)
     recs += simulate_pairs(GENE_B_ISO1, n3, "-", rng, prefix="c%d" % seed)
+    if sentinel:
+        recs, names, lengths = sentinel_target(recs, names, lengths)
     write_bam(path, recs, names, lengths)
     return recs

@@ -1,0 +1,257 @@
+"""Golden harness: run the shim-built reference aletsch binary and our CLI
+on identical simulated cohorts and compare transcripts structurally.
+
+Usage:
+    python tools/refbuild/compare.py [--save-goldens]
+
+Builds tools/refbuild/build/aletsch if needed (make), simulates the golden
+cohorts (deterministic seeds, sentinel target -- see
+aletsch_tpu/sim.py::sentinel_target for the reference last-region quirk),
+runs both binaries, and reports per-cohort:
+
+- intron-chain agreement (the north-star metric: BASELINE.json "exact GTF
+  match" at the chain level),
+- boundary (start/end) deltas and coverage deltas for matched chains.
+
+Two documented, deliberate divergences from the reference make byte
+equality impossible by design (docs/DESIGN.md "reference quirks"):
+the reference's set_batch_boundaries records each region's BGZF offset
+AFTER its first read (the read is silently dropped;
+sample_profile.cc:214-217) and never closes the final region of the final
+target (sample_profile.cc:167-252); we keep both reads.  Both effects only
+move soft boundaries / coverage of the affected bundles.
+
+--save-goldens copies the reference outputs into
+tests/fixtures/goldens/<cohort>/ for the pinned pytest
+(tests/test_goldens.py) that re-checks our chain parity on every run
+without needing the binary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+REFBUILD = os.path.join(REPO, "tools", "refbuild")
+BINARY = os.path.join(REFBUILD, "build", "aletsch")
+GOLDEN_DIR = os.path.join(REPO, "tests", "fixtures", "goldens")
+
+
+def ensure_binary():
+    if not os.path.exists(BINARY):
+        subprocess.run(["make", "-s", "-j4"], cwd=REFBUILD, check=True)
+    return BINARY
+
+
+# ---------------------------------------------------------------- cohorts
+
+def cohort_basic2(d):
+    """2-sample paired-end, deep enough for real insert-size profiles."""
+    from aletsch_tpu.sim import simulate_sample
+    bams = []
+    for i, seed in enumerate((41, 42)):
+        p = os.path.join(d, "s%d.bam" % i)
+        simulate_sample(p, seed=seed, n1=220, n2=90, n3=160, sentinel=True)
+        bams.append(p)
+    return bams, ["paired_end"] * 2
+
+
+def cohort_adversarial2(d):
+    from aletsch_tpu.sim import (make_adversarial_locus, sentinel_target,
+                                 write_bam)
+    import random
+    bams = []
+    for i, seed in enumerate((51, 52)):
+        rng = random.Random(seed)
+        recs = []
+        pos = 100000
+        for k, kind in enumerate(("overlap", "xsconf", "cliff")):
+            r, span = make_adversarial_locus(rng, pos,
+                                             "s%dl%d" % (seed, k), kind,
+                                             depth=80)
+            recs += r
+            pos += span + 30000
+        recs, names, lengths = sentinel_target(recs, ("chr1",),
+                                               (40_000_000,))
+        p = os.path.join(d, "a%d.bam" % i)
+        write_bam(p, recs, names, lengths)
+        bams.append(p)
+    return bams, ["paired_end"] * 2
+
+
+def cohort_multi5(d):
+    """5 samples with shared + private expression (grouping exercised)."""
+    from aletsch_tpu.sim import simulate_sample
+    bams = []
+    for i in range(5):
+        p = os.path.join(d, "m%d.bam" % i)
+        simulate_sample(p, seed=60 + i, n1=150 + 20 * i, n2=60 + 10 * i,
+                        n3=120, sentinel=True)
+        bams.append(p)
+    return bams, ["paired_end"] * 5
+
+
+COHORTS = {
+    "basic2": cohort_basic2,
+    "adversarial2": cohort_adversarial2,
+    "multi5": cohort_multi5,
+}
+
+
+# ------------------------------------------------------------------ run
+
+def write_list(d, bams, protos):
+    lst = os.path.join(d, "bams.list")
+    with open(lst, "w") as fh:
+        for b, p in zip(bams, protos):
+            fh.write("%s %s.bai %s\n" % (b, b, p))
+    return lst
+
+
+def run_reference(d, lst, threads=1):
+    out = os.path.join(d, "ref")
+    os.makedirs(os.path.join(out, "gtf"), exist_ok=True)
+    meta = os.path.join(out, "meta.gtf")
+    with open(os.path.join(out, "log.txt"), "w") as log:
+        subprocess.run([BINARY, "-i", lst, "-o", meta, "-d",
+                        os.path.join(out, "gtf"), "-t", str(threads)],
+                       stdout=log, stderr=subprocess.STDOUT, check=True,
+                       cwd=d)
+    return out
+
+
+def run_ours(d, lst):
+    out = os.path.join(d, "ours")
+    os.makedirs(os.path.join(out, "gtf"), exist_ok=True)
+    meta = os.path.join(out, "meta.gtf")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst, "-o",
+                    meta, "-d", os.path.join(out, "gtf"), "--verbose", "0"],
+                   check=True, cwd=d, env=env)
+    return out
+
+
+# ------------------------------------------------------------- compare
+
+def parse_gtf(path):
+    """{(chrm, strand, intron-chain): {start, end, cov, count}}"""
+    txs = {}
+    exons = {}
+    if not os.path.exists(path):
+        return txs
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 9 or f[2] != "exon":
+                continue
+            attrs = f[8]
+            tid = attrs.split('transcript_id "')[1].split('"')[0]
+            exons.setdefault((f[0], f[6], tid), []).append(
+                (int(f[3]), int(f[4])))
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 9 or f[2] != "transcript":
+                continue
+            attrs = f[8]
+            tid = attrs.split('transcript_id "')[1].split('"')[0]
+            cov = float(attrs.split('cov "')[1].split('"')[0]) \
+                if 'cov "' in attrs else 0.0
+            cnt = int(attrs.split('count "')[1].split('"')[0]) \
+                if 'count "' in attrs else 0
+            ex = sorted(exons.get((f[0], f[6], tid), []))
+            chain = tuple(x for e in ex for x in e)[1:-1]  # intron coords
+            key = (f[0], f[6], chain)
+            rec = {"start": int(f[3]), "end": int(f[4]), "cov": cov,
+                   "count": cnt, "nexons": len(ex)}
+            old = txs.get(key)
+            if old is None or rec["cov"] > old["cov"]:
+                txs[key] = rec
+    return txs
+
+
+def compare(ref_dir, our_dir):
+    ref = parse_gtf(os.path.join(ref_dir, "meta.gtf"))
+    ours = parse_gtf(os.path.join(our_dir, "meta.gtf"))
+    rk, ok = set(ref), set(ours)
+    both = rk & ok
+    deltas = []
+    for k in sorted(both):
+        a, b = ref[k], ours[k]
+        deltas.append({
+            "chain": "%s%s:%s" % (k[0], k[1], ",".join(map(str, k[2]))),
+            "dstart": b["start"] - a["start"],
+            "dend": b["end"] - a["end"],
+            "dcov": round(b["cov"] - a["cov"], 4),
+        })
+    return {
+        "ref_chains": len(rk),
+        "our_chains": len(ok),
+        "matched_chains": len(both),
+        "only_ref": sorted("%s%s:%s" % (k[0], k[1],
+                                        ",".join(map(str, k[2])))
+                           for k in rk - ok),
+        "only_ours": sorted("%s%s:%s" % (k[0], k[1],
+                                         ",".join(map(str, k[2])))
+                            for k in ok - rk),
+        "matched_deltas": deltas,
+        "exact_boundaries": sum(1 for d in deltas
+                                if d["dstart"] == 0 and d["dend"] == 0),
+        "exact_cov": sum(1 for d in deltas if d["dcov"] == 0.0),
+    }
+
+
+def main():
+    save = "--save-goldens" in sys.argv
+    ensure_binary()
+    reports = {}
+    fail = False
+    for name, maker in COHORTS.items():
+        d = tempfile.mkdtemp(prefix="refcmp_%s_" % name)
+        bams, protos = maker(d)
+        lst = write_list(d, bams, protos)
+        ref_out = run_reference(d, lst)
+        our_out = run_ours(d, lst)
+        rep = compare(ref_out, our_out)
+        reports[name] = rep
+        print("%s: ref=%d ours=%d matched=%d only_ref=%d only_ours=%d "
+              "exact_bounds=%d/%d exact_cov=%d/%d"
+              % (name, rep["ref_chains"], rep["our_chains"],
+                 rep["matched_chains"], len(rep["only_ref"]),
+                 len(rep["only_ours"]), rep["exact_boundaries"],
+                 rep["matched_chains"], rep["exact_cov"],
+                 rep["matched_chains"]))
+        if rep["only_ref"] or rep["only_ours"]:
+            fail = True
+            print("  only_ref:", rep["only_ref"][:5])
+            print("  only_ours:", rep["only_ours"][:5])
+        if save:
+            gd = os.path.join(GOLDEN_DIR, name)
+            shutil.rmtree(gd, ignore_errors=True)
+            os.makedirs(gd)
+            shutil.copy(os.path.join(ref_out, "meta.gtf"),
+                        os.path.join(gd, "ref_meta.gtf"))
+            with open(os.path.join(gd, "report.json"), "w") as fh:
+                json.dump(rep, fh, indent=1, sort_keys=True)
+    out = os.path.join(REFBUILD, "report.json")
+    with open(out, "w") as fh:
+        json.dump(reports, fh, indent=1, sort_keys=True)
+    print("report ->", out)
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
