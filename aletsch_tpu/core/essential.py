@@ -8,7 +8,7 @@ construction from decomposed paths, and child-graph extraction.
 
 from __future__ import annotations
 
-from ..io.gtf import Transcript
+from ..io.gtf import Transcript, gtf_source
 from ..utils.seqs import check_increasing
 from .graph import SpliceGraph
 import math
@@ -197,11 +197,11 @@ def align_hit_to_splice_graph(hit, chain, gr):
     return build_path_from_mixed_coordinates(gr, u)
 
 
-def build_transcript(gr, p, tid, source="aletsch-tpu"):
+def build_transcript(gr, p, tid, source=None):
     """Decomposed path -> Transcript (essential.cc:719-748)."""
     trst = Transcript()
     trst.seqname = gr.chrm
-    trst.source = source
+    trst.source = gtf_source() if source is None else source
     trst.gene_id = gr.gid
     trst.transcript_id = tid
     trst.coverage = math.log(1.0 + p.weight)
@@ -229,7 +229,7 @@ def build_transcript(gr, p, tid, source="aletsch-tpu"):
     return trst
 
 
-def build_single_exon_transcript(gr, source="aletsch-tpu"):
+def build_single_exon_transcript(gr, source=None):
     """essential.cc:750-765"""
     if gr.num_vertices() != 3:
         return None

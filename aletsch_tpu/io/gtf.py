@@ -88,6 +88,16 @@ def _fmt(v, prec):
 
 
 import operator as _operator
+import os as _os
+
+
+def gtf_source():
+    """GTF `source` column: ours by default; ALETSCH_REF_QUIRKS=1 emits
+    the reference's "aletsch" so golden diffs (tools/refbuild/compare.py)
+    can be byte-level."""
+    if _os.environ.get("ALETSCH_REF_QUIRKS") == "1":
+        return "aletsch"
+    return "aletsch-tpu"
 _FEATURE_GETTER = _operator.attrgetter(*FEATURE_COLUMNS)
 
 
@@ -302,9 +312,14 @@ class Transcript:
                        (self.seqname, self.source, a + 1, b, 1000, self.strand,
                         self.gene_id, self.transcript_id, k + 1))
 
-    def write_features(self, fout, prec=2):
-        """51-column tab-separated feature row (transcript.cc:362-428)."""
-        fmt = "%%.%df" % prec
+    def write_features(self, fout):
+        """51-column tab-separated feature row (transcript.cc:362-428).
+
+        Floats use C++ `ostream << double` default formatting (6
+        significant digits, general form) -- byte-compatible with the
+        reference binary's CSVs, which the published Zenodo RF model was
+        trained on (score.py reads these columns)."""
+        fmt = "%.6g"
         cols = [self.transcript_id, self.meta_tid, self.seqname,
                 fmt % self.coverage, fmt % self.cov2,
                 fmt % self.abd, fmt % self.conf,

@@ -478,15 +478,25 @@ class Incubator:
                 for s in STRANDS}
         ts_imm = {s: new_transcript_set(chrm, rid, cfg) for s in STRANDS}
         imm_counts = {s: 0 for s in STRANDS}
-        index = 0
         if results is None:
             results = [(e, self._generate_sample(e[0], e[1], rid))
                        for e in self._region_entries(chrm, rid)]
         for (sid, tid), v in results:
             self.stats["bundles"] += len(v)
+            index = 0           # per sample, like incubator.cc:552
             for bd in v:
                 if len(bd.splices) >= 1:
                     grps[bd.strand].gset.append(bd)
+                    # reference accounting quirk (incubator.cc:523-601):
+                    # spliced bundles are std::move'd into the gsets and
+                    # their moved-from husks still flow through the
+                    # immediate-assembly loop -- consuming an index and
+                    # incrementing the strand's num_assembled, which
+                    # shifts every group's `instance` id (bundle.cc:40,
+                    # incubator.cc:611).  Replicated so transcript ids
+                    # match the reference binary byte-for-byte.
+                    index += 1
+                    imm_counts[bd.strand] += 1
                 else:
                     # splice-free bundles are assembled immediately
                     # (native core when the bundle is a pristine scan)

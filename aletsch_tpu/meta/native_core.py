@@ -16,7 +16,7 @@ import os
 import numpy as np
 
 from ..io.bam_native import _load_lib
-from ..io.gtf import FEATURE_COLUMNS, Transcript
+from ..io.gtf import FEATURE_COLUMNS, Transcript, gtf_source
 
 # feature columns that are ints in TrstFeatures (io/gtf.py:20-62)
 _INT_FEATURES = {
@@ -659,7 +659,7 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
         g = t_group[k]
         t = Transcript()
         t.seqname = chrm
-        t.source = "aletsch-tpu"
+        t.source = gtf_source()
         gid = g_gid[g]
         t.gene_id = gid
         t.transcript_id = "chr%s.%s.%d" % (chrm, gid, t_pathi[k])

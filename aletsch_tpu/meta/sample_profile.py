@@ -154,8 +154,19 @@ class SampleProfile:
 
         Uses the native batch decoder's flat arrays when available: the
         scan is vectorized per batch, touching Python only at coverage
-        gaps and chromosome changes."""
+        gaps and chromosome changes.
+
+        ALETSCH_REF_QUIRKS=1 replicates the reference binary's two
+        region-table quirks byte-for-byte for golden comparison runs
+        (tools/refbuild/compare.py): offsets recorded AFTER each region's
+        first read (so that read is dropped, sample_profile.cc:214-217)
+        and the final region of the final target left unclosed (end1
+        stays 0, so it is skipped; sample_profile.cc:167-252)."""
+        import os
         with open_bam(self.align_file) as r:
+            if os.environ.get("ALETSCH_REF_QUIRKS") == "1":
+                return self._set_batch_boundaries_quirks(
+                    r, min_bundle_gap, max_read_span)
             if hasattr(r, "read_batch_arrays"):
                 return self._set_batch_boundaries_batched(
                     r, min_bundle_gap, max_read_span)
@@ -237,6 +248,48 @@ class SampleProfile:
         if tid >= 0:
             self.end1[tid][rid] = rpos
             self.end2[tid][rid] = rpos
+
+    def _set_batch_boundaries_quirks(self, r, min_bundle_gap,
+                                     max_read_span):
+        """Reference-exact region tables (see set_batch_boundaries): the
+        recorded offset is the position AFTER the region's first read
+        (bgzf_tell called post-sam_read1, sample_profile.cc:214-217) and
+        the final region of the final target is never closed."""
+        self._init_tables(r.header)
+        tid = -1
+        rid = 0
+        rpos = 0
+        while True:
+            rec = r.read_rec()
+            if rec is None:
+                break
+            voff = r.tell()          # after the read, like the reference
+            if rec.flag & FUNMAP:
+                continue
+            if abs(rec.pos - rec.rpos) >= max_read_span:
+                continue
+            if rec.tid != tid:
+                if tid >= 0:
+                    self.end1[tid][rid] = rpos
+                    self.end2[tid][rid] = rpos
+                tid = rec.tid
+                rid = 0
+                self.start1[tid][rid] = rec.pos
+                self.start2[tid][rid] = rec.rpos
+                self.start_off[tid][rid] = voff
+                rpos = rec.rpos
+            if rec.pos > rpos + min_bundle_gap:
+                if rec.pos >= self.region_partition_length * (1 + rid):
+                    self.end1[tid][rid] = rpos
+                    self.end2[tid][rid] = rpos
+                    rid = rec.pos // self.region_partition_length
+                    self.start1[tid][rid] = rec.pos
+                    self.start2[tid][rid] = rec.rpos
+                    self.start_off[tid][rid] = voff
+            if rec.rpos > rpos:
+                rpos = rec.rpos
+        # reference quirk: the final region of the final target stays
+        # unclosed (end1 == 0 -> skipped by generate_merge_assemble)
 
     def _set_batch_boundaries_slow(self, r, min_bundle_gap, max_read_span):
         if True:

@@ -128,16 +128,39 @@ def run_reference(d, lst, threads=1):
     return out
 
 
-def run_ours(d, lst):
-    out = os.path.join(d, "ours")
+def run_ours(d, lst, quirks=False):
+    out = os.path.join(d, "ours" if not quirks else "oursq")
     os.makedirs(os.path.join(out, "gtf"), exist_ok=True)
     meta = os.path.join(out, "meta.gtf")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    if quirks:
+        env["ALETSCH_REF_QUIRKS"] = "1"
     subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst, "-o",
                     meta, "-d", os.path.join(out, "gtf"), "--verbose", "0"],
                    check=True, cwd=d, env=env)
     return out
+
+
+def byte_compare(ref_out, our_out):
+    """Sorted byte equality per output file (thread completion order is
+    the only nondeterminism in the reference's writes)."""
+    import glob
+    results = {}
+    pairs = [(os.path.join(ref_out, "meta.gtf"),
+              os.path.join(our_out, "meta.gtf"))]
+    for f in sorted(glob.glob(os.path.join(ref_out, "gtf", "*"))):
+        pairs.append((f, os.path.join(our_out, "gtf",
+                                      os.path.basename(f))))
+    for a, b in pairs:
+        if not os.path.exists(b):
+            results[os.path.basename(a)] = "missing"
+            continue
+        la = sorted(open(a).readlines())
+        lb = sorted(open(b).readlines())
+        results[os.path.basename(a)] = "identical" if la == lb \
+            else "differs"
+    return results
 
 
 # ------------------------------------------------------------- compare
@@ -226,14 +249,22 @@ def main():
         ref_out = run_reference(d, lst)
         our_out = run_ours(d, lst)
         rep = compare(ref_out, our_out)
+        # exact mode: ALETSCH_REF_QUIRKS=1 replicates the reference's
+        # region-table quirks + id accounting; every file must be
+        # byte-identical (sorted)
+        bc = byte_compare(ref_out, run_ours(d, lst, quirks=True))
+        rep["byte_identical_quirks"] = bc
+        if any(v != "identical" for v in bc.values()):
+            fail = True
         reports[name] = rep
+        n_id = sum(1 for v in bc.values() if v == "identical")
         print("%s: ref=%d ours=%d matched=%d only_ref=%d only_ours=%d "
-              "exact_bounds=%d/%d exact_cov=%d/%d"
+              "exact_bounds=%d/%d exact_cov=%d/%d byte_identical=%d/%d"
               % (name, rep["ref_chains"], rep["our_chains"],
                  rep["matched_chains"], len(rep["only_ref"]),
                  len(rep["only_ours"]), rep["exact_boundaries"],
                  rep["matched_chains"], rep["exact_cov"],
-                 rep["matched_chains"]))
+                 rep["matched_chains"], n_id, len(bc)))
         if rep["only_ref"] or rep["only_ours"]:
             fail = True
             print("  only_ref:", rep["only_ref"][:5])
