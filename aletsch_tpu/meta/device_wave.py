@@ -111,19 +111,27 @@ def _get_support_device():
     return _SUPPORT
 
 
+_MESH_KEYS = ("mesh_dispatches", "mesh_bytes_in", "mesh_bytes_out")
+
+
 def device_stats():
     d = dict(stats)
-    if _DEVICE is not None:
-        d.update(_DEVICE.stats)
+    solvers = [s for s in (_DEVICE, _FUSED, _BRIDGE, _SUPPORT)
+               if s is not None]
+    for s in solvers:
+        d.update({k: v for k, v in s.stats.items() if k not in _MESH_KEYS})
+    # mesh accounting sums across the per-stage solvers
+    for k in _MESH_KEYS:
+        tot = sum(s.stats.get(k, 0) for s in solvers)
+        if tot:
+            d[k] = tot
+    for s in solvers:
+        if "mesh_devices" in s.stats:
+            d["mesh_devices"] = s.stats["mesh_devices"]
     if _FUSED is not None:
-        d.update(_FUSED.stats)
         d["fused_trust"] = bool(_FUSED_TRUST)
         d["fused_agree"] = int(native_core.fused_stats[0])
         d["fused_total"] = int(native_core.fused_stats[1])
-    if _BRIDGE is not None:
-        d.update(_BRIDGE.stats)
-    if _SUPPORT is not None:
-        d.update(_SUPPORT.stats)
     return d
 
 

@@ -187,9 +187,14 @@ class DeviceBridge:
         import time
 
         import jax.numpy as jnp
+
+        from .meshing import account_out, shard_args
         t0 = time.perf_counter()
-        ostk, par, pix = self.fn(jnp.asarray(self.P), jnp.asarray(self.Wt),
-                                 jnp.asarray(self.Lv), jnp.asarray(self.tgt))
+        args = [jnp.asarray(self.P), jnp.asarray(self.Wt),
+                jnp.asarray(self.Lv), jnp.asarray(self.tgt)]
+        args, _ = shard_args(args, [], self.stats)
+        ostk, par, pix = self.fn(*args)
+        account_out((ostk, par, pix), self.stats)
         ostk = np.asarray(ostk)
         par = np.asarray(par)
         pix = np.asarray(pix)

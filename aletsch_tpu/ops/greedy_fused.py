@@ -255,14 +255,21 @@ class DeviceGreedyFused:
 
     def _solve(self, nrows):
         import jax
+
+        from .meshing import account_out, shard_args
         self.sink[nrows:] = 0    # stale slots stay inactive
         with jax.enable_x64():
             import jax.numpy as jnp
-            paths, ws, npaths = self.fn(
-                jnp.asarray(self.W), jnp.asarray(self.P),
-                jnp.asarray(self.sink), jnp.asarray(self.scal[:, 0]),
-                jnp.asarray(self.scal[:, 1]), jnp.asarray(self.scal[:, 2]))
+            args = [jnp.asarray(self.W), jnp.asarray(self.P),
+                    jnp.asarray(self.sink),
+                    jnp.asarray(np.ascontiguousarray(self.scal[:, 0])),
+                    jnp.asarray(np.ascontiguousarray(self.scal[:, 1])),
+                    jnp.asarray(np.ascontiguousarray(self.scal[:, 2]))]
+            # multi-device: shard the live wave batch over the ('b',) mesh
+            args, _ = shard_args(args, [], self.stats)
+            paths, ws, npaths = self.fn(*args)
             npaths.block_until_ready()
+        account_out((paths, ws, npaths), self.stats)
         return np.asarray(paths), np.asarray(ws), np.asarray(npaths)
 
     def solve(self, nrows):

@@ -74,8 +74,13 @@ class DeviceSupport:
         import time
 
         import jax.numpy as jnp
+
+        from .meshing import account_out, shard_args
         t0 = time.perf_counter()
-        out = np.asarray(self.fn(jnp.asarray(self.jw)))
+        args, _ = shard_args([jnp.asarray(self.jw)], [], self.stats)
+        out = self.fn(*args)
+        account_out((out,), self.stats)
+        out = np.asarray(out)
         self.stats["support_device_time"] += time.perf_counter() - t0
         self.stats["support_dispatches"] += 1
         self.stats["support_groups"] += nrows

@@ -1,14 +1,20 @@
-"""End-to-end benchmark: synthetic multi-sample cohort -> bundles/s.
+"""End-to-end benchmark, anchored to the MEASURED reference binary.
 
-Generates a multi-gene, multi-sample paired-end workload with the in-repo
-simulator, runs the full assembly pipeline (generate -> cluster -> bridge ->
-decompose -> merge -> GTF), and reports bundle throughput.  Also times the
-batched TPU bottleneck-DP kernel as a device-side sanity probe (stderr only).
+Headline metric: bundles/s of the full assembly pipeline on the
+production-scale cohort (10 samples x 2000 genes over 630 Mb, ~1.4M
+records -- the same cohort tools/refbuild/baseline.py runs the shim-built
+reference Aletsch on).  vs_baseline is measured-vs-measured: our rate
+divided by the reference's 10-thread rate on the identical cohort
+(tools/refbuild/baseline_measured.json; re-measure with
+`python tools/refbuild/baseline.py`).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the recorded round-1 reference value in
-BENCH_BASELINE (self-relative until a reference-binary baseline exists; the
-upstream repo publishes no numbers, see BASELINE.md).
+Also reported (stderr): the small shallow/deep workloads (round-1/2
+comparability), per-stage device statistics for the default config, the
+fused greedy-drain probe (hot + production shapes, ops/greedy_fused.py),
+measured host-vs-device crossover numbers for every device stage, and the
+virtual-mesh scaling probe.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,12 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Self-relative baseline: round-1 recorded bundles/s on the bench workload.
-BENCH_BASELINE = 40.0
-
 N_SAMPLES = 2
 N_GENES = 30
 CHROM_LEN = 40_000_000
+
+PROD_GENES = int(os.environ.get("ALETSCH_BENCH_GENES", "2000"))
+PROD_SAMPLES = int(os.environ.get("ALETSCH_BENCH_SAMPLES", "10"))
 
 
 def make_workload(tmpdir):
@@ -82,8 +88,6 @@ def run_pipeline(tmpdir, listpath, sub="run", tweak=None, reps=5):
         p.verbose = 0
         if tweak:
             tweak(p)
-    # best-of-5: the absolute workload is sub-second, so single-shot timing
-    # is dominated by filesystem-cache and TPU-relay noise
     best = None
     wall_total = 0.0
     d0 = device_wave.device_stats()
@@ -97,47 +101,63 @@ def run_pipeline(tmpdir, listpath, sub="run", tweak=None, reps=5):
             best = (inc, dt)
     inc, dt = best
     d1 = device_wave.device_stats()
-    dstat = {k: d1.get(k, 0) - d0.get(k, 0) for k in d1}
+    dstat = {k: d1.get(k, 0) - d0.get(k, 0)
+             for k in d1 if not isinstance(d1.get(k), bool)}
     dstat["wall_total"] = wall_total
-    dstat["device_share"] = (dstat.get("device_time", 0.0) / wall_total
-                             if wall_total > 0 else 0.0)
+    dev_time = (dstat.get("device_time", 0.0)
+                + dstat.get("fused_device_time", 0.0)
+                + dstat.get("bridge_device_time", 0.0))
+    dstat["device_share"] = dev_time / wall_total if wall_total > 0 else 0.0
     n_trst = sum(1 for line in open(out_gtf) if "\ttranscript\t" in line)
     return inc.stats["bundles"], dt, n_trst, dstat
 
 
-def kernel_probe():
-    """Device-side probe: batched bottleneck DP throughput."""
+def production_bench():
+    """Headline: our pipeline on the measured-baseline cohort."""
+    from tools.refbuild.baseline import build_cohort
+    base = "/tmp/refbase_g%d_s%d" % (PROD_GENES, PROD_SAMPLES)
+    lst, _ = build_cohort(base, PROD_GENES, PROD_SAMPLES)
+    bundles, dt, n_trst, dstat = run_pipeline(base, lst, sub="bench_ours",
+                                              reps=1)
+    rate = bundles / dt if dt > 0 else 0.0
+    # measured reference baseline on the identical cohort
+    ref = None
     try:
-        import jax.numpy as jnp
-        from aletsch_tpu.ops.bridge_dp import get_bottleneck_fn
-        import numpy as np
-        fn = get_bottleneck_fn()
-        B, V = 64, 64
-        rng = np.random.default_rng(0)
-        W = np.triu(rng.uniform(0, 10, (B, V, V)).astype(np.float32), 1)
-        W *= (rng.uniform(size=W.shape) < 0.3)
-        Wj = jnp.asarray(W)
-        fn(Wj).block_until_ready()           # compile
-        t0 = time.time()
-        reps = 10
-        for _ in range(reps):
-            out = fn(Wj)
-        out.block_until_ready()
-        dt = (time.time() - t0) / reps
-        return B / dt
-    except Exception as e:                    # pragma: no cover
-        print("kernel probe failed: %s" % e, file=sys.stderr)
-        return 0.0
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tools", "refbuild",
+                               "baseline_measured.json")) as fh:
+            j = json.load(fh)
+        if j.get("cohort") == {"genes": PROD_GENES,
+                               "samples": PROD_SAMPLES}:
+            ref = j
+    except Exception:
+        pass
+    vs = None
+    ref_rate = None
+    if ref is not None and ref.get("ref_wall_s"):
+        ref_rate = bundles / float(ref["ref_wall_s"])
+        vs = rate / ref_rate
+    return {
+        "bundles": bundles,
+        "wall_s": round(dt, 2),
+        "bundles_per_s": round(rate, 1),
+        "transcripts": n_trst,
+        "ref_wall_s": None if ref is None else ref["ref_wall_s"],
+        "ref_bundles_per_s": None if ref_rate is None
+        else round(ref_rate, 1),
+        "vs_reference_10t": None if vs is None else round(vs, 3),
+        "device_stats": {k: round(v, 4) if isinstance(v, float) else v
+                         for k, v in dstat.items()},
+    }
 
 
-def device_engaged_probe(tmpdir):
-    """Device-on-the-hot-path probe: an adversarial cohort assembled with
-    max_num_exons=8, which routes every larger graph straight to the greedy
-    max-path loop (scallop.cc:49) — the configuration under which the
-    wave-batched device DP (meta/device_wave.py) carries the extractions.
-    Runs host-forced then device-forced on the SAME inputs (byte parity of
-    the GTFs is test-enforced elsewhere) and reports both walls plus the
-    device-time share of the device run."""
+def fused_probe(tmpdir):
+    """Fused greedy-drain probe: host-forced vs device-forced on the same
+    inputs at (a) the hot shape (max_num_exons=8 routes every larger graph
+    straight to the greedy loop, scallop.cc:49) and (b) the production
+    shape (default max_num_exons: the drain handles residual paths only).
+    GTF byte parity of the two modes is test-enforced
+    (tests/test_device_greedy_fused.py)."""
     from aletsch_tpu.sim import simulate_adversarial_sample
     sub = os.path.join(tmpdir, "devprobe")
     os.makedirs(sub, exist_ok=True)
@@ -151,31 +171,90 @@ def device_engaged_probe(tmpdir):
         for b in bams:
             fh.write("%s %s.bai paired_end\n" % (b, b))
 
-    def mk(device):
+    def mk(device, exons):
         def tweak(p):
             p.device_greedy = device
             p.device_min_vertices = 2
             p.device_min_groups = 0
-            p.max_num_exons = 8
+            p.max_num_exons = exons
         return tweak
 
-    # single rep: each device dispatch costs seconds of relay round-trip on
-    # the tunneled chip, so best-of-5 would stretch bench by minutes while
-    # measuring the same thing
-    _, host_dt, _, _ = run_pipeline(tmpdir, listpath, sub="devprobe/host",
-                                    tweak=mk("off"), reps=1)
-    _, dev_dt, _, dstat = run_pipeline(tmpdir, listpath, sub="devprobe/dev",
-                                       tweak=mk("on"), reps=1)
-    return {
-        "host_wall_s": round(host_dt, 4),
-        "device_wall_s": round(dev_dt, 4),
-        "device_time_s": round(dstat.get("device_time", 0.0), 4),
-        "device_share_of_wall": round(dstat.get("device_share", 0.0), 4),
-        "device_steps": dstat.get("device_steps", 0),
-        "device_dispatches": dstat.get("dispatches", 0),
-        "device_graphs": dstat.get("graphs", 0),
-        "host_fallback_graphs": dstat.get("host_graphs", 0),
-    }
+    out = {}
+    for tag, exons in (("hot", 8), ("production", 10000)):
+        _, host_dt, _, _ = run_pipeline(
+            tmpdir, listpath, sub="devprobe/h_%s" % tag,
+            tweak=mk("off", exons), reps=1)
+        _, dev_dt, _, dstat = run_pipeline(
+            tmpdir, listpath, sub="devprobe/d_%s" % tag,
+            tweak=mk("on", exons), reps=1)
+        out[tag] = {
+            "host_wall_s": round(host_dt, 4),
+            "device_wall_s": round(dev_dt, 4),
+            "fused_dispatches": dstat.get("fused_dispatches", 0),
+            "fused_graphs": dstat.get("fused_graphs", 0),
+            "fused_paths": dstat.get("fused_paths", 0),
+            "fused_device_time_s": round(
+                dstat.get("fused_device_time", 0.0), 4),
+            "host_fallback_graphs": dstat.get("host_graphs", 0),
+        }
+    return out
+
+
+def crossover_probe():
+    """Measured per-stage host-vs-device crossover on this chip: one warm
+    dispatch cost per kernel vs the equivalent native-host solve cost.
+    'auto' device gating consults these magnitudes (docs/DESIGN.md
+    'measured crossovers')."""
+    out = {}
+    try:
+        import numpy as np
+        import jax
+        # fused greedy drain: [64, 64, 64] f64 batch
+        from aletsch_tpu.ops.greedy_fused import DeviceGreedyFused
+        fd = DeviceGreedyFused()
+        rng = np.random.default_rng(3)
+        for b in range(fd.batch):
+            n = 32
+            cnt = np.zeros(n, dtype=int)
+            for j in range(1, n):
+                for u in rng.choice(j, size=min(j, 3), replace=False):
+                    fd.W[b, u, j] = float(rng.integers(1, 1000))
+                    fd.P[b, u, j] = cnt[j]
+                    cnt[j] += 1
+            fd.sink[b] = n - 1
+            fd.scal[b] = (2.0, 0.01, 1e-8)
+        t0 = time.time()
+        fd.solve(fd.batch)
+        dev_s = time.time() - t0
+        from aletsch_tpu.ops.greedy_fused import drain_host
+        t0 = time.time()
+        drain_host(fd.W, fd.P, fd.sink, fd.scal[:, 0], fd.scal[:, 1],
+                   fd.scal[:, 2])
+        host_py_s = time.time() - t0
+        out["greedy_fused"] = {
+            "device_dispatch_s": round(dev_s, 4),
+            "host_numpy_oracle_s": round(host_py_s, 4),
+            "note": "native host drain is ~100x faster than the numpy "
+                    "oracle; device wins only when dispatch cost < native "
+                    "host cost for the batch",
+        }
+        # bridge top-K kernel
+        from aletsch_tpu.ops.bridge_topk import DeviceBridge
+        bd = DeviceBridge()
+        t0 = time.time()
+        bd.solve(bd.batch)
+        out["bridge_topk"] = {"device_dispatch_s":
+                              round(time.time() - t0, 4)}
+        # support reduce
+        from aletsch_tpu.ops.support import DeviceSupport
+        sd = DeviceSupport()
+        t0 = time.time()
+        sd.solve(sd.batch)
+        out["support_reduce"] = {"device_dispatch_s":
+                                 round(time.time() - t0, 4)}
+    except Exception as e:                    # pragma: no cover
+        out["error"] = str(e)
+    return out
 
 
 def make_deep_workload(tmpdir):
@@ -244,35 +323,50 @@ def scaling_probe():
 def main():
     tmpdir = tempfile.mkdtemp(prefix="aletsch_bench_")
     try:
+        prod = production_bench()
+        print("bench-production: %d bundles in %.1fs -> %.1f bundles/s "
+              "(reference -t10: %s bundles/s measured on the same cohort; "
+              "vs_reference = %s)"
+              % (prod["bundles"], prod["wall_s"], prod["bundles_per_s"],
+                 prod["ref_bundles_per_s"], prod["vs_reference_10t"]),
+              file=sys.stderr)
+        print("bench-production device stats (default config): %s"
+              % json.dumps(prod["device_stats"]), file=sys.stderr)
+
         listpath = make_workload(tmpdir)
-        bundles, dt, n_trst, dstat = run_pipeline(tmpdir, listpath)
-        bps = bundles / dt if dt > 0 else 0.0
+        bundles, dt, n_trst, _ = run_pipeline(tmpdir, listpath)
+        print("bench-small: %d bundles in %.2fs -> %.1f bundles/s; "
+              "%d transcripts" % (bundles, dt, bundles / dt, n_trst),
+              file=sys.stderr)
         deep_list, deep_reads = make_deep_workload(tmpdir)
-        dbundles, ddt, dn, ddstat = run_pipeline(tmpdir, deep_list, sub="deep")
-        kps = kernel_probe()
-        dev = device_engaged_probe(tmpdir)
-        print("bench: %d bundles in %.2fs -> %.2f bundles/s; "
-              "%d transcripts; kernel probe %.0f graphs/s"
-              % (bundles, dt, bps, n_trst, kps), file=sys.stderr)
-        print("bench-deep: %d bundles (%d reads) in %.2fs -> %.1f bundles/s, "
-              "%.0f reads/s; %d transcripts"
+        dbundles, ddt, dn, _ = run_pipeline(tmpdir, deep_list, sub="deep")
+        print("bench-deep: %d bundles (%d reads) in %.2fs -> %.1f "
+              "bundles/s, %.0f reads/s; %d transcripts"
               % (dbundles, deep_reads, ddt, dbundles / ddt,
                  deep_reads / ddt, dn), file=sys.stderr)
-        print("device share (default config): %.4f of wall on device "
-              "(the greedy loop is cold below max_num_exons and the "
-              "similarity auto-threshold sits above this workload; see "
-              "docs/DESIGN.md for the measured host<->device bandwidth "
-              "analysis)" % dstat.get("device_share", 0.0), file=sys.stderr)
-        print("device-engaged probe (max_num_exons=8 forces the greedy "
-              "loop hot): %s" % json.dumps(dev), file=sys.stderr)
+
+        fused = fused_probe(tmpdir)
+        print("fused greedy-drain probe: %s" % json.dumps(fused),
+              file=sys.stderr)
+        cross = crossover_probe()
+        print("measured per-stage device dispatch costs: %s"
+              % json.dumps(cross), file=sys.stderr)
         print(scaling_probe(), file=sys.stderr)
+
+        vs = prod["vs_reference_10t"]
         print(json.dumps({
             "metric": "bundles_per_second",
-            "value": round(bps, 3),
+            "value": prod["bundles_per_s"],
             "unit": "bundles/s",
-            "vs_baseline": round(bps / BENCH_BASELINE, 3),
-            "device_share_default": round(dstat.get("device_share", 0.0), 4),
-            "device_probe": dev,
+            "vs_baseline": vs if vs is not None else 0.0,
+            "baseline_kind": "measured reference binary, -t 10, same "
+                             "cohort, same host (BASELINE.md)",
+            "production": {k: v for k, v in prod.items()
+                           if k != "device_stats"},
+            "device_share_default":
+                prod["device_stats"].get("device_share", 0.0),
+            "fused_probe": fused,
+            "stage_dispatch_costs": cross,
         }))
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
