@@ -68,20 +68,22 @@ class BundleGroup:
     def _use_device_similarity(self):
         """Route the clustering rounds through the MXU matmul path
         (ops/similarity.py) instead of the native intersections.  Default
-        "auto" engages only at region sizes where the matmul can win:
-        measured on the tunneled single chip, host->device bandwidth
-        (~25 MB/s) makes the n^2 count-matrix round trip slower than the
-        native sorted-merge intersections up to at least n=1600
-        (docs/DESIGN.md "speed-of-light notes"), so the auto threshold is
-        high; PCIe/ICI-attached chips would lower it."""
+        "auto" follows the shared measured policy (meta/device_wave.py
+        auto_device_ok: off on cpu / tunnel-relayed backends, measured-
+        dispatch gate on direct-attached parts) AND requires at least
+        device_min_cluster (48: the region size where the matmul beats
+        the host intersections on a sub-ms-dispatch part, docs/DESIGN.md
+        "measured crossovers")."""
         import os
         mode = getattr(self.cfg, "device_similarity", "auto")
         if os.environ.get("ALETSCH_DEVICE") == "0" or mode == "off":
             return False
         if mode == "on":
             return True
-        return len(self.gset) >= getattr(self.cfg, "device_min_cluster",
-                                         4096)
+        if len(self.gset) < getattr(self.cfg, "device_min_cluster", 48):
+            return False
+        from .device_wave import auto_device_ok
+        return auto_device_ok(self.cfg)
 
     def resolve(self):
         """bundle_group.cc:26-56; the clustering rounds run natively

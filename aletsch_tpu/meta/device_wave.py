@@ -135,6 +135,59 @@ def device_stats():
     return d
 
 
+_AUTO_OK = None
+
+
+def auto_device_ok(cfg):
+    """Measured 'auto' policy, shared by every device stage (greedy,
+    bridge, support, similarity).  docs/DESIGN.md 'measured crossovers':
+
+    - cpu backend: the "device" IS this host -- a dispatch only adds
+      orchestration overhead over the native drain (measured ~1-3 ms vs
+      ~0.1 ms native for a 64-graph wave) -> off;
+    - axon (tunnel-relayed chip): measured 0.13 s round-trip per warm
+      fused dispatch vs single-digit-ms host work per wave -> off;
+    - direct-attached tpu: measure one warm dispatch; engage iff it beats
+      cfg.device_auto_max_dispatch_ms (the measured host cost of the work
+      a full 64-graph dispatch replaces).
+
+    'on' bypasses this entirely (parity runs, fuzz, probes)."""
+    global _AUTO_OK
+    if _AUTO_OK is not None:
+        return _AUTO_OK
+    # Decide from configuration WITHOUT initializing a backend: calling
+    # jax.devices() here would connect shard/job worker subprocesses to
+    # the (single-tenant) tunnel chip and deadlock it -- the workers
+    # never get the test harness's cpu override (CLAUDE.md gotchas).
+    platform = ""
+    try:
+        import jax
+        platform = jax.config.jax_platforms or ""
+    except Exception:
+        pass
+    if not platform:
+        platform = os.environ.get("JAX_PLATFORMS", "")
+    platform = platform.split(",")[0].strip()
+    if platform != "tpu":       # '', cpu, axon(relay): measured off
+        _AUTO_OK = False
+        return False
+    # direct-attached accelerator: measure a warm dispatch
+    try:
+        import time
+        dev = _get_fused_device()
+        if dev is None:
+            _AUTO_OK = False
+            return False
+        t0 = time.perf_counter()
+        dev.solve(0)
+        dt = (time.perf_counter() - t0) * 1000.0
+        _AUTO_OK = dt < float(getattr(cfg, "device_auto_max_dispatch_ms",
+                                      1.0))
+    except Exception:
+        _AUTO_OK = False
+    return _AUTO_OK
+
+
 def enabled(cfg, n_groups):
     """Decide whether to run this wave through the device path."""
     mode = getattr(cfg, "device_greedy", "off")
@@ -148,22 +201,26 @@ def enabled(cfg, n_groups):
         return False
     if n_groups < getattr(cfg, "device_min_groups", 16):
         return False
+    if not auto_device_ok(cfg):
+        return False
     return native_core.native_core_available()
 
 
 def bridge_enabled(cfg):
     """Decide whether GroupRuns also pause at bridging pier-DP instances.
 
-    'auto' stays off on this host: one 64-instance dispatch moves ~1 MB
-    over the ~25 MB/s tunnel (>40 ms) while the native host DP solves the
-    same 64 instances in single-digit ms — measured in bench.py's
-    device-bridge probe.  'on' forces the device path (fuzz/parity runs,
-    directly-attached parts)."""
+    'auto' consults the measured policy (auto_device_ok): off on cpu and
+    tunnel-relayed backends (0.13 s/dispatch measured vs single-digit-ms
+    host DP), engaged on a direct-attached part whose warm dispatch beats
+    device_auto_max_dispatch_ms.  'on' forces the device path (fuzz/
+    parity runs, probes)."""
     mode = getattr(cfg, "device_bridge", "off")
     env = os.environ.get("ALETSCH_DEVICE_BRIDGE")
     if env == "0":
         return False
     if env == "1" or mode == "on":
+        return native_core.bridge_pause_available()
+    if mode == "auto" and auto_device_ok(cfg):
         return native_core.bridge_pause_available()
     return False
 
@@ -171,16 +228,18 @@ def bridge_enabled(cfg):
 def support_enabled(cfg):
     """Decide whether GroupRuns also pause at the cross-sample junction
     support reduce (ops/support.py).  Same posture as bridge_enabled:
-    'auto' == off on tunnel-attached chips (the [64,16,64] f32 batch is
-    ~256 KB up / 16 KB down per dispatch while the host sums are a few
-    microseconds per group); 'on' forces it for parity runs and
-    directly-attached parts, where the reduce rides the mesh sample axis
-    (parallel/mesh.py)."""
+    'auto' consults the measured policy (auto_device_ok; the [64,16,64]
+    f32 batch is ~256 KB up / 16 KB down per dispatch while the host sums
+    are a few microseconds per group, so only a direct-attached part with
+    a sub-ms dispatch engages); 'on' forces it for parity runs, where the
+    reduce rides the mesh sample axis (parallel/mesh.py)."""
     mode = getattr(cfg, "device_support", "off")
     env = os.environ.get("ALETSCH_DEVICE_SUPPORT")
     if env == "0":
         return False
     if env == "1" or mode == "on":
+        return native_core.support_pause_available()
+    if mode == "auto" and auto_device_ok(cfg):
         return native_core.support_pause_available()
     return False
 

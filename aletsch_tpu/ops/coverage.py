@@ -35,6 +35,25 @@ def region_stats_host(vals, lens, mask, span):
     return ave, dev, mx
 
 
+def region_stats_traced(jnp, vals, lens, mask, span, empty_defaults=True):
+    """The traced evaluate_rectangle formula, shared by the standalone
+    jit (get_region_stats_fn) and the wave step it is fused into
+    (parallel/mesh.py _step_impl -- the production mesh/dryrun path)."""
+    vm = vals * mask
+    lm = lens * mask
+    mx = jnp.max(vm, axis=1)
+    tot = jnp.sum(vm * lm, axis=1)
+    ave = jnp.where(span > 0, tot / jnp.maximum(span, 1.0), 0.0)
+    var = jnp.sum(lm * (vals - ave[:, None]) ** 2 * mask, axis=1)
+    dev = jnp.sqrt(jnp.where(span > 0, var / jnp.maximum(span, 1.0), 0.0))
+    if empty_defaults:
+        empty = jnp.sum(mask, axis=1) == 0
+        ave = jnp.where(empty, 0.0, ave)
+        dev = jnp.where(empty, 1.0, dev)
+        mx = jnp.where(empty, 0.0, mx)
+    return ave, dev, mx
+
+
 def get_region_stats_fn():
     if "fn" in _JIT:
         return _JIT["fn"]
@@ -43,18 +62,7 @@ def get_region_stats_fn():
 
     @jax.jit
     def fn(vals, lens, mask, span):
-        vm = vals * mask
-        lm = lens * mask
-        mx = jnp.max(vm, axis=1)
-        tot = jnp.sum(vm * lm, axis=1)
-        ave = jnp.where(span > 0, tot / jnp.maximum(span, 1.0), 0.0)
-        var = jnp.sum(lm * (vals - ave[:, None]) ** 2 * mask, axis=1)
-        dev = jnp.sqrt(jnp.where(span > 0, var / jnp.maximum(span, 1.0), 0.0))
-        empty = jnp.sum(mask, axis=1) == 0
-        ave = jnp.where(empty, 0.0, ave)
-        dev = jnp.where(empty, 1.0, dev)
-        mx = jnp.where(empty, 0.0, mx)
-        return ave, dev, mx
+        return region_stats_traced(jnp, vals, lens, mask, span)
 
     _JIT["fn"] = fn
     return fn

@@ -58,12 +58,10 @@ def _step_impl(jnp, jax):
         T = jax.lax.fori_loop(1, V, dp_step, T0)
         bottleneck = T[:, 0, V - 1]
 
-        vm = seg_vals * seg_mask
-        lm = seg_lens * seg_mask
-        ave = jnp.sum(vm * lm, axis=1) / jnp.maximum(span, 1.0)
-        var = jnp.sum(lm * (seg_vals - ave[:, None]) ** 2 * seg_mask, axis=1)
-        dev = jnp.sqrt(var / jnp.maximum(span, 1.0))
-        mx = jnp.max(vm, axis=1)
+        from ..ops.coverage import region_stats_traced
+        ave, dev, mx = region_stats_traced(jnp, seg_vals, seg_lens,
+                                           seg_mask, span,
+                                           empty_defaults=False)
 
         sim = jnp.dot(inc, inc.T, preferred_element_type=jnp.float32)
 

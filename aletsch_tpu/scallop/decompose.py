@@ -57,36 +57,52 @@ class Scallop:
 
     # -------------------------------------------------------------- main loop
     def assemble(self):
-        """scallop.cc:38-188"""
+        """scallop.cc:38-188.  arm_counts records which ladder rung fired
+        per iteration (the .graph fixture oracle asserts arm coverage,
+        tests/test_graph_reference.py)."""
         cfg = self.cfg
         gr_ori = self.gr.copy()
         r = cfg.max_decompose_error_ratio
+        self.arm_counts = {"broken": 0, "trivial": 0, "smallest": 0,
+                           "unsplittable": 0, "splittable": 0}
+        ac = self.arm_counts
         while True:
             if self.gr.num_vertices() > cfg.max_num_exons:
                 break
             if self.resolve_broken_vertex():
+                ac["broken"] += 1
                 continue
             if self.resolve_trivial_vertex_fast(r[TRIVIAL_VERTEX]):
+                ac["trivial"] += 1
                 continue
             if self.resolve_trivial_vertex(1, True, r[TRIVIAL_VERTEX]):
+                ac["trivial"] += 1
                 continue
             if self.resolve_smallest_edges(r[0]):
+                ac["smallest"] += 1
                 continue
             if self.resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, 1, 0.01):
+                ac["unsplittable"] += 1
                 continue
             if self.resolve_unsplittable_vertex(SPLITTABLE_PURE, 1, 0.01):
+                ac["splittable"] += 1
                 continue
             if self.resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, INT_MAX,
                                                 r[UNSPLITTABLE_SINGLE]):
+                ac["unsplittable"] += 1
                 continue
             if self.resolve_unsplittable_vertex(SPLITTABLE_PURE, INT_MAX,
                                                 r[SPLITTABLE_PURE]):
+                ac["splittable"] += 1
                 continue
             if self.resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, INT_MAX, INF):
+                ac["unsplittable"] += 1
                 continue
             if self.resolve_unsplittable_vertex(SPLITTABLE_PURE, INT_MAX, INF):
+                ac["splittable"] += 1
                 continue
             if self.resolve_trivial_vertex(2, True, r[TRIVIAL_VERTEX]):
+                ac["trivial"] += 1
                 continue
             break
         self.collect_existing_st_paths()

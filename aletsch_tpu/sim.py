@@ -103,8 +103,17 @@ def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
 # and coverage cliffs at min_subregion_gap borders.
 
 
-def make_adversarial_locus(rng, pos, prefix, kind, depth=40):
+def chain_of(exons):
+    """Intron chain of an exon list (matching tools' chain convention)."""
+    return tuple((exons[k - 1][1], exons[k][0])
+                 for k in range(1, len(exons)))
+
+
+def make_adversarial_locus(rng, pos, prefix, kind, depth=40, truth=None):
     """Return (records, span) for one adversarial locus starting near pos.
+    When `truth` (a list) is given, the locus's true intron chains are
+    appended to it as (kind, chain) pairs (tools/soak_adversarial.py's
+    per-kind recall accounting; 'cliff' contributes no chains).
 
     kind:
       'overlap'   two spliced genes on opposite strands sharing the locus
@@ -134,6 +143,9 @@ def make_adversarial_locus(rng, pos, prefix, kind, depth=40):
                                prefix=prefix + "p")
         recs += simulate_pairs(exons_m, depth, "-", rng,
                                prefix=prefix + "m")
+        if truth is not None:
+            truth.append((kind, chain_of(exons_p)))
+            truth.append((kind, chain_of(exons_m)))
         span = max(p, q) - pos
     elif kind == "xsconf":
         ne = rng.randint(3, 4)
@@ -148,6 +160,8 @@ def make_adversarial_locus(rng, pos, prefix, kind, depth=40):
         bad = simulate_pairs(exons, max(4, depth // 5), "-", rng,
                              prefix=prefix + "x")
         recs += bad
+        if truth is not None:
+            truth.append((kind, chain_of(exons)))
         span = p - pos
     elif kind == "multimap":
         ne = 3
@@ -170,6 +184,9 @@ def make_adversarial_locus(rng, pos, prefix, kind, depth=40):
             r["nh"] = 2
         recs += simulate_pairs(exons2, depth // 2, "+", rng,
                                prefix=prefix + "v")
+        if truth is not None:
+            truth.append((kind, chain_of(exons)))
+            truth.append((kind, chain_of(exons2)))
         span = exons2[-1][1] + 500 - pos
     elif kind == "cliff":
         el = rng.randint(900, 1400)

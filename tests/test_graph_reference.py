@@ -66,3 +66,77 @@ def test_fixture_decompositions_match_hand_derivation():
         sc.assemble()
         got = {tuple(p.v): p.weight for p in sc.paths}
         assert got == want, (name, got)
+
+
+# ---------------------------------------------------------------- ladder
+# 120 generated fixtures forcing each ladder arm (VERDICT r2 #4); see
+# tools/gen_ladder_fixtures.py for the constructions and the derivations.
+
+import json
+
+import pytest
+
+LADDER = os.path.join(FIXTURES, "ladder")
+
+
+def _ladder_cases():
+    exp_path = os.path.join(LADDER, "expected.json")
+    if not os.path.exists(exp_path):
+        return []
+    with open(exp_path) as fh:
+        return sorted(json.load(fh).items())
+
+
+def _load_phases(name, hs):
+    p = os.path.join(LADDER, name + ".phase")
+    if not os.path.exists(p):
+        return
+    with open(p) as fh:
+        for line in fh:
+            parts = line.split()
+            hs.add_node_list([int(v) for v in parts[1:]], int(parts[0]))
+
+
+# ladder arm -> Scallop.arm_counts key that must fire (protected pins the
+# OPPOSITE: smallest must NOT fire)
+ARM_KEY = {"trivial": "trivial", "broken": "broken",
+           "unsplittable": "unsplittable", "splittable": "splittable",
+           "smallest": "smallest"}
+
+
+@pytest.mark.parametrize("name,exp", _ladder_cases())
+def test_ladder_fixture(name, exp):
+    gr = read_graph_reference(os.path.join(LADDER, name + ".graph"))
+    gr.chrm = "1"
+    gr.gid = name
+    gr.strand = "+"
+    _stamp(gr)
+    hs = HyperSet()
+    _load_phases(name, hs)
+    sc = Scallop(gr, hs, Parameters())
+    sc.assemble()
+    got = {tuple(p.v): p.weight for p in sc.paths}
+    want = {tuple(int(v) for v in k.split(",")): w
+            for k, w in exp["paths"].items()}
+    arm = exp["arm"]
+    assert set(got) == set(want), \
+        "[arm=%s] path sets diverge: %s" % (arm, (sorted(got),
+                                                  sorted(want)))
+    if exp["exact"]:
+        for p, w in want.items():
+            assert got[p] == w, \
+                "[arm=%s] weight of %s: got %r want %r" % (arm, p,
+                                                           got[p], w)
+    else:
+        total = sum(got.values())
+        assert abs(total - exp["total"]) <= exp["slack"] + 1.0, \
+            "[arm=%s] weight conservation: sum %r vs %r (+-%r)" % (
+                arm, total, exp["total"], exp["slack"])
+    key = ARM_KEY.get(arm)
+    if arm == "protected":
+        assert sc.arm_counts["smallest"] == 0, \
+            "[arm=protected] phasing-protected edge was removed"
+    elif key:
+        assert sc.arm_counts[key] >= 1, \
+            "[arm=%s] expected ladder rung never fired: %r" % (
+                arm, sc.arm_counts)
