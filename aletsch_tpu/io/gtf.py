@@ -100,6 +100,17 @@ def gtf_source():
     return "aletsch-tpu"
 _FEATURE_GETTER = _operator.attrgetter(*FEATURE_COLUMNS)
 
+# feature columns that are ints in TrstFeatures (vertex_info.cc /
+# transcript.h:60-103 integer members); the CSV writer prints them as C++
+# `<< int` does
+FEATURE_INT_COLUMNS = {
+    "gr_vertices", "gr_edges", "gr_reads", "gr_subgraph", "num_vertices",
+    "num_edges", "max_mid_exon_len", "introns", "start_introns",
+    "end_introns", "uni_junc", "seq_min_cnt", "seq_max_cnt", "start_cnt",
+    "end_cnt", "unbridge_start_coming_count", "unbridge_end_leaving_count",
+}
+_FEATURE_IS_INT = [name in FEATURE_INT_COLUMNS for name in FEATURE_COLUMNS]
+
 
 @dataclass
 class Transcript:
@@ -127,6 +138,10 @@ class Transcript:
     count2: int = 0
     features: TrstFeatures = field(default_factory=TrstFeatures)
     exons: list = field(default_factory=list)   # list of (start, end)
+    # raw feature row (FEATURE_COLUMNS order) from the native core; when
+    # set, write_features formats it directly and the TrstFeatures dict
+    # is never materialized (the merge/replay hot path)
+    feat_row: list = None
 
     # ------------------------------------------------------------- structure
     def clone(self):
@@ -304,13 +319,16 @@ class Transcript:
             attrs += 'cov2 "%.4f"; ' % cov2
         if count >= -0.5:
             attrs += 'count "%d"; ' % count
-        fout.write("%s\t%s\ttranscript\t%d\t%d\t%d\t%s\t.\t%s\n" %
-                   (self.seqname, self.source, p1 + 1, p2, 1000, self.strand, attrs))
+        parts = ["%s\t%s\ttranscript\t%d\t%d\t%d\t%s\t.\t%s\n" %
+                 (self.seqname, self.source, p1 + 1, p2, 1000, self.strand,
+                  attrs)]
         for k, (a, b) in enumerate(self.exons):
-            fout.write('%s\t%s\texon\t%d\t%d\t%d\t%s\t.\tgene_id "%s"; '
-                       'transcript_id "%s"; exon "%d"; \n' %
-                       (self.seqname, self.source, a + 1, b, 1000, self.strand,
-                        self.gene_id, self.transcript_id, k + 1))
+            parts.append(
+                '%s\t%s\texon\t%d\t%d\t%d\t%s\t.\tgene_id "%s"; '
+                'transcript_id "%s"; exon "%d"; \n' %
+                (self.seqname, self.source, a + 1, b, 1000, self.strand,
+                 self.gene_id, self.transcript_id, k + 1))
+        fout.write("".join(parts))
 
     def write_features(self, fout):
         """51-column tab-separated feature row (transcript.cc:362-428).
@@ -324,8 +342,12 @@ class Transcript:
                 fmt % self.coverage, fmt % self.cov2,
                 fmt % self.abd, fmt % self.conf,
                 str(self.count1), str(self.count2), str(len(self.exons))]
-        cols += [(fmt % v) if isinstance(v, float) else str(v)
-                 for v in _FEATURE_GETTER(self.features)]
+        if self.feat_row is not None:
+            cols += [("%d" % int(v)) if isint else (fmt % v)
+                     for v, isint in zip(self.feat_row, _FEATURE_IS_INT)]
+        else:
+            cols += [(fmt % v) if isinstance(v, float) else str(v)
+                     for v in _FEATURE_GETTER(self.features)]
         fout.write("\t".join(cols) + "\n")
 
 

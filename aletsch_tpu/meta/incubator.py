@@ -376,35 +376,55 @@ class Incubator:
                                     {"bundles": self.stats["bundles"] - b0,
                                      "groups": self.stats["groups"] - g0})
             return
-        # Within-region overlap only: scans of samples in the SAME region
-        # run ahead on the pool while earlier samples' results assemble.
-        # (Cross-region lookahead was measured slower on few-core hosts:
-        # future-region scan threads steal GIL time from the current
-        # region's assembly — 49k -> 35k reads/s on the deep workload.)
+        # Scan pipeline with bounded CROSS-REGION lookahead: the C++
+        # scanner releases the GIL and (round 3) the per-wave assembly is
+        # one GIL-free native batch call (resolve_groups_native_mt), so
+        # prefetching the next regions' scans no longer contends with
+        # Python-heavy assembly the way it did in round 2 (49k -> 35k
+        # reads/s back then; re-measured a win now).  Results are consumed
+        # strictly in canonical (region, sample) order — determinism and
+        # outputs unchanged.
         nw = min(cfg.max_threads, 4)
         pool = self._region_pool(nw)
-        def iter_results(entries, rid):
-            # lazy: later samples scan on the pool while the caller
-            # assembles earlier samples' bundles
-            pending = deque()
-            ei = 0
-            while pending or ei < len(entries):
-                while ei < len(entries) and len(pending) <= nw:
-                    e = entries[ei]
-                    pending.append((e, pool.submit(self._generate_sample,
-                                                   e[0], e[1], rid)))
-                    ei += 1
-                e, f = pending.popleft()
-                yield e, f.result()
-
+        flat = []     # (region index, entry, rid): scans in canonical order
+        live = []     # (chrm, rid, ck, has_ckpt) in canonical region order
         for chrm, rid in regions:
             ck = self._ckpt_path(chrm, rid)
-            if ck and os.path.exists(ck) and \
-                    self._ckpt_load(ck, chrm, rid, tr):
+            has_ckpt = bool(ck) and os.path.exists(ck)
+            ri = len(live)
+            live.append((chrm, rid, ck, has_ckpt))
+            if has_ckpt:
+                continue          # no scans prefetched; loaded in order below
+            for e in self._region_entries(chrm, rid):
+                flat.append((ri, e, rid))
+        pending = deque()
+        state = {"fi": 0}
+
+        def pump():
+            while state["fi"] < len(flat) and len(pending) <= nw:
+                ri, e, rid = flat[state["fi"]]
+                pending.append((ri, e, pool.submit(
+                    self._generate_sample, e[0], e[1], rid)))
+                state["fi"] += 1
+
+        def iter_region(ri):
+            while pending and pending[0][0] == ri:
+                _, e, f = pending.popleft()
+                v = f.result()
+                pump()
+                yield e, v
+            # keep the pipe full even for regions with no live scans left
+            pump()
+
+        pump()
+        for ri, (chrm, rid, ck, has_ckpt) in enumerate(live):
+            if has_ckpt and self._ckpt_load(ck, chrm, rid, tr):
                 continue
-            entries = self._region_entries(chrm, rid)
             b0, g0 = self.stats["bundles"], self.stats["groups"]
-            rs = self.process_region(chrm, rid, iter_results(entries, rid))
+            # a corrupt checkpoint re-assembles from an inline scan (its
+            # scans were intentionally not prefetched)
+            results = None if has_ckpt else iter_region(ri)
+            rs = self.process_region(chrm, rid, results)
             tr.region_line(chrm, rid, self.stats["bundles"] - b0,
                            self.stats["groups"] - g0)
             if ck:
@@ -430,6 +450,12 @@ class Incubator:
         cfg = self.params[DEFAULT]
         if asms and device_wave.enabled(cfg, len(asms)):
             if device_wave.assemble_groups(asms, gvs, cfg):
+                return
+        if len(asms) > 1 and (os.cpu_count() or 1) > 1 \
+                and cfg.max_threads > 1:
+            from .native_core import resolve_groups_native_mt
+            nthreads = min(cfg.max_threads, os.cpu_count() or 1)
+            if resolve_groups_native_mt(asms, gvs, True, nthreads):
                 return
         for asmb, gv in zip(asms, gvs):
             asmb.resolve(gv)
@@ -508,6 +534,13 @@ class Incubator:
                                                 do_bridge=False):
                         asmb.assemble_single(bd)
                     imm_counts[bd.strand] += 1
+        # cluster every strand first, then assemble ALL strands' groups in
+        # one wave: on the host path the native batch call runs them on a
+        # C++ thread pool (resolve_groups_native_mt), on the device path
+        # the wave batch spans more groups per dispatch.  Replay order is
+        # (strand, group) — identical bytes to the per-strand loop.
+        all_asms = []
+        all_gvs = []
         for s in STRANDS:
             g = grps[s]
             if imm_counts[s] >= 1:
@@ -517,17 +550,17 @@ class Incubator:
             self.tracer.group_line(chrm, s, rid, len(g.gset), len(g.gvv))
             instance = g.num_assembled + 1
             gi = STRANDS.index(s)
-            gvs = []
-            asms = []
             for gv_idx in g.gvv:
                 gv = [g.gset[j] for j in gv_idx]
                 if len(gv) == 0:
                     continue
-                gvs.append(gv)
-                asms.append(Assembler(cfg, g.tmerge, rid, gi, instance))
+                all_gvs.append(gv)
+                all_asms.append(Assembler(cfg, g.tmerge, rid, gi, instance))
                 instance += 1
                 self.stats["groups"] += 1
-            self._assemble_groups(asms, gvs)
+        self._assemble_groups(all_asms, all_gvs)
+        for s in STRANDS:
+            g = grps[s]
             # fold region transcripts into the global per-(chrm,strand) set
             self.tts[(chrm, s)].add(g.tmerge, TRANSCRIPT_COUNT_ADD_COVERAGE_ADD)
             region_sets[s] = g.tmerge

@@ -18,14 +18,6 @@ import numpy as np
 from ..io.bam_native import _load_lib
 from ..io.gtf import FEATURE_COLUMNS, Transcript, gtf_source
 
-# feature columns that are ints in TrstFeatures (io/gtf.py:20-62)
-_INT_FEATURES = {
-    "gr_vertices", "gr_edges", "gr_reads", "gr_subgraph", "num_vertices",
-    "num_edges", "max_mid_exon_len", "introns", "start_introns",
-    "end_introns", "uni_junc", "seq_min_cnt", "seq_max_cnt", "start_cnt",
-    "end_cnt", "unbridge_start_coming_count", "unbridge_end_leaving_count",
-}
-
 CFG_NI = 9
 CFG_ND = 14
 
@@ -78,12 +70,12 @@ def _bind(lib):
         vp, ctypes.c_int64, vp, ctypes.c_int64,
         vp, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        vp, vp, vp]
+        vp, vp, vp, vp]
     if hasattr(lib, "core_preview_chunk"):
         lib.core_preview_chunk.restype = ctypes.c_int64
         lib.core_preview_chunk.argtypes = [
             ctypes.c_int32, vp, vp, vp, vp, vp, vp,
-            ctypes.c_int64, vp, vp, vp, vp]
+            ctypes.c_int64, vp, vp, vp, vp, vp]
     lib.core_cluster_groups.restype = ctypes.c_int64
     lib.core_cluster_groups.argtypes = [
         ctypes.c_int32, vpp, vp,
@@ -134,6 +126,24 @@ def _bind(lib):
         lib.core_bridge_export_at.argtypes = \
             [ctypes.c_void_p, ctypes.c_int64] + [vp] * 4 + \
             [ctypes.c_int32] * 5
+    # multithreaded batch group assembly (core_resolve_groups_mt)
+    if hasattr(lib, "core_resolve_groups_mt"):
+        lib.core_resolve_groups_mt.restype = ctypes.c_void_p
+        lib.core_resolve_groups_mt.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            vp,
+            vp,
+            vpp, vpp,
+            vpp, vp,
+            vpp, vp,
+            vpp, vp,
+            vp, vp, vp, vp, vp, vp,
+            vp, vp]
+        lib.core_batch_sizes.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                         i64p]
+        lib.core_batch_fill.argtypes = [ctypes.c_void_p,
+                                        ctypes.c_int32] + [vp] * 12
+        lib.core_batch_free.argtypes = [ctypes.c_void_p]
     # device-paused cross-sample support reduce (ops/support.py)
     if hasattr(lib, "core_support_export"):
         lib.core_support_export.restype = ctypes.c_int32
@@ -195,7 +205,7 @@ def preview_bundle_native(sb, cfg):
         sb.lpos, sb.rpos, int(fixed[0, 22]),   # strand = first hit's, like
                                                # materialize_bundle/add_hit
         ci.ctypes.data, cd.ctypes.data,
-        _preview_buf().ctypes.data)
+        _preview_buf().ctypes.data, None)
     return _preview_buf()[:int(n)].tolist()
 
 
@@ -217,6 +227,12 @@ def collect_insertsizes_chunked(reader, cfg, library_type):
     pr = scan_params(cfg, library_type)
     min_hits = int(cfg.min_num_hits_in_bundle)
     cap = cfg.max_preview_reads
+    # ALETSCH_REF_QUIRKS: persistent per-stream interval buffers replicate
+    # the reference previewer's never-flushed bundle_base buffer
+    # (core.cpp quirk_preview_buffer)
+    qbufs = None
+    if os.environ.get("ALETSCH_REF_QUIRKS") == "1":
+        qbufs = np.full(60, -1, dtype=np.int32)
     m = {}
     cnt = 0
     capped_epoch = None
@@ -232,7 +248,8 @@ def collect_insertsizes_chunked(reader, cfg, library_type):
             nb, meta.ctypes.data, fixed.ctypes.data, coords.ctypes.data,
             mev.ctypes.data, iev.ctypes.data, frgs.ctypes.data,
             min_hits, ci.ctypes.data, cd.ctypes.data,
-            out_d.ctypes.data, cnts.ctypes.data)
+            out_d.ctypes.data, cnts.ctypes.data,
+            None if qbufs is None else qbufs.ctypes.data)
         dlist = out_d[:int(total)].tolist()
         epochs = meta[:, 9].tolist()
         clist = cnts.tolist()
@@ -610,6 +627,103 @@ def finish_group_native(asmb, gv, out):
         bd.clear()
 
 
+def batch_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_resolve_groups_mt")
+
+
+def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):
+    """Assemble every group of a region wave in ONE native call running on
+    a C++ thread pool (core_resolve_groups_mt): group-level parallelism
+    without any GIL handoff — Python-side pool threading of the ~2-3 ms
+    per-group calls was a measured loss (incubator._assemble_groups
+    notes).  Returns True when handled (replays + clears bundles in group
+    order, byte-identical to the serial path), False when any group is
+    ineligible (caller falls back)."""
+    if not batch_available():
+        return False
+    for asmb, gv in zip(asms, gvs):
+        if not eligible(asmb, gv):
+            return False
+    lib = _load_lib()
+    n_groups = len(gvs)
+    tot = sum(len(gv) for gv in gvs)
+    grp_nb = np.asarray([len(gv) for gv in gvs], dtype=np.int32)
+    nh = np.empty(tot, dtype=np.int32)
+    fixed_p = (ctypes.c_void_p * tot)()
+    coords_p = (ctypes.c_void_p * tot)()
+    mev_p = (ctypes.c_void_p * tot)()
+    iev_p = (ctypes.c_void_p * tot)()
+    frg_p = (ctypes.c_void_p * tot)()
+    mev_cnt = np.empty(tot, dtype=np.int64)
+    iev_cnt = np.empty(tot, dtype=np.int64)
+    frg_cnt = np.empty(tot, dtype=np.int64)
+    sid = np.empty(tot, dtype=np.int32)
+    strand = np.empty(tot, dtype=np.int32)
+    lpos = np.empty(tot, dtype=np.int64)
+    rpos = np.empty(tot, dtype=np.int64)
+    ilow = np.empty(tot, dtype=np.int64)
+    ihigh = np.empty(tot, dtype=np.int64)
+    cfg_i = np.empty((tot + n_groups) * CFG_NI, dtype=np.int64)
+    cfg_d = np.empty((tot + n_groups) * CFG_ND, dtype=np.float64)
+    _empty = np.zeros(2, dtype=np.int32)
+    _keep = [_empty]
+
+    def slot(pp, cnt, b, a, pairs):
+        if a.size == 0:
+            a = _empty
+        elif not a.flags.c_contiguous or a.dtype != np.int32:
+            a = np.ascontiguousarray(a, dtype=np.int32)
+            _keep.append(a)
+        pp[b] = a.ctypes.data
+        if cnt is not None:
+            cnt[b] = a.size // 2 if pairs else a.size
+
+    b = 0
+    c = 0
+    for asmb, gv in zip(asms, gvs):
+        for bd in gv:
+            nh[b] = bd._scan_fixed.shape[0]
+            slot(fixed_p, None, b, bd._scan_fixed, False)
+            slot(coords_p, None, b, bd._scan_coords, False)
+            slot(mev_p, mev_cnt, b, bd._scan_mev, True)
+            slot(iev_p, iev_cnt, b, bd._scan_iev, True)
+            slot(frg_p, frg_cnt, b, bd._scan_frgs, True)
+            sid[b] = bd.sp.sample_id
+            strand[b] = ord(bd.strand)
+            lpos[b] = bd.lpos
+            rpos[b] = bd.rpos
+            ilow[b] = bd.sp.insertsize_low
+            ihigh[b] = bd.sp.insertsize_high
+            ci, cd = _cfg_arrays(bd.cfg)
+            cfg_i[c * CFG_NI:(c + 1) * CFG_NI] = ci
+            cfg_d[c * CFG_ND:(c + 1) * CFG_ND] = cd
+            b += 1
+            c += 1
+        ci, cd = _cfg_arrays(asmb.cfg)
+        cfg_i[c * CFG_NI:(c + 1) * CFG_NI] = ci
+        cfg_d[c * CFG_ND:(c + 1) * CFG_ND] = cd
+        c += 1
+    h = lib.core_resolve_groups_mt(
+        n_groups, int(nthreads), 1 if do_bridge else 0,
+        grp_nb.ctypes.data, nh.ctypes.data,
+        fixed_p, coords_p,
+        mev_p, mev_cnt.ctypes.data,
+        iev_p, iev_cnt.ctypes.data,
+        frg_p, frg_cnt.ctypes.data,
+        sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
+        rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
+        cfg_i.ctypes.data, cfg_d.ctypes.data)
+    del _keep
+    for g, (asmb, gv) in enumerate(zip(asms, gvs)):
+        out = _fetch_out(lib, h,
+                         lambda hh, s3, g=g: lib.core_batch_sizes(hh, g, s3),
+                         lambda hh, *a, g=g: lib.core_batch_fill(hh, g, *a))
+        finish_group_native(asmb, gv, out)
+    lib.core_batch_free(h)
+    return True
+
+
 def resolve_group_native(asmb, gv, do_bridge):
     """Run the whole group assembly natively and replay the transcript-set
     adds exactly as Assembler.assemble_graph would.  Returns True when
@@ -652,9 +766,6 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
     feats = feats.tolist()
     g_gid = ["instance.%d.%d.%d.%d.0" % (asmb.rid, asmb.gid, asmb.instance,
                                          int(g_sub[g])) for g in range(ng)]
-    conv = [int if name in _INT_FEATURES else float
-            for name in FEATURE_COLUMNS]
-    names = FEATURE_COLUMNS
     for k in range(nt):
         g = t_group[k]
         t = Transcript()
@@ -675,9 +786,9 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
         t.exons = [(int(exons[eoff + 2 * x]), int(exons[eoff + 2 * x + 1]))
                    for x in range(nx)]
         eoff += 2 * nx
-        row = feats[k * nf:(k + 1) * nf]
-        t.features.__dict__.update(
-            (names[j], conv[j](row[j])) for j in range(nf))
+        # raw row; write_features formats it directly (io/gtf.py), so the
+        # TrstFeatures dict never materializes on this hot path
+        t.feat_row = feats[k * nf:(k + 1) * nf]
         per_group[g].append(t)
     mode = TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
     skip_se = cfg.skip_single_exon_transcripts

@@ -117,8 +117,12 @@ def production_bench():
     from tools.refbuild.baseline import build_cohort
     base = "/tmp/refbase_g%d_s%d" % (PROD_GENES, PROD_SAMPLES)
     lst, _ = build_cohort(base, PROD_GENES, PROD_SAMPLES)
+    import resource
+    r0 = resource.getrusage(resource.RUSAGE_SELF)
     bundles, dt, n_trst, dstat = run_pipeline(base, lst, sub="bench_ours",
                                               reps=1)
+    r1 = resource.getrusage(resource.RUSAGE_SELF)
+    cpu_s = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
     rate = bundles / dt if dt > 0 else 0.0
     # measured reference baseline on the identical cohort
     ref = None
@@ -140,12 +144,17 @@ def production_bench():
     return {
         "bundles": bundles,
         "wall_s": round(dt, 2),
+        "cpu_s": round(cpu_s, 1),
         "bundles_per_s": round(rate, 1),
         "transcripts": n_trst,
         "ref_wall_s": None if ref is None else ref["ref_wall_s"],
+        "ref_cpu_s": None if ref is None else ref.get("ref_cpu_s"),
         "ref_bundles_per_s": None if ref_rate is None
         else round(ref_rate, 1),
         "vs_reference_10t": None if vs is None else round(vs, 3),
+        "cpu_efficiency_vs_ref": None
+        if ref is None or not ref.get("ref_cpu_s") or cpu_s <= 0
+        else round(ref["ref_cpu_s"] / cpu_s, 2),
         "device_stats": {k: round(v, 4) if isinstance(v, float) else v
                          for k, v in dstat.items()},
     }

@@ -9,7 +9,9 @@
 
 #include "core_scallop.h"
 
+#include <atomic>
 #include <functional>
+#include <thread>
 
 namespace core {
 
@@ -780,6 +782,94 @@ void* core_resolve_group(
     return out;
 }
 
+// ---- multithreaded batch: assemble MANY groups in one call on a native
+//      thread pool (no GIL involvement; the per-group ~2-3 ms ctypes
+//      crossing and Python future overhead made pool-threading the
+//      per-group calls a measured loss on the 2-core host).  All
+//      bundle-level arrays are the per-group arrays CONCATENATED in
+//      group order (grp_nb[g] bundles per group); cfg arrays are the
+//      per-group (nb_g + 1) blocks concatenated.  Outputs are one
+//      CoreOut per group, fetched in group order (determinism).
+
+struct BatchOut {
+    std::vector<core::CoreOut> outs;
+};
+
+void* core_resolve_groups_mt(
+    i32 n_groups, i32 nthreads, i32 do_bridge,
+    const i32* grp_nb,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls) {
+    BatchOut* bo = new BatchOut();
+    bo->outs.resize(n_groups);
+    std::vector<size_t> boff(n_groups + 1, 0);   // bundle offsets
+    std::vector<size_t> coff(n_groups + 1, 0);   // cfg block offsets
+    for (i32 g = 0; g < n_groups; g++) {
+        boff[g + 1] = boff[g] + (size_t)grp_nb[g];
+        coff[g + 1] = coff[g] + (size_t)grp_nb[g] + 1;
+    }
+    std::atomic<i32> next(0);
+    auto work = [&]() {
+        for (;;) {
+            i32 g = next.fetch_add(1);
+            if (g >= n_groups) return;
+            size_t b = boff[g], c = coff[g];
+            core::GroupRun* run = make_group_run(
+                grp_nb[g], do_bridge, nh + b, fixed_p + b, coords_p + b,
+                mev_p + b, mev_cnt + b, iev_p + b, iev_cnt + b,
+                frg_p + b, frg_cnt + b, sample_id + b, strand + b,
+                lpos + b, rpos + b, ins_low + b, ins_high + b,
+                cfg_ints + c * core::CFG_NI, cfg_dbls + c * core::CFG_ND,
+                0, 0, 0);
+            run->advance();
+            bo->outs[g] = std::move(run->out);
+            delete run;
+        }
+    };
+    if (nthreads <= 1 || n_groups <= 1) {
+        work();
+    } else {
+        int k = nthreads < n_groups ? nthreads : n_groups;
+        std::vector<std::thread> ts;
+        for (int i = 1; i < k; i++) ts.emplace_back(work);
+        work();
+        for (auto& t : ts) t.join();
+    }
+    return bo;
+}
+
+void core_batch_sizes(void* h, i32 g, i64* out3) {
+    core::CoreOut& o = ((BatchOut*)h)->outs[g];
+    out3[0] = (i64)o.g_sid.size();
+    out3[1] = (i64)o.t_group.size();
+    out3[2] = (i64)o.exons.size();
+}
+
+void core_out_fill(void* h, i32* g_sid, i32* g_subindex,
+                   i32* t_group, i32* t_pathi, i32* t_strand,
+                   i64* t_count1, double* t_cov, double* t_conf,
+                   double* t_abd, i32* t_nexons, i64* exons, double* feats);
+
+void core_batch_fill(void* h, i32 g, i32* g_sid, i32* g_subindex,
+                     i32* t_group, i32* t_pathi, i32* t_strand,
+                     i64* t_count1, double* t_cov, double* t_conf,
+                     double* t_abd, i32* t_nexons, i64* exons,
+                     double* feats) {
+    core_out_fill(&((BatchOut*)h)->outs[g], g_sid, g_subindex, t_group,
+                  t_pathi, t_strand, t_count1, t_cov, t_conf, t_abd,
+                  t_nexons, exons, feats);
+}
+
+void core_batch_free(void* h) { delete (BatchOut*)h; }
+
 // ---- device-paused group assembly (wave-batched greedy DP on the TPU;
 //      orchestrated by aletsch_tpu/meta/native_core.py + ops/greedy_dp.py)
 
@@ -1098,16 +1188,56 @@ i64 core_cluster_groups(
     return ng;
 }
 
+// Quirks-mode previewer coverage (ALETSCH_REF_QUIRKS): the reference's
+// previewer never flushes the bundle interval buffer -- add_buf_intervals
+// (bundle_base.cc:160-174) is only called by the generator
+// (meta/generator.cc:208), and bundle_base::clear() leaves interval_buf /
+// interval_cnt untouched -- so each preview bundle's mmap is missing its
+// per-slot TAIL runs and inherits the PREVIOUS bundle's leftovers
+// (flushed into the current mmap on slot mismatch, add_intervals
+// bundle_base.cc:106-158).  q = 10 slots x (s, p, cnt), persistent per
+// stream across the whole preview scan (caller-owned, -1 initialized).
+// mm == nullptr advances the buffer without recording (bundles process()
+// would skip still mutate the buffer in the reference).
+static void quirk_preview_buffer(const i32* fixed, i64 nh,
+                                 const i32* coords, i32* q,
+                                 core::CoverageMap* mm) {
+    for (i64 j = 0; j < nh; j++) {
+        const i32* row = fixed + 25 * j;
+        i64 off = row[17];
+        i64 m = row[18];
+        for (i64 z = 0; z < m; z++) {
+            i32 s = coords[off + 2 * z];
+            i32 p = coords[off + 2 * z + 1];
+            if (z >= 10) {                   // INTERVAL_BUF_SIZE
+                if (mm) mm->add(s, p, 1);
+                continue;
+            }
+            i32* qs = q + 3 * z;
+            if (qs[0] == s && qs[1] == p) {
+                qs[2]++;
+                continue;
+            }
+            if (qs[0] != -1 && qs[1] != -1 && qs[2] > 0 && mm)
+                mm->add(qs[0], qs[1], qs[2]);
+            qs[0] = s;
+            qs[1] = p;
+            qs[2] = 1;
+        }
+    }
+}
+
 // previewer._process (meta/previewer.py:392-423, previewer.cc:252-305):
 // one preview bundle -> up to 1000 fragment inner distances.  Returns the
 // number of distances written to out_d (== the processed-cluster count).
+// qbuf != NULL replicates the reference's unflushed-buffer coverage.
 i64 core_preview_bundle(
     i32 nh, const i32* fixed, const i32* coords,
     const i32* mev, i64 mev_cnt, const i32* iev, i64 iev_cnt,
     const i32* frgs, i64 frg_cnt,
     i64 lpos, i64 rpos, i32 strand,
     const i64* cfg_ints, const double* cfg_dbls,
-    i64* out_d) {
+    i64* out_d, i32* qbuf) {
     core::Bundle bd;
     bd.cfg = core::cfg_from_arrays(cfg_ints, cfg_dbls);
     bd.strand = (char)strand;
@@ -1116,6 +1246,10 @@ i64 core_preview_bundle(
     bd.rpos = rpos;
     bd.init_from_scan(fixed, nh, coords, mev, mev_cnt, iev, iev_cnt,
                       frgs, frg_cnt);
+    if (qbuf != nullptr) {
+        bd.mmap.clear();
+        quirk_preview_buffer(fixed, nh, coords, qbuf, &bd.mmap);
+    }
     core::SpliceGraph gr;
     core::GraphBuilder(bd, bd.cfg).build(gr);
     gr.build_vertex_index();
@@ -1155,13 +1289,17 @@ i64 core_preview_chunk(
     const i32* mev, const i32* iev, const i32* frgs,
     i64 min_hits,
     const i64* cfg_ints, const double* cfg_dbls,
-    i64* out_d, i64* out_cnt) {
+    i64* out_d, i64* out_cnt, i32* qbufs) {
     i64 ro = 0, co = 0, mo = 0, io = 0, fo = 0;
     i64 total = 0;
     for (i32 b = 0; b < nb; b++) {
         const i64* m = meta + (size_t)b * 12;
         i64 n = m[4];
         i64 cl = m[6], ml = m[7], il = m[8], fl = m[10];
+        // per-stream persistent buffer (quirks mode); the reference's
+        // buffer advances for EVERY bundle, including ones process()
+        // skips
+        i32* qb = qbufs == nullptr ? nullptr : qbufs + 30 * (m[0] & 1);
         if (n >= min_hits && n <= 20000 && m[1] >= 0) {
             i32 strand = fixed[ro * 25 + 22];
             out_cnt[b] = core_preview_bundle(
@@ -1169,10 +1307,13 @@ i64 core_preview_chunk(
                 mev + mo, ml / 2, iev + io, il / 2,
                 frgs + fo, fl / 2,
                 m[2], m[3], strand,
-                cfg_ints, cfg_dbls, out_d + total);
+                cfg_ints, cfg_dbls, out_d + total, qb);
             total += out_cnt[b];
         } else {
             out_cnt[b] = 0;
+            if (qb != nullptr)
+                quirk_preview_buffer(fixed + ro * 25, n, coords + co, qb,
+                                     nullptr);
         }
         ro += n; co += cl; mo += ml; io += il; fo += fl;
     }

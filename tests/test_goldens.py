@@ -41,13 +41,6 @@ def test_golden_byte_parity_quirks(name, tmp_path, monkeypatch):
     golden = os.path.join(GOLDEN_DIR, name, "ref_meta.gtf")
     if not os.path.exists(golden):
         pytest.skip("golden not generated")
-    if name == "adversarial2":
-        # known residual: at mixed-strand 'overlap' loci one sample's
-        # decomposed path WEIGHTS differ from the reference by ~1%
-        # (chains/bounds/ids identical; under investigation -- see
-        # tools/refbuild/compare.py report); chain parity is asserted by
-        # test_golden_chain_parity
-        pytest.xfail("coverage-only residual at mixed-strand loci")
     monkeypatch.setenv("ALETSCH_REF_QUIRKS", "1")
     d = str(tmp_path)
     bams, protos = COHORTS[name](d)

@@ -77,8 +77,22 @@ def main():
     print("cohort ready (%.0fs, %d new records)" % (time.time() - t0, nrec),
           file=sys.stderr, flush=True)
 
+    # warm the page cache for BOTH runs (the first reader of the freshly
+    # written ~1.4 GB of BAMs otherwise pays cold-cache IO: measured
+    # 21.6s -> 11.4s for the reference between cold and warm)
+    for b in open(lst):
+        with open(b.split()[0], "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    # the reference opens its outputs in APPEND mode (sample_profile.cc:
+    # 121,137): clean stale outputs or re-runs accumulate transcripts
+    import shutil
     ref_out = os.path.join(base, "ref")
+    shutil.rmtree(ref_out, ignore_errors=True)
     os.makedirs(os.path.join(ref_out, "gtf"), exist_ok=True)
+    import resource
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t0 = time.time()
     with open(os.path.join(ref_out, "log.txt"), "w") as log:
         subprocess.run([binary, "-i", lst, "-o",
@@ -86,18 +100,26 @@ def main():
                         os.path.join(ref_out, "gtf"), "-t", "10"],
                        stdout=log, stderr=subprocess.STDOUT, check=True)
     ref_wall = time.time() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    ref_cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
     print("reference -t 10: %.1fs" % ref_wall, file=sys.stderr, flush=True)
 
     our_out = os.path.join(base, "ours")
+    shutil.rmtree(our_out, ignore_errors=True)
     os.makedirs(os.path.join(our_out, "gtf"), exist_ok=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    env.pop("PYTHONDONTWRITEBYTECODE", None)
+    env.setdefault("PYTHONPYCACHEPREFIX", "/tmp/aletsch_pycache")
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t0 = time.time()
     subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst, "-o",
                     os.path.join(our_out, "meta.gtf"), "-d",
                     os.path.join(our_out, "gtf"), "--verbose", "0"],
                    check=True, env=env)
     our_wall = time.time() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    our_cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
     print("ours: %.1fs" % our_wall, file=sys.stderr, flush=True)
 
     from tools.refbuild.compare import parse_gtf
@@ -110,6 +132,9 @@ def main():
         "ref_wall_s": round(ref_wall, 1),
         "our_wall_s": round(our_wall, 1),
         "speedup_vs_ref10t": round(ref_wall / our_wall, 2),
+        "ref_cpu_s": round(ref_cpu, 1),
+        "our_cpu_s": round(our_cpu, 1),
+        "cpu_efficiency_vs_ref": round(ref_cpu / our_cpu, 2),
         "ref_chains": len(ref),
         "our_chains": len(ours),
         "matched_chains": both,

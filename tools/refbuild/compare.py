@@ -134,6 +134,8 @@ def run_ours(d, lst, quirks=False):
     meta = os.path.join(out, "meta.gtf")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
+    env.pop("PYTHONDONTWRITEBYTECODE", None)
+    env.setdefault("PYTHONPYCACHEPREFIX", "/tmp/aletsch_pycache")
     if quirks:
         env["ALETSCH_REF_QUIRKS"] = "1"
     subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst, "-o",
