@@ -343,13 +343,14 @@ def _marshal_group(asmb, gv, do_bridge):
         pp = (ctypes.c_void_p * n)()
         cnt = np.empty(n, dtype=np.int64)
         for i, a in enumerate(arrs):
-            if a.size == 0:
-                a = _empty
+            sz = a.size                # BEFORE the placeholder swap: an
+            if sz == 0:                # empty frgs array must count as 0
+                a = _empty             # pairs, not as one phantom (0,0)
             elif not a.flags.c_contiguous or a.dtype != np.int32:
                 a = np.ascontiguousarray(a, dtype=np.int32)
                 _keep.append(a)
             pp[i] = a.ctypes.data
-            cnt[i] = a.size // 2 if pairs else a.size
+            cnt[i] = sz // 2 if pairs else sz
         return pp, cnt
 
     fixed_p, _ = ptrs([bd._scan_fixed for bd in gv], False)
@@ -670,14 +671,15 @@ def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):
     _keep = [_empty]
 
     def slot(pp, cnt, b, a, pairs):
-        if a.size == 0:
-            a = _empty
+        sz = a.size                    # BEFORE the placeholder swap: an
+        if sz == 0:                    # empty frgs array must count as 0
+            a = _empty                 # pairs, not as one phantom (0,0)
         elif not a.flags.c_contiguous or a.dtype != np.int32:
             a = np.ascontiguousarray(a, dtype=np.int32)
             _keep.append(a)
         pp[b] = a.ctypes.data
         if cnt is not None:
-            cnt[b] = a.size // 2 if pairs else a.size
+            cnt[b] = sz // 2 if pairs else sz
 
     b = 0
     c = 0

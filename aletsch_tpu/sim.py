@@ -89,7 +89,8 @@ def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
                                        sum(l for op, l in r["cigar"])))
     with BamWriter(path, list(names), list(lengths)) as w:
         for r in recs:
-            w.write_rec(r["qname"], r["flag"], r.get("tid", 0), r["pos"], 60,
+            w.write_rec(r["qname"], r["flag"], r.get("tid", 0), r["pos"],
+                        r.get("mapq", 60),
                         r["cigar"], mtid=r.get("mtid", r.get("tid", 0)),
                         mpos=r["mpos"], isize=r["isize"],
                         xs=r.get("xs", "."), nh=r.get("nh", 1))

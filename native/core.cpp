@@ -664,6 +664,23 @@ struct GroupRun {
                     ga->transform(*bd, true, g);
                     g.reads = (i64)bd->frgs.size();
                     g.subgraph = (i64)gv.size();
+                    if (getenv("DBG_BUNDLE") && bd->hits.size() <= 3) {
+                        fprintf(stderr, "BUNDLE sample=%d nhits=%zu nfrgs=%zu"
+                                " lpos=%lld rpos=%lld strand=%c\n",
+                                bd->sample_id, bd->hits.size(),
+                                bd->frgs.size(), (long long)bd->lpos,
+                                (long long)bd->rpos, bd->strand);
+                        for (const HitRow& h : bd->hits)
+                            fprintf(stderr, "  HIT pos=%lld rpos=%lld "
+                                    "mpos=%lld isize=%lld hid=%lld\n",
+                                    (long long)h.pos, (long long)h.rpos,
+                                    (long long)h.mpos, (long long)h.isize,
+                                    (long long)h.hid);
+                        for (const auto& f : bd->frgs)
+                            fprintf(stderr, "  FRG %lld %lld %lld\n",
+                                    (long long)f[0], (long long)f[1],
+                                    (long long)f[2]);
+                    }
                     collect_support(g, bd->sample_id);
                     subidx.push_back(si);
                 }
