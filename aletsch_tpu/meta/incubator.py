@@ -165,6 +165,11 @@ class Incubator:
             with tr.phase("write-output"):
                 self.postprocess()
         tr.counters["bundles"] = self.stats["bundles"]
+        if self.verbose >= 1:
+            from .native_core import stats as ncs
+            print("[aletsch] native-mt: marshal %.2fs launch %.2fs "
+                  "replay %.2fs" % (ncs["mt_marshal_s"], ncs["mt_native_s"],
+                                    ncs["mt_replay_s"]), file=sys.stderr)
         tr.summary()
 
     # ---------------------------------------------------------------- inputs
@@ -417,20 +422,41 @@ class Incubator:
             pump()
 
         pump()
+        # one-region software pipeline: start(r) consumes scans + clusters
+        # + LAUNCHES the native wave async (meta/native_core.py MtJob),
+        # then finish(r-1) replays the previous wave's transcripts while
+        # r's C++ workers assemble — the replay/merge Python that used to
+        # serialize the wall now hides under GIL-free native time.
+        prev = None     # (started region, ck, chrm, rid, nbundles, ngroups)
+
+        def flush_prev():
+            nonlocal prev
+            if prev is None:
+                return
+            pr, ck, chrm, rid, nb, ng = prev
+            prev = None
+            rs = self._region_finish(pr)
+            tr.region_line(chrm, rid, nb, ng)
+            if ck:
+                self._ckpt_save(ck, rs, {"bundles": nb, "groups": ng})
+
         for ri, (chrm, rid, ck, has_ckpt) in enumerate(live):
-            if has_ckpt and self._ckpt_load(ck, chrm, rid, tr):
-                continue
+            if has_ckpt:
+                # checkpoint loads fold into the global transcript sets:
+                # keep that in region order w.r.t. in-flight waves
+                flush_prev()
+                if self._ckpt_load(ck, chrm, rid, tr):
+                    continue
             b0, g0 = self.stats["bundles"], self.stats["groups"]
             # a corrupt checkpoint re-assembles from an inline scan (its
             # scans were intentionally not prefetched)
             results = None if has_ckpt else iter_region(ri)
-            rs = self.process_region(chrm, rid, results)
-            tr.region_line(chrm, rid, self.stats["bundles"] - b0,
-                           self.stats["groups"] - g0)
-            if ck:
-                self._ckpt_save(ck, rs,
-                                {"bundles": self.stats["bundles"] - b0,
-                                 "groups": self.stats["groups"] - g0})
+            pr = self._region_start(chrm, rid, results)
+            nb = self.stats["bundles"] - b0
+            ng = self.stats["groups"] - g0
+            flush_prev()
+            prev = (pr, ck, chrm, rid, nb, ng)
+        flush_prev()
 
     def _assemble_groups(self, asms, gvs):
         """Assemble one strand's groups in order.
@@ -498,8 +524,15 @@ class Incubator:
         results, when given, is the prefetched [((sid, tid), bundles)] list
         (resolve() pipelines the scans of upcoming regions on the thread
         pool while this region assembles)."""
+        return self._region_finish(self._region_start(chrm, rid, results))
+
+    def _region_start(self, chrm, rid, results=None):
+        """Front half of process_region: consume scans, group, cluster,
+        and LAUNCH the wave's native assembly (async when eligible).
+        Returns the pending-region record for _region_finish; with an
+        async launch the native pool assembles this region while the
+        caller replays the previous one (GIL-free overlap)."""
         cfg = self.params[DEFAULT]
-        region_sets = {}
         grps = {s: BundleGroup(chrm, s, rid, cfg, self.sindex)
                 for s in STRANDS}
         ts_imm = {s: new_transcript_set(chrm, rid, cfg) for s in STRANDS}
@@ -558,7 +591,30 @@ class Incubator:
                 all_asms.append(Assembler(cfg, g.tmerge, rid, gi, instance))
                 instance += 1
                 self.stats["groups"] += 1
-        self._assemble_groups(all_asms, all_gvs)
+        job = None
+        if all_asms and "_assemble_groups" not in self.__dict__ \
+                and not device_wave.enabled(cfg, len(all_asms)) \
+                and len(all_asms) > 1 and (os.cpu_count() or 1) > 1 \
+                and cfg.max_threads > 1:
+            from .native_core import launch_groups_native_mt
+            # leave one core for the Python thread the pool overlaps with
+            # (replay/merge of the previous wave + the next wave's scans);
+            # a full-width pool oversubscribes and was measured slower
+            nthreads = max(1, min(cfg.max_threads, os.cpu_count() or 1) - 1)
+            job = launch_groups_native_mt(all_asms, all_gvs, True, nthreads)
+        return (chrm, rid, grps, all_asms, all_gvs, job)
+
+    def _region_finish(self, pending):
+        """Back half of process_region: join (or run) the wave's group
+        assembly, then fold the region transcript sets into the global
+        per-(chrm, strand) sets.  Replay is in (strand, group) order —
+        bytes identical to the unsplit process_region."""
+        chrm, rid, grps, all_asms, all_gvs, job = pending
+        if job is not None:
+            job.join()
+        else:
+            self._assemble_groups(all_asms, all_gvs)
+        region_sets = {}
         for s in STRANDS:
             g = grps[s]
             # fold region transcripts into the global per-(chrm,strand) set

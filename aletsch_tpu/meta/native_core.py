@@ -144,6 +144,15 @@ def _bind(lib):
         lib.core_batch_fill.argtypes = [ctypes.c_void_p,
                                         ctypes.c_int32] + [vp] * 12
         lib.core_batch_free.argtypes = [ctypes.c_void_p]
+    # async form: launch returns a job handle at once (the C++ job copies
+    # every small index array; only the scanner payloads must stay alive),
+    # join blocks until the pool drains and returns the BatchOut handle
+    if hasattr(lib, "core_resolve_groups_mt_async"):
+        lib.core_resolve_groups_mt_async.restype = ctypes.c_void_p
+        lib.core_resolve_groups_mt_async.argtypes = \
+            lib.core_resolve_groups_mt.argtypes
+        lib.core_batch_join.restype = ctypes.c_void_p
+        lib.core_batch_join.argtypes = [ctypes.c_void_p]
     # device-paused cross-sample support reduce (ops/support.py)
     if hasattr(lib, "core_support_export"):
         lib.core_support_export.restype = ctypes.c_int32
@@ -324,7 +333,8 @@ def eligible(asmb, gv):
 
 # dispatch statistics (tests assert the native path actually fires; a
 # silently broken eligibility check would otherwise just slow-path forever)
-stats = {"native_groups": 0, "fallback_groups": 0}
+stats = {"native_groups": 0, "fallback_groups": 0,
+         "mt_native_s": 0.0, "mt_replay_s": 0.0, "mt_marshal_s": 0.0}
 
 
 def _marshal_group(asmb, gv, do_bridge):
@@ -633,19 +643,11 @@ def batch_available():
     return lib is not None and hasattr(lib, "core_resolve_groups_mt")
 
 
-def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):
-    """Assemble every group of a region wave in ONE native call running on
-    a C++ thread pool (core_resolve_groups_mt): group-level parallelism
-    without any GIL handoff — Python-side pool threading of the ~2-3 ms
-    per-group calls was a measured loss (incubator._assemble_groups
-    notes).  Returns True when handled (replays + clears bundles in group
-    order, byte-identical to the serial path), False when any group is
-    ineligible (caller falls back)."""
-    if not batch_available():
-        return False
-    for asmb, gv in zip(asms, gvs):
-        if not eligible(asmb, gv):
-            return False
+def _marshal_batch(asms, gvs, do_bridge, nthreads):
+    """Build the core_resolve_groups_mt[_async] argument tuple.  Returns
+    (call_args, keep): `keep` holds contiguous copies the C++ workers read
+    from — an async caller must keep it (plus the bundles) alive until
+    core_batch_join."""
     lib = _load_lib()
     n_groups = len(gvs)
     tot = sum(len(gv) for gv in gvs)
@@ -706,24 +708,112 @@ def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):
         cfg_i[c * CFG_NI:(c + 1) * CFG_NI] = ci
         cfg_d[c * CFG_ND:(c + 1) * CFG_ND] = cd
         c += 1
-    h = lib.core_resolve_groups_mt(
-        n_groups, int(nthreads), 1 if do_bridge else 0,
-        grp_nb.ctypes.data, nh.ctypes.data,
-        fixed_p, coords_p,
-        mev_p, mev_cnt.ctypes.data,
-        iev_p, iev_cnt.ctypes.data,
-        frg_p, frg_cnt.ctypes.data,
-        sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
-        rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
-        cfg_i.ctypes.data, cfg_d.ctypes.data)
-    del _keep
+    _keep.extend((grp_nb, nh, mev_cnt, iev_cnt, frg_cnt, sid, strand,
+                  lpos, rpos, ilow, ihigh, cfg_i, cfg_d,
+                  fixed_p, coords_p, mev_p, iev_p, frg_p))
+    args = (n_groups, int(nthreads), 1 if do_bridge else 0,
+            grp_nb.ctypes.data, nh.ctypes.data,
+            fixed_p, coords_p,
+            mev_p, mev_cnt.ctypes.data,
+            iev_p, iev_cnt.ctypes.data,
+            frg_p, frg_cnt.ctypes.data,
+            sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
+            rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
+            cfg_i.ctypes.data, cfg_d.ctypes.data)
+    return args, _keep
+
+
+def _batch_eligible(asms, gvs):
+    if not batch_available():
+        return False
+    for asmb, gv in zip(asms, gvs):
+        if not eligible(asmb, gv):
+            return False
+    return True
+
+
+def _replay_batch(lib, h, asms, gvs):
+    """Fetch + replay every group's outputs in group order, then free."""
     for g, (asmb, gv) in enumerate(zip(asms, gvs)):
         out = _fetch_out(lib, h,
                          lambda hh, s3, g=g: lib.core_batch_sizes(hh, g, s3),
                          lambda hh, *a, g=g: lib.core_batch_fill(hh, g, *a))
         finish_group_native(asmb, gv, out)
     lib.core_batch_free(h)
+
+
+def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):
+    """Assemble every group of a region wave in ONE native call running on
+    a C++ thread pool (core_resolve_groups_mt): group-level parallelism
+    without any GIL handoff — Python-side pool threading of the ~2-3 ms
+    per-group calls was a measured loss (incubator._assemble_groups
+    notes).  Returns True when handled (replays + clears bundles in group
+    order, byte-identical to the serial path), False when any group is
+    ineligible (caller falls back)."""
+    if not _batch_eligible(asms, gvs):
+        return False
+    import time as _time
+    _t0 = _time.perf_counter()
+    lib = _load_lib()
+    args, _keep = _marshal_batch(asms, gvs, do_bridge, nthreads)
+    _t1 = _time.perf_counter()
+    stats["mt_marshal_s"] += _t1 - _t0
+    h = lib.core_resolve_groups_mt(*args)
+    del _keep
+    _t2 = _time.perf_counter()
+    stats["mt_native_s"] += _t2 - _t1
+    _replay_batch(lib, h, asms, gvs)
+    stats["mt_replay_s"] += _time.perf_counter() - _t2
     return True
+
+
+class MtJob:
+    """An in-flight async batch (core_resolve_groups_mt_async): the
+    incubator overlaps region r's native assembly with region r-1's
+    Python-side replay (meta/incubator.py pipelined waves).  Holds the
+    bundles and the marshalling copies alive until join()."""
+    __slots__ = ("jh", "asms", "gvs", "_keep")
+
+    def __init__(self, jh, asms, gvs, keep):
+        self.jh = jh
+        self.asms = asms
+        self.gvs = gvs
+        self._keep = keep
+
+    def join(self):
+        """Block until the pool drains, then replay in group order —
+        byte-identical to resolve_groups_native_mt."""
+        import time as _time
+        lib = _load_lib()
+        _t0 = _time.perf_counter()
+        h = lib.core_batch_join(self.jh)
+        self.jh = None
+        self._keep = None
+        _t1 = _time.perf_counter()
+        stats["mt_native_s"] += _t1 - _t0
+        _replay_batch(lib, h, self.asms, self.gvs)
+        stats["mt_replay_s"] += _time.perf_counter() - _t1
+
+
+def async_batch_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_resolve_groups_mt_async")
+
+
+def launch_groups_native_mt(asms, gvs, do_bridge, nthreads):
+    """Start the whole wave's group assembly on the native pool and return
+    an MtJob immediately (None when any group is native-ineligible).  The
+    caller MUST call .join() before reading any transcript set the wave
+    writes into."""
+    if not async_batch_available() or not _batch_eligible(asms, gvs):
+        return None
+    import time as _time
+    _t0 = _time.perf_counter()
+    lib = _load_lib()
+    args, keep = _marshal_batch(asms, gvs, do_bridge, nthreads)
+    jh = lib.core_resolve_groups_mt_async(*args)
+    stats["mt_marshal_s"] += _time.perf_counter() - _t0
+    return MtJob(jh, asms, gvs, keep)
 
 
 def resolve_group_native(asmb, gv, do_bridge):

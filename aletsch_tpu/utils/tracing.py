@@ -45,16 +45,20 @@ class Tracer:
     @contextmanager
     def phase(self, name):
         t = time.perf_counter()
+        c = time.process_time()
         if self.verbose >= 1:
             print("[aletsch] %s ..." % name, file=self.stream)
         try:
             yield
         finally:
             dt = time.perf_counter() - t
+            dc = time.process_time() - c
             self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
             if self.verbose >= 1:
-                print("[aletsch] %s done in %.2fs (rss %.0f MB)"
-                      % (name, dt, rss_mb()), file=self.stream)
+                print("[aletsch] %s done in %.2fs (cpu %.2fs = %.2f cores, "
+                      "rss %.0f MB)"
+                      % (name, dt, dc, dc / dt if dt > 0 else 0.0,
+                         rss_mb()), file=self.stream)
 
     # --------------------------------------------------------------- counters
     def add(self, key, n=1):

@@ -812,6 +812,106 @@ struct BatchOut {
     std::vector<core::CoreOut> outs;
 };
 
+// A launched batch: owns COPIES of every small per-bundle index array (the
+// ctypes pointer tables and scalar arrays on the Python side are
+// function-local and die at return), so the caller only needs to keep the
+// big scanner data arrays (fixed/coords/mev/iev/frg payloads) alive until
+// core_batch_join.  Used both synchronously (core_resolve_groups_mt) and
+// asynchronously (core_resolve_groups_mt_async + core_batch_join) — the
+// async form lets the incubator overlap region r's native assembly with
+// region r-1's Python-side replay (meta/incubator.py pipelined waves).
+struct BatchJob {
+    BatchOut* bo = nullptr;
+    std::vector<std::thread> ts;
+    i32 n_groups = 0, do_bridge = 0;
+    std::vector<i32> grp_nb, nh, sample_id, strand;
+    std::vector<const i32*> fixed_p, coords_p, mev_p, iev_p, frg_p;
+    std::vector<i64> mev_cnt, iev_cnt, frg_cnt, lpos, rpos,
+                     ins_low, ins_high, cfg_ints;
+    std::vector<double> cfg_dbls;
+    std::vector<size_t> boff, coff;
+    std::atomic<i32> next{0};
+
+    void work() {
+        for (;;) {
+            i32 g = next.fetch_add(1);
+            if (g >= n_groups) return;
+            size_t b = boff[g], c = coff[g];
+            core::GroupRun* run = make_group_run(
+                grp_nb[g], do_bridge, nh.data() + b, fixed_p.data() + b,
+                coords_p.data() + b,
+                mev_p.data() + b, mev_cnt.data() + b,
+                iev_p.data() + b, iev_cnt.data() + b,
+                frg_p.data() + b, frg_cnt.data() + b,
+                sample_id.data() + b, strand.data() + b,
+                lpos.data() + b, rpos.data() + b,
+                ins_low.data() + b, ins_high.data() + b,
+                cfg_ints.data() + c * core::CFG_NI,
+                cfg_dbls.data() + c * core::CFG_ND,
+                0, 0, 0);
+            run->advance();
+            bo->outs[g] = std::move(run->out);
+            delete run;
+        }
+    }
+};
+
+static BatchJob* make_batch_job(
+    i32 n_groups, i32 do_bridge,
+    const i32* grp_nb,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls) {
+    BatchJob* job = new BatchJob();
+    job->bo = new BatchOut();
+    job->bo->outs.resize(n_groups);
+    job->n_groups = n_groups;
+    job->do_bridge = do_bridge;
+    job->boff.assign(n_groups + 1, 0);
+    job->coff.assign(n_groups + 1, 0);
+    for (i32 g = 0; g < n_groups; g++) {
+        job->boff[g + 1] = job->boff[g] + (size_t)grp_nb[g];
+        job->coff[g + 1] = job->coff[g] + (size_t)grp_nb[g] + 1;
+    }
+    size_t nb = job->boff[n_groups], nc = job->coff[n_groups];
+    job->grp_nb.assign(grp_nb, grp_nb + n_groups);
+    job->nh.assign(nh, nh + nb);
+    job->sample_id.assign(sample_id, sample_id + nb);
+    job->strand.assign(strand, strand + nb);
+    job->fixed_p.assign(fixed_p, fixed_p + nb);
+    job->coords_p.assign(coords_p, coords_p + nb);
+    job->mev_p.assign(mev_p, mev_p + nb);
+    job->iev_p.assign(iev_p, iev_p + nb);
+    job->frg_p.assign(frg_p, frg_p + nb);
+    job->mev_cnt.assign(mev_cnt, mev_cnt + nb);
+    job->iev_cnt.assign(iev_cnt, iev_cnt + nb);
+    job->frg_cnt.assign(frg_cnt, frg_cnt + nb);
+    job->lpos.assign(lpos, lpos + nb);
+    job->rpos.assign(rpos, rpos + nb);
+    job->ins_low.assign(ins_low, ins_low + nb);
+    job->ins_high.assign(ins_high, ins_high + nb);
+    job->cfg_ints.assign(cfg_ints, cfg_ints + nc * core::CFG_NI);
+    job->cfg_dbls.assign(cfg_dbls, cfg_dbls + nc * core::CFG_ND);
+    return job;
+}
+
+static void batch_job_spawn(BatchJob* job, i32 nthreads, bool run_inline) {
+    int k = 1;
+    if (nthreads > 1 && job->n_groups > 1)
+        k = nthreads < job->n_groups ? nthreads : job->n_groups;
+    int spawn = run_inline ? k - 1 : k;
+    for (int i = 0; i < spawn; i++)
+        job->ts.emplace_back([job]() { job->work(); });
+    if (run_inline) job->work();
+}
+
 void* core_resolve_groups_mt(
     i32 n_groups, i32 nthreads, i32 do_bridge,
     const i32* grp_nb,
@@ -825,41 +925,47 @@ void* core_resolve_groups_mt(
     const i64* lpos, const i64* rpos,
     const i64* ins_low, const i64* ins_high,
     const i64* cfg_ints, const double* cfg_dbls) {
-    BatchOut* bo = new BatchOut();
-    bo->outs.resize(n_groups);
-    std::vector<size_t> boff(n_groups + 1, 0);   // bundle offsets
-    std::vector<size_t> coff(n_groups + 1, 0);   // cfg block offsets
-    for (i32 g = 0; g < n_groups; g++) {
-        boff[g + 1] = boff[g] + (size_t)grp_nb[g];
-        coff[g + 1] = coff[g] + (size_t)grp_nb[g] + 1;
-    }
-    std::atomic<i32> next(0);
-    auto work = [&]() {
-        for (;;) {
-            i32 g = next.fetch_add(1);
-            if (g >= n_groups) return;
-            size_t b = boff[g], c = coff[g];
-            core::GroupRun* run = make_group_run(
-                grp_nb[g], do_bridge, nh + b, fixed_p + b, coords_p + b,
-                mev_p + b, mev_cnt + b, iev_p + b, iev_cnt + b,
-                frg_p + b, frg_cnt + b, sample_id + b, strand + b,
-                lpos + b, rpos + b, ins_low + b, ins_high + b,
-                cfg_ints + c * core::CFG_NI, cfg_dbls + c * core::CFG_ND,
-                0, 0, 0);
-            run->advance();
-            bo->outs[g] = std::move(run->out);
-            delete run;
-        }
-    };
-    if (nthreads <= 1 || n_groups <= 1) {
-        work();
-    } else {
-        int k = nthreads < n_groups ? nthreads : n_groups;
-        std::vector<std::thread> ts;
-        for (int i = 1; i < k; i++) ts.emplace_back(work);
-        work();
-        for (auto& t : ts) t.join();
-    }
+    BatchJob* job = make_batch_job(
+        n_groups, do_bridge, grp_nb, nh, fixed_p, coords_p, mev_p, mev_cnt,
+        iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
+        ins_low, ins_high, cfg_ints, cfg_dbls);
+    batch_job_spawn(job, nthreads, true);
+    for (auto& t : job->ts) t.join();
+    BatchOut* bo = job->bo;
+    delete job;
+    return bo;
+}
+
+// async form: spawn nthreads workers and return immediately; the caller
+// must keep the scanner payload arrays alive until core_batch_join, which
+// joins the workers and returns the BatchOut handle (pass to
+// core_batch_sizes/fill/free as usual).
+void* core_resolve_groups_mt_async(
+    i32 n_groups, i32 nthreads, i32 do_bridge,
+    const i32* grp_nb,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls) {
+    BatchJob* job = make_batch_job(
+        n_groups, do_bridge, grp_nb, nh, fixed_p, coords_p, mev_p, mev_cnt,
+        iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
+        ins_low, ins_high, cfg_ints, cfg_dbls);
+    batch_job_spawn(job, nthreads, false);
+    return job;
+}
+
+void* core_batch_join(void* jh) {
+    BatchJob* job = (BatchJob*)jh;
+    for (auto& t : job->ts) t.join();
+    BatchOut* bo = job->bo;
+    delete job;
     return bo;
 }
 
