@@ -520,8 +520,9 @@ def greedy_consume_fused(gh, ws_row, paths_row, npaths, maxv, trust):
     the next pause kind."""
     lib = _load_lib()
     pm = np.ascontiguousarray(paths_row, dtype=np.uint8)
+    ws = np.ascontiguousarray(ws_row, dtype=np.float64)
     gh.pause_kind = int(lib.core_greedy_consume_fused(
-        gh.h, ws_row.ctypes.data, pm.ctypes.data, int(npaths), maxv,
+        gh.h, ws.ctypes.data, pm.ctypes.data, int(npaths), maxv,
         0 if trust else 1, fused_stats.ctypes.data))
     return gh.pause_kind
 
@@ -535,6 +536,8 @@ def greedy_export(gh, Wrow, maxv):
 
 def greedy_step(gh, table_row):
     lib = _load_lib()
+    # raw ctypes.data: the row must be dense (relay device views are not)
+    table_row = np.ascontiguousarray(table_row, dtype=np.float32)
     gh.pause_kind = int(lib.core_greedy_step(gh.h, table_row.ctypes.data))
     return gh.pause_kind
 
@@ -581,6 +584,10 @@ def bridge_step(gh, ostk, par, pix, K, S):
     """Feed one instance's device results ([T,K,S] stacks + [V,K] parent /
     entry-index tables) back; returns the next pause kind."""
     lib = _load_lib()
+    # raw ctypes.data: rows must be dense (relay device views are not)
+    ostk = np.ascontiguousarray(ostk, dtype=np.int32)
+    par = np.ascontiguousarray(par, dtype=np.int32)
+    pix = np.ascontiguousarray(pix, dtype=np.int32)
     gh.pause_kind = int(lib.core_bridge_step(
         gh.h, ostk.ctypes.data, par.ctypes.data, pix.ctypes.data,
         par.shape[0], ostk.shape[0], int(K), int(S)))
@@ -605,6 +612,8 @@ def support_export(gh, jw_row):
 def support_step(gh, sums_row):
     """Feed the [J] f32 device sums back; returns the next pause kind."""
     lib = _load_lib()
+    # raw ctypes.data: the row must be dense (relay device views are not)
+    sums_row = np.ascontiguousarray(sums_row, dtype=np.float32)
     gh.pause_kind = int(lib.core_support_step(gh.h, sums_row.ctypes.data))
     return gh.pause_kind
 

@@ -195,9 +195,15 @@ class DeviceBridge:
         args, _ = shard_args(args, [], self.stats)
         ostk, par, pix = self.fn(*args)
         account_out((ostk, par, pix), self.stats)
-        ostk = np.asarray(ostk)
-        par = np.asarray(par)
-        pix = np.asarray(pix)
+        # ascontiguousarray, not asarray: this chip's backend exposes
+        # device buffers as NON-C-contiguous numpy views (TPU tiled
+        # layout, e.g. strides (256, 20480, 4096) for [T, K, S] i32), and
+        # the native consumer reads raw ctypes.data as dense row-major —
+        # a plain view would feed it scrambled tables (byte-divergence
+        # found by the incubator-mesh dryrun, round 3).
+        ostk = np.ascontiguousarray(ostk)
+        par = np.ascontiguousarray(par)
+        pix = np.ascontiguousarray(pix)
         self.stats["bridge_device_time"] += time.perf_counter() - t0
         self.stats["bridge_dispatches"] += 1
         self.stats["bridge_instances"] += nrows

@@ -104,7 +104,10 @@ class DeviceGreedy:
 
         import jax.numpy as jnp
         t0 = time.perf_counter()
-        out = np.asarray(self.fn(jnp.asarray(self.W)))
+        # ascontiguousarray: the native consumer reads each table row via
+        # raw ctypes.data; the relay backend can hand back non-C-contiguous
+        # device views (TPU tiled layout, see ops/bridge_topk.py)
+        out = np.ascontiguousarray(self.fn(jnp.asarray(self.W)))
         self.stats["device_time"] += time.perf_counter() - t0
         self.stats["dispatches"] += 1
         self.stats["graphs"] += nrows

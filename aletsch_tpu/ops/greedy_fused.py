@@ -270,7 +270,11 @@ class DeviceGreedyFused:
             paths, ws, npaths = self.fn(*args)
             npaths.block_until_ready()
         account_out((paths, ws, npaths), self.stats)
-        return np.asarray(paths), np.asarray(ws), np.asarray(npaths)
+        # ascontiguousarray: the relay backend exposes device buffers as
+        # non-C-contiguous numpy views (TPU tiled layout) and the native
+        # consumer reads rows via raw ctypes.data (see ops/bridge_topk.py)
+        return (np.ascontiguousarray(paths), np.ascontiguousarray(ws),
+                np.ascontiguousarray(npaths))
 
     def solve(self, nrows):
         """(paths [n,MAXP,V] bool, ws [n,MAXP] f64, npaths [n] i32)."""

@@ -80,7 +80,9 @@ class DeviceSupport:
         args, _ = shard_args([jnp.asarray(self.jw)], [], self.stats)
         out = self.fn(*args)
         account_out((out,), self.stats)
-        out = np.asarray(out)
+        # ascontiguousarray: rows feed native support_step via raw
+        # ctypes.data (non-C-contiguous relay views, see ops/bridge_topk.py)
+        out = np.ascontiguousarray(out)
         self.stats["support_device_time"] += time.perf_counter() - t0
         self.stats["support_dispatches"] += 1
         self.stats["support_groups"] += nrows

@@ -1443,4 +1443,89 @@ i64 core_preview_chunk(
     return total;
 }
 
+// ---- debug: FNV-1a over a GroupRun's mutable assembly state.  Used to
+//      bisect platform-divergence bugs (found round 3's non-contiguous
+//      relay-view corruption); kept behind the C ABI for future triage.
+static void dbg_mix(uint64_t& x, const void* p, size_t n) {
+    const uint8_t* b = (const uint8_t*)p;
+    for (size_t i = 0; i < n; i++) { x ^= b[i]; x *= 1099511628211ULL; }
+}
+static void dbg_chainset(uint64_t& x, const core::ChainSet& cs) {
+    for (const auto& g : cs.chains)
+        for (const auto& it : g) {
+            dbg_mix(x, it.v.data(), it.v.size() * sizeof(i64));
+            dbg_mix(x, it.c, sizeof(it.c));
+        }
+}
+static void dbg_graph(uint64_t& x, const core::SpliceGraph& gr) {
+    int n = (int)gr.vinfo.size();
+    dbg_mix(x, &n, sizeof(n));
+    for (int v = 0; v < n; v++) {
+        dbg_mix(x, &gr.vinfo[v].lpos, sizeof(i64));
+        dbg_mix(x, &gr.vinfo[v].rpos, sizeof(i64));
+        dbg_mix(x, &gr.vwrt[v], sizeof(double));
+        for (core::GEdge* e = gr.vout[v].head; e; e = e->onext) {
+            dbg_mix(x, &e->s, sizeof(int));
+            dbg_mix(x, &e->t, sizeof(int));
+            dbg_mix(x, &e->wrt, sizeof(double));
+        }
+    }
+}
+static void dbg_bundle(uint64_t& x, const core::Bundle& bd) {
+    dbg_mix(x, &bd.tid, sizeof(bd.tid));
+    dbg_mix(x, &bd.lpos, sizeof(bd.lpos));
+    dbg_mix(x, &bd.rpos, sizeof(bd.rpos));
+    dbg_mix(x, &bd.strand, 1);
+    for (const auto& f : bd.frgs) dbg_mix(x, f.data(), 3 * sizeof(i64));
+    dbg_chainset(x, bd.hcst);
+    dbg_chainset(x, bd.fcst);
+    dbg_mix(x, bd.mmap.events.data(), bd.mmap.events.size() * sizeof(i64));
+}
+static void dbg_bpath(uint64_t& x, const core::BridgePath& p) {
+    dbg_mix(x, &p.type, sizeof(p.type));
+    dbg_mix(x, &p.score, sizeof(p.score));
+    dbg_mix(x, p.stack.data(), p.stack.size() * sizeof(i64));
+    dbg_mix(x, p.v.data(), p.v.size() * sizeof(int));
+    dbg_mix(x, p.chain.data(), p.chain.size() * sizeof(i64));
+    dbg_mix(x, p.whole.data(), p.whole.size() * sizeof(i64));
+    dbg_mix(x, &p.strand, sizeof(p.strand));
+    dbg_mix(x, &p.choices, sizeof(p.choices));
+}
+i64 core_debug_hash2(void* h) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    uint64_t x = 1469598103934665603ULL;
+    for (auto& enp : r->brq) {
+        core::GroupRun::BridgeEntry& en = *enp;
+        if (!en.bs) continue;
+        core::BridgeSolver& bs = *en.bs;
+        i64 ii = (i64)bs.inst_i, ni = (i64)bs.insts.size();
+        dbg_mix(x, &ii, sizeof(ii));
+        dbg_mix(x, &ni, sizeof(ni));
+        for (auto& in : bs.insts) dbg_mix(x, &in, sizeof(in));
+        for (auto& pr : bs.piers) {
+            dbg_mix(x, &pr.bs, sizeof(pr.bs));
+            dbg_mix(x, &pr.bt, sizeof(pr.bt));
+            for (auto& p : pr.bridges) dbg_bpath(x, p);
+        }
+        for (auto& p : bs.opt) dbg_bpath(x, p);
+    }
+    i64 bi = (i64)r->brq_i;
+    dbg_mix(x, &bi, sizeof(bi));
+    return (i64)x;
+}
+i64 core_debug_hash(void* h) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    uint64_t x = 1469598103934665603ULL;
+    for (auto& bp : r->bundles) dbg_bundle(x, *bp);
+    dbg_bundle(x, r->bx);
+    dbg_graph(x, r->gx);
+    for (auto& gp : r->grv) dbg_graph(x, *gp);
+    if (r->br_cb) dbg_bundle(x, *r->br_cb);
+    if (r->br_gx) dbg_graph(x, *r->br_gx);
+    if (r->sc_gr) dbg_graph(x, *r->sc_gr);
+    dbg_mix(x, &r->phase, sizeof(r->phase));
+    dbg_mix(x, &r->bphase, sizeof(r->bphase));
+    return (i64)x;
+}
+
 }  // extern "C"
