@@ -7,6 +7,11 @@ Multi-host extension (region sharding, see parallel/distributed.py):
   --shard <h> <H> --shard_dump <path>   assemble shard h of H, dump sets
   --merge_shards <p1,p2,...>            merge shard dumps, write outputs
   --jobs <N>                            single-host N-process execution
+  --jax_dist <pid> <P> <host:port>      jax.distributed process group: this
+                                        process assembles shard pid of P and
+                                        the shard payloads ride collectives
+                                        (parallel/jaxdist.py); process 0
+                                        writes the merged outputs
 """
 
 import sys
@@ -20,11 +25,15 @@ def _extract_shard_args(argv):
     dump = None
     merge = None
     jobs = None
+    jaxdist = None
     out = []
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a == "--shard":
+        if a == "--jax_dist":
+            jaxdist = (int(argv[i + 1]), int(argv[i + 2]), argv[i + 3])
+            i += 4
+        elif a == "--shard":
             shard = (int(argv[i + 1]), int(argv[i + 2]))
             i += 3
         elif a == "--shard_dump":
@@ -39,7 +48,7 @@ def _extract_shard_args(argv):
         else:
             out.append(a)
             i += 1
-    return out, shard, dump, merge, jobs
+    return out, shard, dump, merge, jobs, jaxdist
 
 
 def main(argv=None):
@@ -47,10 +56,14 @@ def main(argv=None):
     if len(argv) == 0:
         print_help()
         return 0
-    argv, shard, dump, merge, jobs = _extract_shard_args(argv)
+    argv, shard, dump, merge, jobs, jaxdist = _extract_shard_args(argv)
     params = parse_all(argv)
     from .constants import DEFAULT
     cfg = params[DEFAULT]
+    if jaxdist is not None:
+        from .parallel.jaxdist import run_jax_distributed
+        run_jax_distributed(params, jaxdist[0], jaxdist[1], jaxdist[2])
+        return 0
     if merge is not None:
         from .parallel.distributed import merge_shards
         merge_shards(params, merge)

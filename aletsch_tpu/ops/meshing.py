@@ -28,7 +28,11 @@ def get_mesh():
     _CACHE["checked"] = True
     try:
         import jax
-        devs = jax.devices()
+        # Local devices only: under jax.distributed each process drives its
+        # own region shard, so wave batches shard over the process-local
+        # devices; the cross-process axis is the transcript-set all-gather
+        # (parallel/jaxdist.py).  Single-process: local == global.
+        devs = jax.local_devices()
         if len(devs) <= 1:
             return None
         from jax.sharding import Mesh, NamedSharding, PartitionSpec

@@ -55,21 +55,21 @@ def run_region_shard(params, host_id, n_hosts, dump_path):
     return inc
 
 
-def merge_shards(params, dump_paths):
-    """Merge per-host transcript sets and write the final outputs.
+def merge_payloads(params, payloads):
+    """Merge per-host shard payloads and write the final outputs.
 
     The merge is the same commutative TranscriptSet union the single-host
     postprocess performs (transcript_set.cc merge-join), keyed and ordered
-    deterministically.
+    deterministically.  `payloads` is a list of dicts as produced by
+    run_region_shard — regardless of whether they arrived via dump files
+    or a jax.distributed all-gather (parallel/jaxdist.py).
     """
     inc = Incubator(params)
     inc.read_bam_list()
     inc.build_sample_index()
     inc.init_transcript_sets()
     n_samples = None
-    for path in dump_paths:
-        with open(path, "rb") as fh:
-            payload = pickle.load(fh)
+    for payload in payloads:
         n_samples = payload["n_samples"]
         for key, ts in sorted(payload["tts"].items()):
             if key not in inc.tts:
@@ -83,3 +83,12 @@ def merge_shards(params, dump_paths):
         inc.samples.pop()
     inc.postprocess()
     return inc
+
+
+def merge_shards(params, dump_paths):
+    """File-dump flavor of the merge (each path = one host's pickle)."""
+    payloads = []
+    for path in dump_paths:
+        with open(path, "rb") as fh:
+            payloads.append(pickle.load(fh))
+    return merge_payloads(params, payloads)

@@ -1,0 +1,85 @@
+"""jax.distributed multi-process execution: live payloads over collectives.
+
+The reference is a single process; its cross-sample state is shared memory
+guarded by mutexes (meta/incubator.cc:523-611, SURVEY §2.8).  The TPU-native
+scale-out replaces that with SPMD processes joined by a JAX process group:
+
+  1. every process calls jax.distributed.initialize() against one
+     coordinator (DCN analogue: the gloo/TCP backend on CPU hosts, ICI/DCN
+     on real TPU pods);
+  2. each process assembles a disjoint region shard of the (chrm, region)
+     grid over ALL samples (parallel/distributed.py::region_shard_filter,
+     so per-locus combined-graph inputs are identical to a 1-host run);
+  3. the per-shard transcript sets — the pipeline's own live output state,
+     not captures — are pickled to uint8 tensors and exchanged with TWO
+     collectives: an all-gather of lengths, then an all-gather of the
+     padded byte tensors (jax.experimental.multihost_utils rides
+     jit+NamedSharding over the global process mesh);
+  4. process 0 merges with the same deterministic TranscriptSet union the
+     single-host postprocess uses and writes all outputs; the result is
+     bitwise identical to 1-process execution (tests/test_jaxdist.py).
+
+Within each process the wave batches still shard over the process-LOCAL
+device mesh (ops/meshing.py); this module adds the cross-process axis.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+from .distributed import merge_payloads, region_shard_filter
+from ..meta.incubator import Incubator
+
+
+def _allgather_bytes(payload, np_mod=None):
+    """All-gather one bytes blob per process; returns list[bytes] ordered by
+    process id.  Two collectives: int64 lengths, then padded uint8 bodies."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    n = jax.process_count()
+    ln = jnp.asarray([len(payload)], dtype=jnp.int64)
+    lens = np.asarray(multihost_utils.process_allgather(ln)).reshape(n)
+    m = int(lens.max())
+    buf = np.zeros((max(m, 1),), np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(buf)))
+    gathered = gathered.reshape(n, -1)
+    return [gathered[p, : lens[p]].tobytes() for p in range(n)]
+
+
+def run_jax_distributed(params, process_id, num_processes,
+                        coordinator="127.0.0.1:19761"):
+    """Run this process's region shard under jax.distributed; process 0
+    merges the all-gathered shard payloads and writes the outputs.
+
+    Multi-process on one TPU chip would deadlock the single-tenant relay
+    (and two processes sharing a chip is never the deployment shape), so
+    the compute platform is forced to CPU here unless the environment
+    explicitly claims real per-process accelerators.
+    """
+    import jax
+
+    if os.environ.get("ALETSCH_JAXDIST_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ALETSCH_JAXDIST_PLATFORM"])
+    else:
+        jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    try:
+        inc = Incubator(
+            params, region_filter=region_shard_filter(process_id, num_processes))
+        inc.resolve(write_outputs=False)
+        payload = pickle.dumps(
+            {"tts": inc.tts, "n_samples": len(inc.samples), "stats": inc.stats},
+            protocol=4)
+        blobs = _allgather_bytes(payload)
+        if process_id == 0:
+            return merge_payloads(params, [pickle.loads(b) for b in blobs])
+        return inc
+    finally:
+        jax.distributed.shutdown()
