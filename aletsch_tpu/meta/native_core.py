@@ -259,22 +259,34 @@ def collect_insertsizes_chunked(reader, cfg, library_type):
             min_hits, ci.ctypes.data, cd.ctypes.data,
             out_d.ctypes.data, cnts.ctypes.data,
             None if qbufs is None else qbufs.ctypes.data)
-        dlist = out_d[:int(total)].tolist()
-        epochs = meta[:, 9].tolist()
-        clist = cnts.tolist()
-        off = 0
+        # Vectorized replay of the per-bundle loop (the Python histogram
+        # loop was ~1.7 s of the 2.2 s profiling phase at production
+        # scale).  Semantics preserved exactly: bundles are taken in order;
+        # once the running distance count crosses `cap` at bundle b, only
+        # bundles sharing b's epoch are taken until the first mismatch.
+        epochs = meta[:, 9]
+        take = nb                    # bundles accepted from this chunk
         stop = False
-        for b in range(nb):
-            if capped_epoch is not None and epochs[b] != capped_epoch:
+        if capped_epoch is not None:
+            ne = np.nonzero(epochs != capped_epoch)[0]
+            if ne.size:
+                take = int(ne[0])
                 stop = True
-                break
-            c = clist[b]
-            for d in dlist[off:off + c]:
-                m[d] = m.get(d, 0) + 1
-            off += c
-            cnt += c
-            if capped_epoch is None and cnt >= cap:
-                capped_epoch = epochs[b]
+        if not stop and capped_epoch is None:
+            ccum = np.cumsum(cnts[:take])
+            bcap = int(np.searchsorted(ccum, cap - cnt))
+            if bcap < take:
+                capped_epoch = int(epochs[bcap])
+                ne = np.nonzero(epochs[bcap + 1:take] != capped_epoch)[0]
+                if ne.size:
+                    take = bcap + 1 + int(ne[0])
+                    stop = True
+        naccept = int(cnts[:take].sum())
+        if naccept:
+            vals, vcnts = np.unique(out_d[:naccept], return_counts=True)
+            for v, c in zip(vals.tolist(), vcnts.tolist()):
+                m[v] = m.get(v, 0) + c
+            cnt += naccept
         if stop:
             gen.close()
             break
