@@ -146,12 +146,18 @@ class Transcript:
     # ------------------------------------------------------------- structure
     def clone(self):
         """Independent copy (exons are immutable pairs; features are flat).
-        Equivalent to copy.deepcopy but ~50x cheaper on the merge hot path
-        (transcript_set TransItem per-sample copies)."""
-        import copy as _copy
-        t = _copy.copy(self)
-        t.features = _copy.copy(self.features)
-        t.exons = list(self.exons)
+        __new__ + __dict__ copy instead of copy.copy: skips the
+        __reduce_ex__ protocol machinery on the merge hot path
+        (transcript_set TransItem per-sample copies, one per replayed
+        transcript at production scale)."""
+        t = Transcript.__new__(Transcript)
+        d = t.__dict__
+        d.update(self.__dict__)
+        f = self.features
+        if f is not None:
+            import copy as _copy
+            d["features"] = _copy.copy(f)
+        d["exons"] = list(self.exons)
         return t
 
     def add_exon(self, s, t):

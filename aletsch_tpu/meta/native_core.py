@@ -879,29 +879,38 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
     feats = feats.tolist()
     g_gid = ["instance.%d.%d.%d.%d.0" % (asmb.rid, asmb.gid, asmb.instance,
                                          int(g_sub[g])) for g in range(ng)]
+    # __new__ + template dict instead of the dataclass __init__: skips
+    # field-default evaluation (incl. a throwaway TrstFeatures) per
+    # transcript; features stays None on this path — feat_row carries the
+    # 51 columns and write_features formats it directly (io/gtf.py)
+    tmpl = Transcript().__dict__.copy()
+    tmpl["seqname"] = chrm
+    tmpl["source"] = gtf_source()
+    tmpl["features"] = None
+    tmpl["count2"] = 1
+    new_t = Transcript.__new__
     for k in range(nt):
         g = t_group[k]
-        t = Transcript()
-        t.seqname = chrm
-        t.source = gtf_source()
+        t = new_t(Transcript)
+        d = t.__dict__
+        d.update(tmpl)
         gid = g_gid[g]
-        t.gene_id = gid
-        t.transcript_id = "chr%s.%s.%d" % (chrm, gid, t_pathi[k])
-        t.meta_tid = t.transcript_id
-        t.strand = chr(t_strand[k])
-        t.coverage = t_cov[k]
-        t.cov2 = t_cov[k]
-        t.conf = t_conf[k]
-        t.abd = t_abd[k]
-        t.count1 = t_count1[k]
-        t.count2 = 1
+        d["gene_id"] = gid
+        tid = "chr%s.%s.%d" % (chrm, gid, t_pathi[k])
+        d["transcript_id"] = tid
+        d["meta_tid"] = tid
+        d["strand"] = chr(t_strand[k])
+        cov = t_cov[k]
+        d["coverage"] = cov
+        d["cov2"] = cov
+        d["conf"] = t_conf[k]
+        d["abd"] = t_abd[k]
+        d["count1"] = t_count1[k]
         nx = t_nexons[k]
-        t.exons = [(int(exons[eoff + 2 * x]), int(exons[eoff + 2 * x + 1]))
-                   for x in range(nx)]
+        d["exons"] = [(int(exons[eoff + 2 * x]),
+                       int(exons[eoff + 2 * x + 1])) for x in range(nx)]
         eoff += 2 * nx
-        # raw row; write_features formats it directly (io/gtf.py), so the
-        # TrstFeatures dict never materializes on this hot path
-        t.feat_row = feats[k * nf:(k + 1) * nf]
+        d["feat_row"] = feats[k * nf:(k + 1) * nf]
         per_group[g].append(t)
     mode = TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
     skip_se = cfg.skip_single_exon_transcripts
