@@ -110,6 +110,10 @@ FEATURE_INT_COLUMNS = {
     "end_cnt", "unbridge_start_coming_count", "unbridge_end_leaving_count",
 }
 _FEATURE_IS_INT = [name in FEATURE_INT_COLUMNS for name in FEATURE_COLUMNS]
+# one-shot row formats for write_features (feat_row fast path)
+_ROW_HEAD_FMT = "%s\t%s\t%s\t%.6g\t%.6g\t%.6g\t%.6g\t%d\t%d\t%d\t"
+_FEAT_ROW_FMT = "\t".join("%d" if isint else "%.6g"
+                          for isint in _FEATURE_IS_INT) + "\n"
 
 
 @dataclass
@@ -342,18 +346,24 @@ class Transcript:
         Floats use C++ `ostream << double` default formatting (6
         significant digits, general form) -- byte-compatible with the
         reference binary's CSVs, which the published Zenodo RF model was
-        trained on (score.py reads these columns)."""
+        trained on (score.py reads these columns).  One %-tuple format per
+        row segment instead of ~51 per-column format calls (this is the
+        hot line of the output phase at production scale; %d on a float
+        truncates toward zero exactly like the previous int() cast)."""
+        if self.feat_row is not None:
+            fout.write(_ROW_HEAD_FMT % (
+                self.transcript_id, self.meta_tid, self.seqname,
+                self.coverage, self.cov2, self.abd, self.conf,
+                self.count1, self.count2, len(self.exons)))
+            fout.write(_FEAT_ROW_FMT % tuple(self.feat_row))
+            return
         fmt = "%.6g"
         cols = [self.transcript_id, self.meta_tid, self.seqname,
                 fmt % self.coverage, fmt % self.cov2,
                 fmt % self.abd, fmt % self.conf,
                 str(self.count1), str(self.count2), str(len(self.exons))]
-        if self.feat_row is not None:
-            cols += [("%d" % int(v)) if isint else (fmt % v)
-                     for v, isint in zip(self.feat_row, _FEATURE_IS_INT)]
-        else:
-            cols += [(fmt % v) if isinstance(v, float) else str(v)
-                     for v in _FEATURE_GETTER(self.features)]
+        cols += [(fmt % v) if isinstance(v, float) else str(v)
+                 for v in _FEATURE_GETTER(self.features)]
         fout.write("\t".join(cols) + "\n")
 
 

@@ -144,6 +144,11 @@ def _bind(lib):
         lib.core_batch_fill.argtypes = [ctypes.c_void_p,
                                         ctypes.c_int32] + [vp] * 12
         lib.core_batch_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "core_batch_fill_all"):
+        lib.core_batch_sizes_all.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int32, vp]
+        lib.core_batch_fill_all.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_int32] + [vp] * 12
     # async form: launch returns a job handle at once (the C++ job copies
     # every small index array; only the scanner payloads must stay alive),
     # join blocks until the pool drains and returns the BatchOut handle
@@ -754,13 +759,59 @@ def _batch_eligible(asms, gvs):
 
 
 def _replay_batch(lib, h, asms, gvs):
-    """Fetch + replay every group's outputs in group order, then free."""
-    for g, (asmb, gv) in enumerate(zip(asms, gvs)):
-        out = _fetch_out(lib, h,
-                         lambda hh, s3, g=g: lib.core_batch_sizes(hh, g, s3),
-                         lambda hh, *a, g=g: lib.core_batch_fill(hh, g, *a))
-        finish_group_native(asmb, gv, out)
+    """Fetch + replay every group's outputs in group order, then free.
+
+    One sizes call + one fill call for the WHOLE wave (concatenated
+    buffers, per-group numpy views) instead of two ctypes crossings and
+    14 allocations per group."""
+    n = len(asms)
+    if not hasattr(lib, "core_batch_fill_all"):
+        for g, (asmb, gv) in enumerate(zip(asms, gvs)):
+            out = _fetch_out(
+                lib, h,
+                lambda hh, s3, g=g: lib.core_batch_sizes(hh, g, s3),
+                lambda hh, *a, g=g: lib.core_batch_fill(hh, g, *a))
+            finish_group_native(asmb, gv, out)
+        lib.core_batch_free(h)
+        return
+    sizes = np.zeros(3 * max(n, 1), dtype=np.int64)
+    lib.core_batch_sizes_all(h, n, sizes.ctypes.data)
+    sz = sizes.reshape(-1, 3)
+    G = int(sz[:n, 0].sum())
+    T = int(sz[:n, 1].sum())
+    E = int(sz[:n, 2].sum())
+    nf = len(FEATURE_COLUMNS)
+    g_sid = np.zeros(max(G, 1), dtype=np.int32)
+    g_sub = np.zeros(max(G, 1), dtype=np.int32)
+    t_group = np.zeros(max(T, 1), dtype=np.int32)
+    t_pathi = np.zeros(max(T, 1), dtype=np.int32)
+    t_strand = np.zeros(max(T, 1), dtype=np.int32)
+    t_count1 = np.zeros(max(T, 1), dtype=np.int64)
+    t_cov = np.zeros(max(T, 1), dtype=np.float64)
+    t_conf = np.zeros(max(T, 1), dtype=np.float64)
+    t_abd = np.zeros(max(T, 1), dtype=np.float64)
+    t_nexons = np.zeros(max(T, 1), dtype=np.int32)
+    exons = np.zeros(max(E, 1), dtype=np.int64)
+    feats = np.zeros(max(T * nf, 1), dtype=np.float64)
+    lib.core_batch_fill_all(
+        h, n, g_sid.ctypes.data, g_sub.ctypes.data, t_group.ctypes.data,
+        t_pathi.ctypes.data, t_strand.ctypes.data, t_count1.ctypes.data,
+        t_cov.ctypes.data, t_conf.ctypes.data, t_abd.ctypes.data,
+        t_nexons.ctypes.data, exons.ctypes.data, feats.ctypes.data)
     lib.core_batch_free(h)
+    go = to = eo = 0
+    for g, (asmb, gv) in enumerate(zip(asms, gvs)):
+        ng, nt, ne = int(sz[g, 0]), int(sz[g, 1]), int(sz[g, 2])
+        out = (ng, nt, g_sid[go:go + ng], g_sub[go:go + ng],
+               t_group[to:to + nt], t_pathi[to:to + nt],
+               t_strand[to:to + nt], t_count1[to:to + nt],
+               t_cov[to:to + nt], t_conf[to:to + nt], t_abd[to:to + nt],
+               t_nexons[to:to + nt], exons[eo:eo + ne],
+               feats[to * nf:(to + nt) * nf])
+        finish_group_native(asmb, gv, out)
+        go += ng
+        to += nt
+        eo += ne
 
 
 def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):

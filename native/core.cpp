@@ -993,6 +993,39 @@ void core_batch_fill(void* h, i32 g, i32* g_sid, i32* g_subindex,
 
 void core_batch_free(void* h) { delete (BatchOut*)h; }
 
+// whole-wave fetch: sizes and concatenated outputs in ONE call each
+// (replaces 2 ctypes crossings + 14 numpy allocations per group on the
+// Python replay path — ~4k crossings per production run)
+void core_batch_sizes_all(void* h, i32 n_groups, i64* out3n) {
+    BatchOut* bo = (BatchOut*)h;
+    for (i32 g = 0; g < n_groups; g++) {
+        core::CoreOut& o = bo->outs[g];
+        out3n[3 * g + 0] = (i64)o.g_sid.size();
+        out3n[3 * g + 1] = (i64)o.t_group.size();
+        out3n[3 * g + 2] = (i64)o.exons.size();
+    }
+}
+
+void core_batch_fill_all(void* h, i32 n_groups, i32* g_sid, i32* g_subindex,
+                         i32* t_group, i32* t_pathi, i32* t_strand,
+                         i64* t_count1, double* t_cov, double* t_conf,
+                         double* t_abd, i32* t_nexons, i64* exons,
+                         double* feats) {
+    BatchOut* bo = (BatchOut*)h;
+    size_t go = 0, to = 0, eo = 0, fo = 0;
+    for (i32 g = 0; g < n_groups; g++) {
+        core::CoreOut& o = bo->outs[g];
+        core_out_fill(&o, g_sid + go, g_subindex + go, t_group + to,
+                      t_pathi + to, t_strand + to, t_count1 + to,
+                      t_cov + to, t_conf + to, t_abd + to, t_nexons + to,
+                      exons + eo, feats + fo);
+        go += o.g_sid.size();
+        to += o.t_group.size();
+        eo += o.exons.size();
+        fo += o.feats.size();
+    }
+}
+
 // ---- device-paused group assembly (wave-batched greedy DP on the TPU;
 //      orchestrated by aletsch_tpu/meta/native_core.py + ops/greedy_dp.py)
 
