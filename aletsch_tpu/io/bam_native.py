@@ -338,22 +338,19 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                     iev.ctypes.data_as(i32p), frgs.ctypes.data_as(i32p),
                     splices.ctypes.data_as(i32p))
                 qraw = qbuf.raw[:qn_total] if need_qnames else b""
-                m = meta.reshape(nb, 12)
+                # one C-level conversion per chunk: per-element numpy
+                # scalar reads (12 per bundle) dominated this loop
+                mlist = meta.reshape(nb, 12).tolist()
                 ro = qo = co2 = mo = io = fo = so = 0
                 for b in range(nb):
+                    (ms, mtid, mlpos, mrpos, n, ql, cl, ml, il,
+                     mepoch, fl, sl) = mlist[b]
                     sb = ScanBundle()
-                    sb.strand = "+" if m[b, 0] == 0 else "-"
-                    sb.tid = int(m[b, 1])
-                    sb.lpos = int(m[b, 2])
-                    sb.rpos = int(m[b, 3])
-                    sb.epoch = int(m[b, 9])
-                    n = int(m[b, 4])
-                    ql = int(m[b, 5])
-                    cl = int(m[b, 6])
-                    ml = int(m[b, 7])
-                    il = int(m[b, 8])
-                    fl = int(m[b, 10])
-                    sl = int(m[b, 11])
+                    sb.strand = "+" if ms == 0 else "-"
+                    sb.tid = mtid
+                    sb.lpos = mlpos
+                    sb.rpos = mrpos
+                    sb.epoch = mepoch
                     sb.fixed = fixed[ro:ro + n]
                     sb.qnames = qraw[qo:qo + ql] if need_qnames else b""
                     sb.coords = coords[co2:co2 + cl]

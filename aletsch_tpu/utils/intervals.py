@@ -20,6 +20,10 @@ from __future__ import annotations
 import numpy as np
 from bisect import bisect_left, bisect_right
 
+# shared zero-length arrays: CoverageMap construction is per-bundle hot
+# (never mutated in place -- _build/clear only REASSIGN _bps/_vals)
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
 
 class CoverageMap:
     """Integer-weighted coverage map over int32 genomic coordinates."""
@@ -30,8 +34,8 @@ class CoverageMap:
     def __init__(self):
         self._events = []          # list of (pos, delta)
         self._chunks = []          # bulk unit-weight interval arrays (N, 2)
-        self._bps = np.empty(0, dtype=np.int64)    # breakpoints, len = S+1
-        self._vals = np.empty(0, dtype=np.int64)   # per-segment value, len = S
+        self._bps = _EMPTY_I64    # breakpoints, len = S+1
+        self._vals = _EMPTY_I64   # per-segment value, len = S
         self._dirty = False
         self._segs = None          # cached (l, r, v) of present segments
         self._seg_ls = None        # cached list forms of (l, r) for bisect
@@ -67,8 +71,8 @@ class CoverageMap:
     def clear(self):
         self._events.clear()
         self._chunks = []
-        self._bps = np.empty(0, dtype=np.int64)
-        self._vals = np.empty(0, dtype=np.int64)
+        self._bps = _EMPTY_I64
+        self._vals = _EMPTY_I64
         self._dirty = False
         self._segs = None
         self._seg_ls = None
@@ -129,7 +133,7 @@ class CoverageMap:
             return self._segs
         self._build()
         if self._bps.size == 0:
-            z = np.empty(0, dtype=np.int64)
+            z = _EMPTY_I64
             self._segs = (z, z, z)
         else:
             l = self._bps[:-1]
@@ -160,7 +164,7 @@ class CoverageMap:
         """Present segments fully inside [x, y] (locate_boundary_iterators)."""
         l, r, v = self.segments
         if l.size == 0:
-            z = np.empty(0, dtype=np.int64)
+            z = _EMPTY_I64
             return z, z, z
         # scalar searchsorted on numpy arrays costs ~microseconds; bisect on
         # cached lists is ~10x cheaper and exact (integer keys)
@@ -168,7 +172,7 @@ class CoverageMap:
         a = bisect_left(ll, x)
         b = bisect_right(rl, y)
         if a >= b:
-            z = np.empty(0, dtype=np.int64)
+            z = _EMPTY_I64
             return z, z, z
         return l[a:b], r[a:b], v[a:b]
 
