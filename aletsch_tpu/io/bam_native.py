@@ -79,6 +79,16 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.abam_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.abam_scan_next.restype = ctypes.c_int
+        if hasattr(lib, "abam_scan_enable_boundaries"):
+            lib.abam_scan_enable_boundaries.argtypes = [ctypes.c_void_p,
+                                                        ctypes.c_int64]
+            lib.abam_scan_drain_boundaries.argtypes = [ctypes.c_void_p]
+            lib.abam_scan_drain_boundaries.restype = ctypes.c_int
+            lib.abam_scan_boundary_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_int64)]
         lib.abam_scan_chunk_sizes.argtypes = [ctypes.c_void_p,
                                               ctypes.POINTER(ctypes.c_int64)]
         lib.abam_scan_chunk_fill.argtypes = [
@@ -207,15 +217,27 @@ class NativeBamReader:
             params.uniq_only, params.library_type)
         return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
-    def scan_preview_pools(self, params, chunk_records=262144):
+    def scan_preview_pools(self, params, chunk_records=262144,
+                           boundary_sink=None):
         """Preview scan yielding raw chunk pools — (meta[nb,12] int64,
         fixed[rows,25], coords, mev, iev, frgs) — with no ScanBundle
-        objects and no qname marshalling; feed for core_preview_chunk."""
+        objects and no qname marshalling; feed for core_preview_chunk.
+
+        boundary_sink=(region_len, sample_profile): piggyback the region
+        grid on this decode pass (native boundary tracker, the serial
+        set_batch_boundaries semantics).  When the consumer closes the
+        generator early (insert-size cap), the remaining records drain
+        through a boundary-only native loop and the profile's region
+        tables are filled before the scanner is freed — one full-file
+        decode serves both the preview and set_batch_boundaries."""
         lib = self._lib
         sc = lib.abam_scan_open(
             self._h, 1, -1, 0, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
             params.uniq_only, params.library_type)
+        if boundary_sink is not None:
+            region_len, bsp = boundary_sink
+            lib.abam_scan_enable_boundaries(sc, region_len)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         try:
@@ -246,7 +268,31 @@ class NativeBamReader:
                 if more == 0:
                     break
         finally:
+            if boundary_sink is not None:
+                lib.abam_scan_drain_boundaries(sc)
+                self._fill_boundaries(lib, sc, bsp)
             lib.abam_scan_free(sc)
+
+    @staticmethod
+    def _fill_boundaries(lib, sc, sp):
+        """Copy the scanner's boundary tables into the sample profile
+        (start2/end2 mirror start1/end1 like the Python passes)."""
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        for tid in range(len(sp.start1)):
+            n = len(sp.start1[tid])
+            s1 = np.zeros(n, dtype=np.int64)
+            s2 = np.zeros(n, dtype=np.int64)
+            so = np.zeros(n, dtype=np.uint64)
+            e1 = np.zeros(n, dtype=np.int64)
+            lib.abam_scan_boundary_fill(
+                sc, tid, s1.ctypes.data_as(i64p), s2.ctypes.data_as(i64p),
+                so.ctypes.data_as(u64p), e1.ctypes.data_as(i64p))
+            sp.start1[tid] = s1.tolist()
+            sp.start2[tid] = s2.tolist()
+            sp.start_off[tid] = so.tolist()
+            sp.end1[tid] = e1.tolist()
+            sp.end2[tid] = list(sp.end1[tid])
 
     def tell(self):
         if self._batch is not None and self._cursor < self._batch.count:

@@ -77,7 +77,7 @@ def _prep_sample(args):
         pre = Previewer(cfg, sp)
         pre.infer_library_type()
         if sp.data_type == PAIRED_END:
-            pre.infer_insertsize()
+            pre.infer_insertsize(capture_regions=True)
         return sp
     if cfg.profile_dir and sp.load_profile(cfg.profile_dir):
         pass
@@ -85,7 +85,7 @@ def _prep_sample(args):
         pre = Previewer(cfg, sp)
         pre.infer_library_type()
         if sp.data_type == PAIRED_END:
-            pre.infer_insertsize()
+            pre.infer_insertsize(capture_regions=True)
     if not (cfg.profile_dir and
             sp.load_regions(cfg.profile_dir, cfg.min_bundle_gap,
                             cfg.max_read_span)):
@@ -239,7 +239,7 @@ class Incubator:
                 pre = Previewer(cfg, sp)
                 pre.infer_library_type()
                 if sp.data_type == PAIRED_END:
-                    pre.infer_insertsize()
+                    pre.infer_insertsize(capture_regions=True)
                 return
             if cfg.profile_dir and sp.load_profile(cfg.profile_dir):
                 pass
@@ -247,7 +247,7 @@ class Incubator:
                 pre = Previewer(cfg, sp)
                 pre.infer_library_type()
                 if sp.data_type == PAIRED_END:
-                    pre.infer_insertsize()
+                    pre.infer_insertsize(capture_regions=True)
             if not (cfg.profile_dir and
                     sp.load_regions(cfg.profile_dir, cfg.min_bundle_gap,
                                     cfg.max_read_span)):

@@ -229,12 +229,17 @@ def preview_chunks_available():
     return hasattr(_load_lib(), "core_preview_chunk")
 
 
-def collect_insertsizes_chunked(reader, cfg, library_type):
+def collect_insertsizes_chunked(reader, cfg, library_type,
+                                boundary_sink=None):
     """Whole-file insert-size collection with ONE native call per scanner
     chunk (core_preview_chunk) instead of one per bundle; returns the
     distance histogram dict.  Cap/epoch semantics match the per-bundle scan
     (meta/previewer.py:218-235): processing stops at the first bundle of a
-    different epoch after max_preview_reads distances have accumulated."""
+    different epoch after max_preview_reads distances have accumulated.
+
+    boundary_sink=(region_len, sample_profile): piggyback the region grid
+    on this decode (io/bam_native.py scan_preview_pools), eliminating the
+    separate set_batch_boundaries pass over the file."""
     from ..io.bam_native import scan_params
     lib = _load_lib()
     ci, cd = _cfg_arrays(cfg)
@@ -251,7 +256,7 @@ def collect_insertsizes_chunked(reader, cfg, library_type):
     cnt = 0
     capped_epoch = None
     out_d = np.empty(1, dtype=np.int64)
-    gen = reader.scan_preview_pools(pr)
+    gen = reader.scan_preview_pools(pr, boundary_sink=boundary_sink)
     for meta, fixed, coords, mev, iev, frgs in gen:
         nb = meta.shape[0]
         rows = fixed.shape[0]

@@ -190,15 +190,35 @@ class Previewer:
         sp.library_type = s1
         sp.bam_with_xs = 1 if spliced > 0 and num_xs / spliced > cfg.preview_infer_ratio else 0
 
-    def infer_insertsize(self):
-        """previewer.cc:151-249"""
+    def infer_insertsize(self, capture_regions=False):
+        """previewer.cc:151-249
+
+        capture_regions: also build the sample's region grid on this same
+        decode pass (native boundary tracker) so the later
+        set_batch_boundaries sweep is skipped — one full-file decode
+        instead of two.  Only on the native pooled path and never in
+        ALETSCH_REF_QUIRKS mode (the quirks region tables need their own
+        reference-exact pass)."""
+        import os as _os
+
         from .native_core import (collect_insertsizes_chunked,
                                   preview_chunks_available)
         with open_bam(self.sp.align_file) as r:
             if (hasattr(r, "scan_preview_pools")
                     and preview_chunks_available()):
+                sink = None
+                if capture_regions and hasattr(r, "_fill_boundaries") \
+                        and _os.environ.get("ALETSCH_REF_QUIRKS") != "1" \
+                        and getattr(r._lib, "abam_scan_enable_boundaries",
+                                    None) is not None:
+                    self.sp._init_tables(r.header)
+                    sink = (self.sp.region_partition_length, self.sp)
                 m = collect_insertsizes_chunked(r, self.cfg,
-                                                self.sp.library_type)
+                                                self.sp.library_type,
+                                                boundary_sink=sink)
+                if sink is not None:
+                    self.sp._preview_regions = (self.cfg.min_bundle_gap,
+                                                self.cfg.max_read_span)
             elif hasattr(r, "scan_preview"):
                 m = self._collect_insertsizes_scan(r)
             elif hasattr(r, "read_batch_arrays"):

@@ -163,6 +163,10 @@ class SampleProfile:
         and the final region of the final target left unclosed (end1
         stays 0, so it is skipped; sample_profile.cc:167-252)."""
         import os
+        if os.environ.get("ALETSCH_REF_QUIRKS") != "1" and \
+                getattr(self, "_preview_regions", None) == \
+                (min_bundle_gap, max_read_span):
+            return      # region grid captured on the preview decode pass
         with open_bam(self.align_file) as r:
             if os.environ.get("ALETSCH_REF_QUIRKS") == "1":
                 return self._set_batch_boundaries_quirks(

@@ -504,6 +504,17 @@ struct Scanner {
     bool done = false;
     std::vector<uint8_t> rec;
     std::vector<uint32_t> cig;
+    // region-boundary tracker piggybacked on the preview scan: the
+    // sample_profile region grid (set_batch_boundaries, non-quirks
+    // semantics) taps the raw mapped record stream — only the FUNMAP and
+    // read-span filters apply, NOT the preview's mapq/cigar/secondary
+    // filters — so one decode pass serves both the insert-size preview
+    // and the region table (aletsch_tpu/meta/sample_profile.py).
+    int64_t brl = 0;               // region partition length; 0 = off
+    int32_t btid = -1;
+    int64_t brid = 0, brpos = 0;
+    std::vector<std::vector<int64_t>> bs1, bs2, be1;
+    std::vector<std::vector<uint64_t>> boff;
 };
 
 namespace {
@@ -576,6 +587,31 @@ void add_to(Scanner* s, int k, const int32_t* fx24, int32_t strand_char,
     B.n++;
 }
 
+// one raw mapped record for the region-boundary tracker (the serial
+// sample_profile._set_batch_boundaries_slow state machine, bit-exact)
+void boundary_update(Scanner* s, int32_t tid, int64_t pos, int64_t rpos,
+                     uint64_t voff) {
+    if (llabs(pos - rpos) >= s->max_read_span) return;
+    if (tid != s->btid) {
+        if (s->btid >= 0) s->be1[s->btid][s->brid] = s->brpos;
+        s->btid = tid;
+        s->brid = 0;
+        s->bs1[tid][0] = pos;
+        s->bs2[tid][0] = rpos;
+        s->boff[tid][0] = voff;
+        s->brpos = rpos;
+    }
+    if (pos > s->brpos + s->min_bundle_gap &&
+        pos >= s->brl * (1 + s->brid)) {
+        s->be1[s->btid][s->brid] = s->brpos;
+        s->brid = pos / s->brl;
+        s->bs1[s->btid][s->brid] = pos;
+        s->bs2[s->btid][s->brid] = rpos;
+        s->boff[s->btid][s->brid] = voff;
+    }
+    if (rpos > s->brpos) s->brpos = rpos;
+}
+
 }  // namespace
 
 extern "C" {
@@ -601,6 +637,76 @@ Scanner* abam_scan_open(BamFile* f, int32_t preview, int32_t tid,
 }
 
 void abam_scan_free(Scanner* s) { delete s; }
+
+// enable the piggybacked region-boundary tracker (call right after
+// abam_scan_open, before the first abam_scan_next)
+void abam_scan_enable_boundaries(Scanner* s, int64_t region_len) {
+    s->brl = region_len;
+    size_t nt = s->f->targets.size();
+    s->bs1.resize(nt); s->bs2.resize(nt);
+    s->boff.resize(nt); s->be1.resize(nt);
+    for (size_t i = 0; i < nt; i++) {
+        size_t n = (size_t)(s->f->targets[i].len / region_len + 1);
+        s->bs1[i].assign(n, 0);
+        s->bs2[i].assign(n, 0);
+        s->boff[i].assign(n, 0);
+        s->be1[i].assign(n, 0);
+    }
+}
+
+// after the preview consumer stops collecting (insert-size cap), decode
+// the rest of the file updating ONLY the boundary tracker -- no bundle
+// routing or marshalling.  Returns 0 at EOF.
+int abam_scan_drain_boundaries(Scanner* s) {
+    static const int CONSUME_REF =
+        (1 << 0) | (1 << 2) | (1 << 3) | (1 << 7) | (1 << 8);
+    BamFile* f = s->f;
+    while (!s->done) {
+        uint64_t bvoff = abam_tell(f);
+        uint8_t b4[4];
+        if (bread(f, b4, 4) < 4) { s->done = true; break; }
+        int32_t block_size = rd32(b4);
+        if (block_size <= 0) { s->done = true; break; }
+        s->rec.resize(block_size);
+        if ((int)bread(f, s->rec.data(), block_size) < block_size) {
+            s->done = true;
+            break;
+        }
+        const uint8_t* p = s->rec.data();
+        int32_t refID = rd32(p + 0);
+        int32_t pos = rd32(p + 4);
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar = p[12] | (p[13] << 8);
+        uint16_t flag = p[14] | (p[15] << 8);
+        if (flag & 0x4) continue;
+        const uint8_t* cp = p + 32 + l_read_name;
+        int32_t ref_len = 0;
+        for (int k = 0; k < n_cigar; k++) {
+            uint32_t c;
+            memcpy(&c, cp + 4ull * k, 4);
+            if ((CONSUME_REF >> (c & 0xF)) & 1) ref_len += (int32_t)(c >> 4);
+        }
+        boundary_update(s, refID, pos, pos + ref_len, bvoff);
+    }
+    return 0;
+}
+
+// close the final region and export one target's boundary rows; n is the
+// row count for that target (target_len / region_len + 1)
+void abam_scan_boundary_fill(Scanner* s, int32_t tid, int64_t* start1,
+                             int64_t* start2, uint64_t* start_off,
+                             int64_t* end1) {
+    if (s->btid >= 0) {             // close once; idempotent via btid reset
+        s->be1[s->btid][s->brid] = s->brpos;
+        s->btid = -1;
+    }
+    const auto& v1 = s->bs1[tid];
+    size_t n = v1.size();
+    memcpy(start1, v1.data(), n * sizeof(int64_t));
+    memcpy(start2, s->bs2[tid].data(), n * sizeof(int64_t));
+    memcpy(start_off, s->boff[tid].data(), n * sizeof(uint64_t));
+    memcpy(end1, s->be1[tid].data(), n * sizeof(int64_t));
+}
 
 void abam_scan_drop(Scanner* s) { s->out.clear(); }
 
@@ -702,6 +808,7 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
     coords.reserve(64);
     for (int64_t processed = 0; processed < max_records; processed++) {
         if (s->done) break;
+        uint64_t bvoff = s->brl ? abam_tell(f) : 0;
         uint8_t b4[4];
         if (bread(f, b4, 4) < 4) {
             s->done = true;
@@ -735,11 +842,15 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
             flush_bundle(s, 1);
             break;
         }
-        // filters (generator.py keep mask / previewer.py keep mask)
+        // filters (generator.py keep mask / previewer.py keep mask); the
+        // boundary tracker (brl != 0) taps the raw mapped stream BEFORE
+        // the preview filters, so it still needs ref_len for records the
+        // preview drops
         if (flag & 0x4) continue;
-        if ((flag & 0x100) && (s->preview || !s->use_second)) continue;
-        if (n_cigar > s->max_num_cigar || n_cigar < 1) continue;
-        if (mapq < s->min_mapq) continue;
+        bool keep = !((flag & 0x100) && (s->preview || !s->use_second))
+                    && n_cigar <= s->max_num_cigar && n_cigar >= 1
+                    && mapq >= s->min_mapq;
+        if (!keep && s->brl == 0) continue;
         size_t off = 32 + l_read_name;
         s->cig.resize(n_cigar);
         memcpy(s->cig.data(), p + off, 4ull * n_cigar);
@@ -751,6 +862,10 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
             if ((CONSUME_REF >> op) & 1) ref_len += (int32_t)(c >> 4);
         }
         int32_t rpos = pos + ref_len;
+        if (s->brl) {
+            boundary_update(s, refID, pos, rpos, bvoff);
+            if (!keep) continue;
+        }
         if (!s->preview) {
             if (llabs((int64_t)pos - rpos) >= s->max_read_span) continue;
             // mate-span filter only for paired reads with a mapped mate:
