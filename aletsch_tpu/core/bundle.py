@@ -39,6 +39,9 @@ def materialize_bundle(sb, light=False):
         bb._light = True
         bb.strand = chr(int(sf[0, 22])) if sf.shape[0] else "."
         bb.frgs_ready = True
+        xsp = getattr(sb, "xsp", None)
+        if xsp is not None:
+            bb._xs_pm = (xsp, sb.xsm)   # scanner-computed strand votes
         bb.mmap.add_pairs(sb.mev.reshape(-1, 2))
         bb.imap.add_pairs(sb.iev.reshape(-1, 2))
         spl = getattr(sb, "splices", None)
@@ -187,7 +190,10 @@ class BundleBase:
         """Vote bundle strand for unstranded libraries (bundle_base.cc:206-224)."""
         if libtype != UNSTRANDED:
             return
-        if getattr(self, "_light", False):
+        pm = getattr(self, "_xs_pm", None)
+        if pm is not None:
+            np, nq = pm
+        elif getattr(self, "_light", False):
             xs = self._scan_fixed[:, 12]
             np = int((xs == ord("+")).sum())
             nq = int((xs == ord("-")).sum())

@@ -219,7 +219,7 @@ class NativeBamReader:
 
     def scan_preview_pools(self, params, chunk_records=262144,
                            boundary_sink=None):
-        """Preview scan yielding raw chunk pools — (meta[nb,12] int64,
+        """Preview scan yielding raw chunk pools — (meta[nb,14] int64,
         fixed[rows,25], coords, mev, iev, frgs) — with no ScanBundle
         objects and no qname marshalling; feed for core_preview_chunk.
 
@@ -248,7 +248,7 @@ class NativeBamReader:
                     sizes = (ctypes.c_int64 * 7)()
                     lib.abam_scan_chunk_sizes(sc, sizes)
                     rows, _qn, co, me, ie, fr, sp = (int(x) for x in sizes)
-                    meta = np.empty(nb * 12, dtype=np.int64)
+                    meta = np.empty(nb * 14, dtype=np.int64)
                     fixed = np.empty((max(rows, 1), 25), dtype=np.int32)
                     coords = np.empty(max(co, 1), dtype=np.int32)
                     mev = np.empty(max(me, 1), dtype=np.int32)
@@ -262,7 +262,7 @@ class NativeBamReader:
                         iev.ctypes.data_as(i32p), frgs.ctypes.data_as(i32p),
                         splices.ctypes.data_as(i32p))
                     lib.abam_scan_drop(sc)
-                    yield meta.reshape(nb, 12), fixed, coords, mev, iev, frgs
+                    yield meta.reshape(nb, 14), fixed, coords, mev, iev, frgs
                 else:
                     lib.abam_scan_drop(sc)
                 if more == 0:
@@ -347,7 +347,8 @@ class ScanBundle:
     (24 decoder fields + routed strand in slot 22 + hid in slot 24).
     splices is the sorted-unique splice-position list (computed at flush)."""
     __slots__ = ("strand", "tid", "lpos", "rpos", "epoch", "fixed",
-                 "qnames", "coords", "mev", "iev", "frgs", "splices")
+                 "qnames", "coords", "mev", "iev", "frgs", "splices",
+                 "xsp", "xsm")
 
 
 def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
@@ -368,7 +369,7 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                 sizes = (ctypes.c_int64 * 7)()
                 lib.abam_scan_chunk_sizes(sc, sizes)
                 rows, qn_total, co, me, ie, fr, sp = (int(x) for x in sizes)
-                meta = np.empty(nb * 12, dtype=np.int64)
+                meta = np.empty(nb * 14, dtype=np.int64)
                 fixed = np.empty((max(rows, 1), 25), dtype=np.int32)
                 qbuf = (ctypes.create_string_buffer(max(qn_total, 1))
                         if need_qnames else None)
@@ -385,18 +386,20 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                     splices.ctypes.data_as(i32p))
                 qraw = qbuf.raw[:qn_total] if need_qnames else b""
                 # one C-level conversion per chunk: per-element numpy
-                # scalar reads (12 per bundle) dominated this loop
-                mlist = meta.reshape(nb, 12).tolist()
+                # scalar reads (14 per bundle) dominated this loop
+                mlist = meta.reshape(nb, 14).tolist()
                 ro = qo = co2 = mo = io = fo = so = 0
                 for b in range(nb):
                     (ms, mtid, mlpos, mrpos, n, ql, cl, ml, il,
-                     mepoch, fl, sl) = mlist[b]
+                     mepoch, fl, sl, xsp, xsm) = mlist[b]
                     sb = ScanBundle()
                     sb.strand = "+" if ms == 0 else "-"
                     sb.tid = mtid
                     sb.lpos = mlpos
                     sb.rpos = mrpos
                     sb.epoch = mepoch
+                    sb.xsp = xsp
+                    sb.xsm = xsm
                     sb.fixed = fixed[ro:ro + n]
                     sb.qnames = qraw[qo:qo + ql] if need_qnames else b""
                     sb.coords = coords[co2:co2 + cl]
@@ -480,6 +483,15 @@ def open_bam(path):
 
 
 _tls = None
+_reader_gen = [0]
+
+
+def invalidate_cached_readers():
+    """Force the next open_bam_cached per path to re-stat (called when a
+    BAM may have been rewritten in-process: sim.write_bam, Incubator
+    startup).  Within one generation the per-(sample, region) opens skip
+    the os.stat entirely (~6k stats per production run)."""
+    _reader_gen[0] += 1
 
 
 def open_bam_cached(path):
@@ -498,7 +510,19 @@ def open_bam_cached(path):
     if cache is None:
         cache = {}
         _tls.readers = cache
+    gen = _reader_gen[0]
+    seen = getattr(_tls, "stat_gen", None)
+    if seen is None:
+        seen = {}
+        _tls.stat_gen = seen
+    if seen.get(path) == gen:
+        for k, r in cache.items():
+            if k[0] == path:
+                del cache[k]
+                cache[k] = r        # refresh LRU position
+                return r
     st = os.stat(path)
+    seen[path] = gen
     key = (path, st.st_mtime_ns, st.st_size)
     r = cache.pop(key, None)
     if r is None:

@@ -176,6 +176,8 @@ class Incubator:
     def read_bam_list(self):
         """incubator.cc:83-114"""
         from ..constants import DATA_TYPE_NAMES
+        from ..io.bam_native import invalidate_cached_readers
+        invalidate_cached_readers()     # inputs may differ from a prior run
         cfg = self.params[DEFAULT]
         path = cfg.input_bam_list
         if not os.path.exists(path):

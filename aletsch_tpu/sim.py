@@ -94,6 +94,10 @@ def write_bam(path, recs, names=("chr1",), lengths=(1000000,)):
                         r["cigar"], mtid=r.get("mtid", r.get("tid", 0)),
                         mpos=r["mpos"], isize=r["isize"],
                         xs=r.get("xs", "."), nh=r.get("nh", 1))
+    # a path may be rewritten mid-process (tests/fuzz): stale thread-cached
+    # readers must re-stat it
+    from aletsch_tpu.io.bam_native import invalidate_cached_readers
+    invalidate_cached_readers()
 
 
 # ---------------------------------------------------------------------------

@@ -412,6 +412,9 @@ struct FlushedBundle {
     std::vector<int32_t> iev;
     std::vector<int32_t> frgs;      // mate pairs: (h1, h2) per fragment
     std::vector<int32_t> splices;   // sorted unique splice positions
+    int32_t xsp = 0, xsm = 0;       // per-hit XS '+' / '-' counts (the
+                                    // unstranded strand vote, bundle
+                                    // compute_strand)
 };
 
 // Python floor-mod (non-negative for positive modulus)
@@ -534,6 +537,8 @@ void flush_bundle(Scanner* s, int k) {
         // not change the coordinate set and all counts are live at flush)
         for (size_t j = 0; j * 25 < B.fixed.size(); j++) {
             const int32_t* row = B.fixed.data() + 25 * j;
+            if (row[12] == '+') fb.xsp++;
+            else if (row[12] == '-') fb.xsm++;
             int32_t sc = row[19];
             if (!sc) continue;
             const int32_t* ch = B.coords.data() + row[17] + 2 * row[18];
@@ -742,7 +747,8 @@ void abam_scan_bundle_fill(Scanner* s, int b, int32_t* fixed, char* qnames,
 
 // Chunk-pooled variants: one sizes + one fill call marshal every flushed
 // bundle of the chunk (the per-bundle API above stays for compatibility).
-// meta is 12 int64 per bundle: the abam_scan_bundle_info layout + splices.
+// meta is 14 int64 per bundle: the abam_scan_bundle_info layout + splice
+// count + the XS '+'/'-' strand-vote counts.
 void abam_scan_chunk_sizes(Scanner* s, int64_t* out7) {
     int64_t rows = 0, qn = 0, co = 0, me = 0, ie = 0, fr = 0, sp = 0;
     for (const FlushedBundle& fb : s->out) {
@@ -763,7 +769,7 @@ void abam_scan_chunk_fill(Scanner* s, int64_t* meta, int32_t* fixed,
                           int32_t* iev, int32_t* frgs, int32_t* splices) {
     for (size_t b = 0; b < s->out.size(); b++) {
         const FlushedBundle& fb = s->out[b];
-        int64_t* m = meta + 12 * b;
+        int64_t* m = meta + 14 * b;
         m[0] = fb.strand;
         m[1] = fb.tid;
         m[2] = fb.lpos;
@@ -776,6 +782,8 @@ void abam_scan_chunk_fill(Scanner* s, int64_t* meta, int32_t* fixed,
         m[9] = fb.epoch;
         m[10] = (int64_t)fb.frgs.size();
         m[11] = (int64_t)fb.splices.size();
+        m[12] = fb.xsp;
+        m[13] = fb.xsm;
         memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
         fixed += fb.fixed.size();
         if (qnames) {

@@ -1449,7 +1449,7 @@ i64 core_preview_chunk(
     i64 ro = 0, co = 0, mo = 0, io = 0, fo = 0;
     i64 total = 0;
     for (i32 b = 0; b < nb; b++) {
-        const i64* m = meta + (size_t)b * 12;
+        const i64* m = meta + (size_t)b * 14;
         i64 n = m[4];
         i64 cl = m[6], ml = m[7], il = m[8], fl = m[10];
         // per-stream persistent buffer (quirks mode); the reference's
