@@ -70,13 +70,6 @@ def _load_lib():
         lib.abam_scan_drop.argtypes = [ctypes.c_void_p]
         lib.abam_scan_nbundles.argtypes = [ctypes.c_void_p]
         lib.abam_scan_nbundles.restype = ctypes.c_int
-        lib.abam_scan_bundle_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                              ctypes.POINTER(ctypes.c_int64)]
-        lib.abam_scan_bundle_fill.argtypes = [
-            ctypes.c_void_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.abam_scan_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.abam_scan_next.restype = ctypes.c_int
         if hasattr(lib, "abam_scan_enable_boundaries"):

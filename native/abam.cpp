@@ -717,38 +717,10 @@ void abam_scan_drop(Scanner* s) { s->out.clear(); }
 
 int abam_scan_nbundles(Scanner* s) { return (int)s->out.size(); }
 
-void abam_scan_bundle_info(Scanner* s, int b, int64_t* out10) {
-    const FlushedBundle& fb = s->out[b];
-    out10[0] = fb.strand;
-    out10[1] = fb.tid;
-    out10[2] = fb.lpos;
-    out10[3] = fb.rpos;
-    out10[4] = (int64_t)fb.fixed.size() / 25;
-    out10[5] = (int64_t)fb.qnames.size();
-    out10[6] = (int64_t)fb.coords.size();
-    out10[7] = (int64_t)fb.mev.size();
-    out10[8] = (int64_t)fb.iev.size();
-    out10[9] = fb.epoch;
-    out10[10] = (int64_t)fb.frgs.size();
-}
-
-void abam_scan_bundle_fill(Scanner* s, int b, int32_t* fixed, char* qnames,
-                           int32_t* coords, int32_t* mev, int32_t* iev,
-                           int32_t* frgs) {
-    const FlushedBundle& fb = s->out[b];
-    memcpy(fixed, fb.fixed.data(), fb.fixed.size() * sizeof(int32_t));
-    if (qnames)   // callers that never read qnames pass NULL
-        memcpy(qnames, fb.qnames.data(), fb.qnames.size());
-    memcpy(coords, fb.coords.data(), fb.coords.size() * sizeof(int32_t));
-    memcpy(mev, fb.mev.data(), fb.mev.size() * sizeof(int32_t));
-    memcpy(iev, fb.iev.data(), fb.iev.size() * sizeof(int32_t));
-    memcpy(frgs, fb.frgs.data(), fb.frgs.size() * sizeof(int32_t));
-}
-
-// Chunk-pooled variants: one sizes + one fill call marshal every flushed
-// bundle of the chunk (the per-bundle API above stays for compatibility).
-// meta is 14 int64 per bundle: the abam_scan_bundle_info layout + splice
-// count + the XS '+'/'-' strand-vote counts.
+// Chunk-pooled marshalling: one sizes + one fill call for every flushed
+// bundle of the chunk.  meta is 14 int64 per bundle:
+// (strand, tid, lpos, rpos, rows, qname bytes, coord len, mev len,
+//  iev len, epoch, frg len, splice len, XS '+' count, XS '-' count).
 void abam_scan_chunk_sizes(Scanner* s, int64_t* out7) {
     int64_t rows = 0, qn = 0, co = 0, me = 0, ie = 0, fr = 0, sp = 0;
     for (const FlushedBundle& fb : s->out) {
