@@ -12,6 +12,9 @@ Multi-host extension (region sharding, see parallel/distributed.py):
                                         the shard payloads ride collectives
                                         (parallel/jaxdist.py); process 0
                                         writes the merged outputs
+  --jax_dist_launch <N>                 convenience: spawn the N-process
+                                        group locally on a free port and
+                                        wait (one command, same outputs)
 """
 
 import sys
@@ -33,6 +36,9 @@ def _extract_shard_args(argv):
         if a == "--jax_dist":
             jaxdist = (int(argv[i + 1]), int(argv[i + 2]), argv[i + 3])
             i += 4
+        elif a == "--jax_dist_launch":
+            jaxdist = ("launch", int(argv[i + 1]))
+            i += 2
         elif a == "--shard":
             shard = (int(argv[i + 1]), int(argv[i + 2]))
             i += 3
@@ -61,8 +67,12 @@ def main(argv=None):
     from .constants import DEFAULT
     cfg = params[DEFAULT]
     if jaxdist is not None:
-        from .parallel.jaxdist import run_jax_distributed
-        run_jax_distributed(params, jaxdist[0], jaxdist[1], jaxdist[2])
+        if jaxdist[0] == "launch":
+            from .parallel.jaxdist import launch_jax_distributed
+            launch_jax_distributed(argv, jaxdist[1])
+        else:
+            from .parallel.jaxdist import run_jax_distributed
+            run_jax_distributed(params, jaxdist[0], jaxdist[1], jaxdist[2])
         return 0
     if merge is not None:
         from .parallel.distributed import merge_shards

@@ -41,7 +41,9 @@ def _allgather_bytes(payload, np_mod=None):
     from jax.experimental import multihost_utils
 
     n = jax.process_count()
-    ln = jnp.asarray([len(payload)], dtype=jnp.int64)
+    # i32 lengths: payloads are far below 2 GB and x64 is off by default
+    # (an i64 request would warn + truncate to i32 anyway)
+    ln = jnp.asarray([len(payload)], dtype=jnp.int32)
     lens = np.asarray(multihost_utils.process_allgather(ln)).reshape(n)
     m = int(lens.max())
     buf = np.zeros((max(m, 1),), np.uint8)
@@ -49,6 +51,39 @@ def _allgather_bytes(payload, np_mod=None):
     gathered = np.asarray(multihost_utils.process_allgather(jnp.asarray(buf)))
     gathered = gathered.reshape(n, -1)
     return [gathered[p, : lens[p]].tobytes() for p in range(n)]
+
+
+def launch_jax_distributed(argv, num_processes):
+    """Single-command local launcher: spawn `num_processes` CLI workers
+    that join one jax.distributed group on a free localhost port and wait
+    for them.  `argv` is the CLI argument list WITHOUT the --jax_dist /
+    --jax_dist_launch flags (each worker re-parses it).  On a multi-host
+    deployment run one `--jax_dist <pid> <P> <host:port>` process per
+    host instead."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    coord = "127.0.0.1:%d" % s.getsockname()[1]
+    s.close()
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    # shared bytecode cache (the environment pins PYTHONDONTWRITEBYTECODE)
+    env.pop("PYTHONDONTWRITEBYTECODE", None)
+    env.setdefault("PYTHONPYCACHEPREFIX", "/tmp/aletsch_pycache")
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "aletsch_tpu"] + list(argv) +
+        ["--jax_dist", str(pid), str(num_processes), coord], env=env)
+        for pid in range(num_processes)]
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    if rc != 0:
+        raise RuntimeError("jax_dist worker failed (rc=%d)" % rc)
 
 
 def run_jax_distributed(params, process_id, num_processes,

@@ -59,3 +59,28 @@ def test_jaxdist_two_processes_equal_single(tmp_path):
         a = open(os.path.join(tmp_path, "single_gtf", name)).read()
         b = open(os.path.join(out_dir, name)).read()
         assert a == b, name
+
+
+def test_jaxdist_launcher_three_processes(tmp_path):
+    """--jax_dist_launch spawns the whole group (odd process count: the
+    region grid does not divide evenly) and matches single-process."""
+    bl, region_len = make_cohort(tmp_path)
+    params1 = make_params(bl, region_len, str(tmp_path / "single.gtf"),
+                          str(tmp_path / "single_gtf"))
+    inc1 = Incubator(params1)
+    inc1.resolve()
+
+    out_dir = str(tmp_path / "launch_gtf")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    cmd = [sys.executable, "-m", "aletsch_tpu",
+           "-i", bl, "-o", str(tmp_path / "launch.gtf"), "-d", out_dir,
+           "-g", str(region_len), "--jax_dist_launch", "3"]
+    p = subprocess.run(
+        cmd, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=300)
+    assert p.returncode == 0, p.stdout.decode(errors="replace")[-2000:]
+    assert open(tmp_path / "single.gtf").read() == \
+        open(tmp_path / "launch.gtf").read()
