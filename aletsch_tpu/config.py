@@ -291,6 +291,11 @@ def print_help():
         ("-s/--min_grouping_similarity <float>", "min similarity to combine graphs, default: 0.1"),
         ("--min_bridging_score <float>", "min score for bridging paired-end reads, default: 1.5"),
         ("--min_transcript_coverage <float>", "min multi-exon transcript coverage, default: 2.0"),
+        ("--jobs <integer>", "single-host multi-process execution over region shards"),
+        ("--shard <h> <H> / --shard_dump <path>", "assemble region shard h of H, dump transcript sets"),
+        ("--merge_shards <p1,p2,...>", "merge shard dumps and write outputs"),
+        ("--jax_dist <pid> <P> <host:port>", "join a jax.distributed process group (shard payloads ride collectives)"),
+        ("--jax_dist_launch <N>", "spawn the N-process jax.distributed group locally and wait"),
     ]
     for flag, desc in rows:
         print(" %-46s  %s" % (flag, desc))
