@@ -63,6 +63,8 @@ def materialize_bundle(sb, light=False):
         bb._scan_mev = sb.mev
         bb._scan_iev = sb.iev
         bb._scan_frgs = sb.frgs
+        bb._scan_ptrs = getattr(sb, "ptrs", None)
+        bb._scan_cnts = getattr(sb, "cnts", None)
         return bb
     rows = sb.fixed.tolist()
     qnames = sb.qnames
@@ -92,6 +94,8 @@ def materialize_bundle(sb, light=False):
     bb._scan_mev = sb.mev
     bb._scan_iev = sb.iev
     bb._scan_frgs = sb.frgs
+    bb._scan_ptrs = getattr(sb, "ptrs", None)
+    bb._scan_cnts = getattr(sb, "cnts", None)
     return bb
 
 

@@ -53,11 +53,14 @@ class TransItem:
                     x.conf = max(x.conf, t.conf)
                     x.abd = max(x.abd, t.abd)
                     x.count1 = max(x.count1, t.count1)
+            # the reference propagates coverage/count2/meta_tid onto every
+            # per-sample copy at every merge (transcript_set.cc:68-76) —
+            # O(samples) per merge.  Those fields are only ever READ at
+            # output time (incubator write_*_gtfs) and always hold the
+            # final totals there, so propagation is deferred to one
+            # sync_samples() pass before writing; merging itself reads
+            # only the per-copy maxima maintained above.
             self.trst.count2 = len(self.samples)
-            for x in self.samples.values():
-                x.coverage = self.trst.coverage
-                x.count2 = len(self.samples)
-                x.meta_tid = self.trst.transcript_id
         elif mode == TRANSCRIPT_COUNT_ADD_COVERAGE_NUL:
             self.count += ti.count
         else:
@@ -119,6 +122,23 @@ class TranscriptSet:
     def filter(self, min_count):
         for h in list(self.mt):
             self.mt[h] = [z for z in self.mt[h] if z.count >= min_count]
+
+    def sync_samples(self):
+        """Apply the per-sample-copy propagation the reference performs on
+        every merge (transcript_set.cc:68-76) in one deferred pass: final
+        meta coverage / supporting-sample count / meta_tid onto each copy.
+        Must run before any reader of item.samples (output writers)."""
+        for items in self.mt.values():
+            for z in items:
+                t = z.trst
+                n = len(z.samples)
+                t.count2 = n
+                cov = t.coverage
+                tid = t.transcript_id
+                for x in z.samples.values():
+                    x.coverage = cov
+                    x.count2 = n
+                    x.meta_tid = tid
 
     def get_transcripts(self, min_count=0):
         v = []

@@ -341,7 +341,7 @@ class ScanBundle:
     splices is the sorted-unique splice-position list (computed at flush)."""
     __slots__ = ("strand", "tid", "lpos", "rpos", "epoch", "fixed",
                  "qnames", "coords", "mev", "iev", "frgs", "splices",
-                 "xsp", "xsm")
+                 "xsp", "xsm", "ptrs", "cnts")
 
 
 def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
@@ -381,6 +381,17 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                 # one C-level conversion per chunk: per-element numpy
                 # scalar reads (14 per bundle) dominated this loop
                 mlist = meta.reshape(nb, 14).tolist()
+                # raw pool addresses: the native-core marshal passes each
+                # bundle's arrays by pointer; precomputing them here (on
+                # the scan worker thread) keeps per-bundle .ctypes.data
+                # lookups off the main thread (meta/native_core.py
+                # _marshal_batch fast path).  The views below keep the
+                # pools alive for as long as any bundle does.
+                p_fix = fixed.ctypes.data
+                p_co = coords.ctypes.data
+                p_me = mev.ctypes.data
+                p_ie = iev.ctypes.data
+                p_fr = frgs.ctypes.data
                 ro = qo = co2 = mo = io = fo = so = 0
                 for b in range(nb):
                     (ms, mtid, mlpos, mrpos, n, ql, cl, ml, il,
@@ -400,6 +411,9 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                     sb.iev = iev[io:io + il]
                     sb.frgs = frgs[fo:fo + fl]
                     sb.splices = splices[so:so + sl]
+                    sb.ptrs = (p_fix + 100 * ro, p_co + 4 * co2,
+                               p_me + 4 * mo, p_ie + 4 * io, p_fr + 4 * fo)
+                    sb.cnts = (n, ml // 2, il // 2, fl // 2)
                     ro += n; qo += ql; co2 += cl; mo += ml
                     io += il; fo += fl; so += sl
                     out.append(sb)

@@ -41,7 +41,8 @@ class Bundle(BundleBase):
                 self._light = True
             # native scanner arrays (cluster engine + native assembly core)
             for a in ("_scan_fixed", "_scan_coords", "_scan_mev",
-                      "_scan_iev", "_scan_frgs", "_splices_arr"):
+                      "_scan_iev", "_scan_frgs", "_splices_arr",
+                      "_scan_ptrs", "_scan_cnts"):
                 v = getattr(base, a, None)
                 if v is not None:
                     setattr(self, a, v)

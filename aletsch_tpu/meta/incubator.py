@@ -602,7 +602,8 @@ class Incubator:
             # leave one core for the Python thread the pool overlaps with
             # (replay/merge of the previous wave + the next wave's scans);
             # a full-width pool oversubscribes and was measured slower
-            nthreads = max(1, min(cfg.max_threads, os.cpu_count() or 1) - 1)
+            nthreads = int(os.environ.get("ALETSCH_MT_THREADS") or
+                           max(1, min(cfg.max_threads, os.cpu_count() or 1) - 1))
             job = launch_groups_native_mt(all_asms, all_gvs, True, nthreads)
         return (chrm, rid, grps, all_asms, all_gvs, job)
 
@@ -635,6 +636,10 @@ class Incubator:
                            self.samples[0].region_partition_length
                            if self.samples else cfg.region_partition_length)
         self.samples.append(sn)
+        # deferred per-sample-copy propagation (transcript_set.cc:68-76;
+        # see TranscriptSet.sync_samples) — must precede every writer
+        for tm in self.tts.values():
+            tm.sync_samples()
         # truncate like the reference's ofstream (incubator.cc:676): a rerun
         # with the same -o must replace the output, not append to it
         with open(cfg.output_gtf_file, "w") as fout:
@@ -693,6 +698,8 @@ class Incubator:
         cfg = self.params[DEFAULT]
         gtf_path = os.path.join(cfg.output_gtf_dir, "%d.gtf" % sid)
         ftr_path = os.path.join(cfg.output_gtf_dir, "%d.trstFeature.csv" % sid)
+        for tm in self.tts.values():
+            tm.sync_samples()
         with open(gtf_path, "w") as fg, open(ftr_path, "w") as ff:
             for (chrm, strand), tm in sorted(self.tts.items()):
                 for h in sorted(tm.mt.keys()):

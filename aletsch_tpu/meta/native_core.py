@@ -149,6 +149,9 @@ def _bind(lib):
                                              ctypes.c_int32, vp]
         lib.core_batch_fill_all.argtypes = [ctypes.c_void_p,
                                             ctypes.c_int32] + [vp] * 12
+    if hasattr(lib, "core_batch_hashes"):
+        lib.core_batch_hashes.argtypes = [ctypes.c_void_p,
+                                          ctypes.c_int32, vp]
     # async form: launch returns a job handle at once (the C++ job copies
     # every small index array; only the scanner payloads must stay alive),
     # join blocks until the pool drains and returns the BatchOut handle
@@ -683,62 +686,101 @@ def _marshal_batch(asms, gvs, do_bridge, nthreads):
     n_groups = len(gvs)
     tot = sum(len(gv) for gv in gvs)
     grp_nb = np.asarray([len(gv) for gv in gvs], dtype=np.int32)
-    nh = np.empty(tot, dtype=np.int32)
-    fixed_p = (ctypes.c_void_p * tot)()
-    coords_p = (ctypes.c_void_p * tot)()
-    mev_p = (ctypes.c_void_p * tot)()
-    iev_p = (ctypes.c_void_p * tot)()
-    frg_p = (ctypes.c_void_p * tot)()
-    mev_cnt = np.empty(tot, dtype=np.int64)
-    iev_cnt = np.empty(tot, dtype=np.int64)
-    frg_cnt = np.empty(tot, dtype=np.int64)
-    sid = np.empty(tot, dtype=np.int32)
-    strand = np.empty(tot, dtype=np.int32)
-    lpos = np.empty(tot, dtype=np.int64)
-    rpos = np.empty(tot, dtype=np.int64)
-    ilow = np.empty(tot, dtype=np.int64)
-    ihigh = np.empty(tot, dtype=np.int64)
-    cfg_i = np.empty((tot + n_groups) * CFG_NI, dtype=np.int64)
-    cfg_d = np.empty((tot + n_groups) * CFG_ND, dtype=np.float64)
     _empty = np.zeros(2, dtype=np.int32)
     _keep = [_empty]
+    _eptr = _empty.ctypes.data
 
-    def slot(pp, cnt, b, a, pairs):
+    # plain-list accumulation + one bulk conversion per column: per-bundle
+    # numpy scalar stores and .ctypes.data lookups were the dominant cost
+    # of this loop (the scan layer precomputes each bundle's pool pointers
+    # on the worker thread — io/bam_native.py _scan_chunks)
+    nh_l = []
+    fx_l = []
+    co_l = []
+    me_l = []
+    ie_l = []
+    fr_l = []
+    mec_l = []
+    iec_l = []
+    frc_l = []
+    sid_l = []
+    str_l = []
+    lp_l = []
+    rp_l = []
+    il_l = []
+    ih_l = []
+    cfgi_l = []
+    cfgd_l = []
+
+    def slowptr(a, pairs):
         sz = a.size                    # BEFORE the placeholder swap: an
         if sz == 0:                    # empty frgs array must count as 0
-            a = _empty                 # pairs, not as one phantom (0,0)
-        elif not a.flags.c_contiguous or a.dtype != np.int32:
+            return _eptr, 0            # pairs, not as one phantom (0,0)
+        if not a.flags.c_contiguous or a.dtype != np.int32:
             a = np.ascontiguousarray(a, dtype=np.int32)
             _keep.append(a)
-        pp[b] = a.ctypes.data
-        if cnt is not None:
-            cnt[b] = sz // 2 if pairs else sz
+        return a.ctypes.data, (sz // 2 if pairs else sz)
 
-    b = 0
-    c = 0
     for asmb, gv in zip(asms, gvs):
         for bd in gv:
-            nh[b] = bd._scan_fixed.shape[0]
-            slot(fixed_p, None, b, bd._scan_fixed, False)
-            slot(coords_p, None, b, bd._scan_coords, False)
-            slot(mev_p, mev_cnt, b, bd._scan_mev, True)
-            slot(iev_p, iev_cnt, b, bd._scan_iev, True)
-            slot(frg_p, frg_cnt, b, bd._scan_frgs, True)
-            sid[b] = bd.sp.sample_id
-            strand[b] = ord(bd.strand)
-            lpos[b] = bd.lpos
-            rpos[b] = bd.rpos
-            ilow[b] = bd.sp.insertsize_low
-            ihigh[b] = bd.sp.insertsize_high
+            p = getattr(bd, "_scan_ptrs", None)
+            if p is not None:
+                cn = bd._scan_cnts
+                fx_l.append(p[0])
+                co_l.append(p[1])
+                me_l.append(p[2])
+                ie_l.append(p[3])
+                fr_l.append(p[4])
+                nh_l.append(cn[0])
+                mec_l.append(cn[1])
+                iec_l.append(cn[2])
+                frc_l.append(cn[3])
+            else:
+                nh_l.append(bd._scan_fixed.shape[0])
+                fx_l.append(slowptr(bd._scan_fixed, False)[0])
+                co_l.append(slowptr(bd._scan_coords, False)[0])
+                pm, cm = slowptr(bd._scan_mev, True)
+                pi, ci_ = slowptr(bd._scan_iev, True)
+                pf, cf = slowptr(bd._scan_frgs, True)
+                me_l.append(pm)
+                ie_l.append(pi)
+                fr_l.append(pf)
+                mec_l.append(cm)
+                iec_l.append(ci_)
+                frc_l.append(cf)
+            sp = bd.sp
+            sid_l.append(sp.sample_id)
+            str_l.append(ord(bd.strand))
+            lp_l.append(bd.lpos)
+            rp_l.append(bd.rpos)
+            il_l.append(sp.insertsize_low)
+            ih_l.append(sp.insertsize_high)
             ci, cd = _cfg_arrays(bd.cfg)
-            cfg_i[c * CFG_NI:(c + 1) * CFG_NI] = ci
-            cfg_d[c * CFG_ND:(c + 1) * CFG_ND] = cd
-            b += 1
-            c += 1
+            cfgi_l.append(ci)
+            cfgd_l.append(cd)
         ci, cd = _cfg_arrays(asmb.cfg)
-        cfg_i[c * CFG_NI:(c + 1) * CFG_NI] = ci
-        cfg_d[c * CFG_ND:(c + 1) * CFG_ND] = cd
-        c += 1
+        cfgi_l.append(ci)
+        cfgd_l.append(cd)
+    nh = np.asarray(nh_l, dtype=np.int32)
+    fixed_p = (ctypes.c_void_p * tot)(*fx_l)
+    coords_p = (ctypes.c_void_p * tot)(*co_l)
+    mev_p = (ctypes.c_void_p * tot)(*me_l)
+    iev_p = (ctypes.c_void_p * tot)(*ie_l)
+    frg_p = (ctypes.c_void_p * tot)(*fr_l)
+    mev_cnt = np.asarray(mec_l, dtype=np.int64)
+    iev_cnt = np.asarray(iec_l, dtype=np.int64)
+    frg_cnt = np.asarray(frc_l, dtype=np.int64)
+    sid = np.asarray(sid_l, dtype=np.int32)
+    strand = np.asarray(str_l, dtype=np.int32)
+    lpos = np.asarray(lp_l, dtype=np.int64)
+    rpos = np.asarray(rp_l, dtype=np.int64)
+    ilow = np.asarray(il_l, dtype=np.int64)
+    ihigh = np.asarray(ih_l, dtype=np.int64)
+    cfg_i = np.concatenate(cfgi_l) if cfgi_l else \
+        np.empty(0, dtype=np.int64)
+    cfg_d = np.concatenate(cfgd_l) if cfgd_l else \
+        np.empty(0, dtype=np.float64)
+    assert cfg_i.size == (tot + n_groups) * CFG_NI
     _keep.extend((grp_nb, nh, mev_cnt, iev_cnt, frg_cnt, sid, strand,
                   lpos, rpos, ilow, ihigh, cfg_i, cfg_d,
                   fixed_p, coords_p, mev_p, iev_p, frg_p))
@@ -803,6 +845,11 @@ def _replay_batch(lib, h, asms, gvs):
         t_pathi.ctypes.data, t_strand.ctypes.data, t_count1.ctypes.data,
         t_cov.ctypes.data, t_conf.ctypes.data, t_abd.ctypes.data,
         t_nexons.ctypes.data, exons.ctypes.data, feats.ctypes.data)
+    t_hash = None
+    if hasattr(lib, "core_batch_hashes"):
+        t_hash = np.zeros(max(T, 1), dtype=np.uint64)
+        lib.core_batch_hashes(h, n, t_hash.ctypes.data)
+        t_hash = t_hash.tolist()
     lib.core_batch_free(h)
     go = to = eo = 0
     for g, (asmb, gv) in enumerate(zip(asms, gvs)):
@@ -812,7 +859,8 @@ def _replay_batch(lib, h, asms, gvs):
                t_strand[to:to + nt], t_count1[to:to + nt],
                t_cov[to:to + nt], t_conf[to:to + nt], t_abd[to:to + nt],
                t_nexons[to:to + nt], exons[eo:eo + ne],
-               feats[to * nf:(to + nt) * nf])
+               feats[to * nf:(to + nt) * nf],
+               None if t_hash is None else t_hash[to:to + nt])
         finish_group_native(asmb, gv, out)
         go += ng
         to += nt
@@ -907,7 +955,7 @@ def resolve_group_native(asmb, gv, do_bridge):
 
 def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
                         t_strand, t_count1, t_cov, t_conf, t_abd, t_nexons,
-                        exons, feats):
+                        exons, feats, t_hash=None):
     """Rebuild Transcript objects and replay the per-graph transcript-set
     adds in Assembler.assemble_graph order (assembler.cc:1121-1136).
 
@@ -932,6 +980,9 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
     t_abd = t_abd[:nt].tolist()
     t_nexons = t_nexons[:nt].tolist()
     exons = exons.tolist()
+    # one C-level pass builds every (start, end) pair; per-transcript
+    # exon lists below are plain list slices
+    epairs = list(zip(exons[0::2], exons[1::2]))
     feats = feats.tolist()
     g_gid = ["instance.%d.%d.%d.%d.0" % (asmb.rid, asmb.gid, asmb.instance,
                                          int(g_sub[g])) for g in range(ng)]
@@ -963,22 +1014,23 @@ def _replay_transcripts(asmb, chrm, ng, nt, g_sid, g_sub, t_group, t_pathi,
         d["abd"] = t_abd[k]
         d["count1"] = t_count1[k]
         nx = t_nexons[k]
-        d["exons"] = [(int(exons[eoff + 2 * x]),
-                       int(exons[eoff + 2 * x + 1])) for x in range(nx)]
-        eoff += 2 * nx
+        d["exons"] = epairs[eoff:eoff + nx]
+        eoff += nx
         d["feat_row"] = feats[k * nf:(k + 1) * nf]
-        per_group[g].append(t)
+        per_group[g].append(
+            (t, None if t_hash is None else t_hash[k] + 1))
     mode = TRANSCRIPT_COUNT_ADD_COVERAGE_ADD
     skip_se = cfg.skip_single_exon_transcripts
     for g in range(ng):
         ts = new_transcript_set(chrm, asmb.tmerge.rid, cfg)
         mt = ts.mt
         sid = int(g_sid[g])
-        for t in per_group[g]:
+        for t, h in per_group[g]:
             if len(t.exons) <= 1 and skip_se:
                 continue
             t.RPKM = 0
-            h = t.get_intron_chain_hashing()
+            if h is None:
+                h = t.get_intron_chain_hashing()
             ti = TransItem(t, 1, sid)
             mine = mt.get(h)
             if mine is None:

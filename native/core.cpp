@@ -1026,6 +1026,42 @@ void core_batch_fill_all(void* h, i32 n_groups, i32* g_sid, i32* g_subindex,
     }
 }
 
+// Per-transcript intron-chain bucket hashes for the whole wave, in the
+// same transcript order as core_batch_fill_all.  Matches the Python
+// formula (io/gtf.py get_intron_chain_hashing, transcript.cc:183-201)
+// EXCEPT the trailing +1, which the replay adds in unbounded Python
+// arithmetic so a wrap at 2^64 stays bit-identical with the Python path.
+void core_batch_hashes(void* h, i32 n_groups, uint64_t* out) {
+    BatchOut* bo = (BatchOut*)h;
+    size_t to = 0, eo = 0;
+    for (i32 g = 0; g < n_groups; g++) {
+        core::CoreOut& o = bo->outs[g];
+        size_t nt = o.t_nexons.size();
+        const i64* e = o.exons.data();
+        size_t le = 0;
+        for (size_t k = 0; k < nt; k++) {
+            i32 ne = o.t_nexons[k];
+            uint64_t hh = 0;
+            if (ne == 1) {
+                hh = (uint64_t)((e[le] + e[le + 1]) / 10000);
+            } else if (ne >= 2) {
+                uint64_t x = 0xcbf29ce484222325ULL;  // FNV-1a (utils/seqs.py)
+                for (i32 j = 1; j < ne; j++) {
+                    x ^= (uint64_t)e[le + 2 * (size_t)(j - 1) + 1];
+                    x *= 0x100000001b3ULL;
+                    x ^= (uint64_t)e[le + 2 * (size_t)j];
+                    x *= 0x100000001b3ULL;
+                }
+                hh = x;
+            }
+            out[to + k] = hh;
+            le += 2 * (size_t)ne;
+        }
+        to += nt;
+        eo += o.exons.size();
+    }
+}
+
 // ---- device-paused group assembly (wave-batched greedy DP on the TPU;
 //      orchestrated by aletsch_tpu/meta/native_core.py + ops/greedy_dp.py)
 
