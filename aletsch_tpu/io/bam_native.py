@@ -202,6 +202,56 @@ class NativeBamReader:
             params.uniq_only, params.library_type)
         return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
+    def scan_region_raw(self, tid, end1, voff, params, chunk_records=262144):
+        """Region scan yielding raw chunk pools — (nb, mlist, fixed,
+        coords, mev, iev, frgs, splices, base_ptrs) — with no ScanBundle
+        objects; feed for the generator's fused light-bundle consumer
+        (meta/generator.py _resolve_scan_fused).  mlist is the [nb, 14]
+        bundle metadata as Python ints; base_ptrs are the five pool
+        addresses (fixed, coords, mev, iev, frgs)."""
+        self.seek(voff)
+        lib = self._lib
+        sc = lib.abam_scan_open(
+            self._h, 0, tid, end1, params.min_mapq, params.max_num_cigar,
+            params.max_read_span, params.min_bundle_gap, params.use_second,
+            params.uniq_only, params.library_type)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        try:
+            while True:
+                more = lib.abam_scan_next(sc, chunk_records)
+                nb = lib.abam_scan_nbundles(sc)
+                if nb:
+                    sizes = (ctypes.c_int64 * 7)()
+                    lib.abam_scan_chunk_sizes(sc, sizes)
+                    rows, _qn, co, me, ie, fr, sp = (int(x) for x in sizes)
+                    meta = np.empty(nb * 14, dtype=np.int64)
+                    fixed = np.empty((max(rows, 1), 25), dtype=np.int32)
+                    coords = np.empty(max(co, 1), dtype=np.int32)
+                    mev = np.empty(max(me, 1), dtype=np.int32)
+                    iev = np.empty(max(ie, 1), dtype=np.int32)
+                    frgs = np.empty(max(fr, 1), dtype=np.int32)
+                    splices = np.empty(max(sp, 1), dtype=np.int32)
+                    lib.abam_scan_chunk_fill(
+                        sc, meta.ctypes.data_as(i64p),
+                        fixed.ctypes.data_as(i32p), None,
+                        coords.ctypes.data_as(i32p),
+                        mev.ctypes.data_as(i32p), iev.ctypes.data_as(i32p),
+                        frgs.ctypes.data_as(i32p),
+                        splices.ctypes.data_as(i32p))
+                    lib.abam_scan_drop(sc)
+                    yield (nb, meta.reshape(nb, 14).tolist(), fixed,
+                           coords, mev, iev, frgs, splices,
+                           (fixed.ctypes.data, coords.ctypes.data,
+                            mev.ctypes.data, iev.ctypes.data,
+                            frgs.ctypes.data))
+                else:
+                    lib.abam_scan_drop(sc)
+                if more == 0:
+                    break
+        finally:
+            lib.abam_scan_free(sc)
+
     def scan_preview(self, params, chunk_records=262144, need_qnames=True):
         """Native whole-file preview scan (previewer insert-size loop)."""
         sc = self._lib.abam_scan_open(

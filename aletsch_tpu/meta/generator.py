@@ -60,6 +60,8 @@ class Generator:
         # the native assembly core consumes them whole (meta/native_core.py)
         light = native_core_available() and cfg.verbose < 2
         pr = scan_params(cfg, sp.library_type)
+        if light and hasattr(r, "scan_region_raw"):
+            return self._resolve_scan_fused(r, pr)
         # pre-materialization drop: _generate discards tid < 0 and (when
         # skip_single_exon_transcripts) splice-free bundles — both are
         # decidable from the scanner's flush fields, so don't build the
@@ -75,6 +77,83 @@ class Generator:
                 if skip_se and len(sb.splices) == 0:
                     continue
                 self._generate(materialize_bundle(sb, light=light))
+
+    def _resolve_scan_fused(self, r, pr):
+        """Light-bundle fast path: build the final meta Bundle straight
+        from the raw scanner chunk pools — one object and one __dict__ per
+        bundle instead of the ScanBundle -> BundleBase -> Bundle triple
+        construction.  Field-for-field identical to
+        materialize_bundle(light=True) + _generate + compute_strand."""
+        from ..core.chain_set import ChainSet
+        from ..utils.intervals import CoverageMap
+        from ..constants import UNSTRANDED
+        from .bundle import Bundle
+        sp = self.sp
+        cfg = self.cfg
+        tn = sp.target_names
+        vcb = self.vcb
+        skip_se = cfg.skip_single_exon_transcripts
+        unstranded = sp.library_type == UNSTRANDED
+        sid = sp.sample_id
+        new_b = Bundle.__new__
+        for (nb, mlist, fixed, coords, mev, iev, frgs, splices, ptrs) in \
+                r.scan_region_raw(self.target_id,
+                                  sp.end1[self.target_id][self.region_id],
+                                  sp.start_off[self.target_id]
+                                  [self.region_id], pr):
+            p_fix, p_co, p_me, p_ie, p_fr = ptrs
+            strands = fixed[:, 22]
+            ro = co2 = mo = io = fo = so = 0
+            for b in range(nb):
+                (ms, mtid, mlpos, mrpos, n, ql, cl, ml, il,
+                 mepoch, fl, sl, xsp, xsm) = mlist[b]
+                if mtid < 0 or (skip_se and sl == 0):
+                    ro += n; co2 += cl; mo += ml
+                    io += il; fo += fl; so += sl
+                    continue
+                # bundle strand: first routed hit strand, vote-overridden
+                # for unstranded libraries (bundle_base.cc:206-224)
+                if unstranded:
+                    st = "+" if xsp > xsm else ("-" if xsp < xsm else ".")
+                else:
+                    st = chr(strands[ro]) if n else "."
+                mmap = CoverageMap()
+                imap = CoverageMap()
+                mv = mev[mo:mo + ml]
+                iv = iev[io:io + il]
+                if ml:
+                    mmap._chunks.append(mv.reshape(-1, 2))
+                    mmap._dirty = True
+                if il:
+                    imap._chunks.append(iv.reshape(-1, 2))
+                    imap._dirty = True
+                spl = splices[so:so + sl]
+                bd = new_b(Bundle)
+                bd.__dict__ = {
+                    "tid": mtid, "chrm": tn[mtid],
+                    "lpos": mlpos, "rpos": mrpos, "strand": st,
+                    "hits": [], "frgs": [],
+                    "frgs_ready": True, "_frgs_mutated": False,
+                    "splices": spl.tolist(),
+                    "hcst": ChainSet(), "fcst": ChainSet(),
+                    "mmap": mmap, "imap": imap,
+                    "_light": True, "_xs_pm": (xsp, xsm),
+                    "_splices_arr": spl,
+                    "_scan_fixed": fixed[ro:ro + n],
+                    "_scan_coords": coords[co2:co2 + cl],
+                    "_scan_mev": mv, "_scan_iev": iv,
+                    "_scan_frgs": frgs[fo:fo + fl],
+                    "_scan_ptrs": (p_fix + 100 * ro, p_co + 4 * co2,
+                                   p_me + 4 * mo, p_ie + 4 * io,
+                                   p_fr + 4 * fo),
+                    "_scan_cnts": (n, ml // 2, il // 2, fl // 2),
+                    "cfg": cfg, "sp": sp, "num_combined": 0,
+                    "gid": "gene.%d.%d" % (sid, self.index),
+                }
+                vcb.append(bd)
+                self.index += 1
+                ro += n; co2 += cl; mo += ml
+                io += il; fo += fl; so += sl
 
     def _resolve_batched(self, r):
         """Columnar scan: filters and dedup are computed on the decoder's
