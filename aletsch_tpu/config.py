@@ -50,11 +50,10 @@ class Parameters:
     device_min_cluster: int = 48     # region size where the matmul wins on
                                      # a direct-attached part (measured;
                                      # 'auto' additionally requires the
-                                     # device_wave.auto_device_ok policy)
-    device_auto_max_dispatch_ms: float = 1.0  # 'auto' engages a direct-
-                                     # attached device only if a warm
-                                     # dispatch beats this (measured host
-                                     # cost of a 64-graph wave's work)
+                                     # ops/crossover.py amortization model
+                                     # via device_wave.auto_device_ok:
+                                     # engage iff a + b*B < c*B with
+                                     # measured a/b/c per backend)
     # bridging pier DPs wave-batched on device (ops/bridge_topk.py);
     # "auto" == off on tunnel-attached chips (measured: transfer dominates,
     # see meta/device_wave.py bridge_enabled), "on" forces it

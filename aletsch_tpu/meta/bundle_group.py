@@ -68,9 +68,9 @@ class BundleGroup:
     def _use_device_similarity(self):
         """Route the clustering rounds through the MXU matmul path
         (ops/similarity.py) instead of the native intersections.  Default
-        "auto" follows the shared measured policy (meta/device_wave.py
-        auto_device_ok: off on cpu / tunnel-relayed backends, measured-
-        dispatch gate on direct-attached parts) AND requires at least
+        "auto" follows the shared measured amortization model
+        (meta/device_wave.py auto_device_ok over ops/crossover.py:
+        engage iff a + b*B < c*B with measured a/b/c) AND requires at least
         device_min_cluster (48: the region size where the matmul beats
         the host intersections on a sub-ms-dispatch part, docs/DESIGN.md
         "measured crossovers")."""

@@ -135,30 +135,32 @@ def device_stats():
     return d
 
 
-_AUTO_OK = None
+_AUTO_CAL = ("unset",)
 
 
-def auto_device_ok(cfg):
-    """Measured 'auto' policy, shared by every device stage (greedy,
-    bridge, support, similarity).  docs/DESIGN.md 'measured crossovers':
+def auto_calibration(cfg):
+    """Measured amortization model shared by every 'auto' device stage:
+    engage the chip iff dispatch_cost(B) = a + b*B beats the native host
+    cost c*B for the wave at hand (ops/crossover.py; replaces the round-3
+    fixed device_auto_max_dispatch_ms threshold).  Returns the calibration
+    dict, or None when the device path should stay off:
 
-    - cpu backend: the "device" IS this host -- a dispatch only adds
+    - '' / cpu backend: the "device" IS this host -- a dispatch only adds
       orchestration overhead over the native drain (measured ~1-3 ms vs
-      ~0.1 ms native for a 64-graph wave) -> off;
-    - axon (tunnel-relayed chip): measured 0.13 s round-trip per warm
-      fused dispatch vs single-digit-ms host work per wave -> off;
-    - direct-attached tpu: measure one warm dispatch; engage iff it beats
-      cfg.device_auto_max_dispatch_ms (the measured host cost of the work
-      a full 64-graph dispatch replaces).
+      ~0.1 ms native for a 64-graph wave) -> None without measuring (also
+      keeps worker subprocesses from ever initializing a backend,
+      CLAUDE.md gotchas);
+    - axon (tunnel-relayed chip) / direct tpu: load the cached crossover
+      calibration for the platform (/tmp sidecar, populated by bench.py
+      every round and by the first 'auto' run); measure once if absent.
+      Measured on this relay: a~=0.14 s, b >> c (12 us/graph native), so
+      no batch size ever amortizes -> stays host.  A direct-attached part
+      (a ~ 100 us) flips the same model on at small wave sizes.
 
     'on' bypasses this entirely (parity runs, fuzz, probes)."""
-    global _AUTO_OK
-    if _AUTO_OK is not None:
-        return _AUTO_OK
-    # Decide from configuration WITHOUT initializing a backend: calling
-    # jax.devices() here would connect shard/job worker subprocesses to
-    # the (single-tenant) tunnel chip and deadlock it -- the workers
-    # never get the test harness's cpu override (CLAUDE.md gotchas).
+    global _AUTO_CAL
+    if _AUTO_CAL != ("unset",):
+        return _AUTO_CAL
     platform = ""
     try:
         import jax
@@ -168,24 +170,23 @@ def auto_device_ok(cfg):
     if not platform:
         platform = os.environ.get("JAX_PLATFORMS", "")
     platform = platform.split(",")[0].strip()
-    if platform != "tpu":       # '', cpu, axon(relay): measured off
-        _AUTO_OK = False
-        return False
-    # direct-attached accelerator: measure a warm dispatch
+    if platform not in ("tpu", "axon"):
+        _AUTO_CAL = None
+        return None
     try:
-        import time
-        dev = _get_fused_device()
-        if dev is None:
-            _AUTO_OK = False
-            return False
-        t0 = time.perf_counter()
-        dev.solve(0)
-        dt = (time.perf_counter() - t0) * 1000.0
-        _AUTO_OK = dt < float(getattr(cfg, "device_auto_max_dispatch_ms",
-                                      1.0))
+        from ..ops import crossover
+        _AUTO_CAL = crossover.calibration(measure_if_missing=True,
+                                          batches=(64,), reps=2)
     except Exception:
-        _AUTO_OK = False
-    return _AUTO_OK
+        _AUTO_CAL = None
+    return _AUTO_CAL
+
+
+def auto_device_ok(cfg, n_graphs=64):
+    """True iff the measured model predicts a device win for a wave of
+    n_graphs drains (see auto_calibration)."""
+    from ..ops.crossover import device_wins
+    return device_wins(n_graphs, auto_calibration(cfg))
 
 
 def enabled(cfg, n_groups):
@@ -201,7 +202,7 @@ def enabled(cfg, n_groups):
         return False
     if n_groups < getattr(cfg, "device_min_groups", 16):
         return False
-    if not auto_device_ok(cfg):
+    if not auto_device_ok(cfg, n_graphs=n_groups):
         return False
     return native_core.native_core_available()
 
@@ -209,11 +210,11 @@ def enabled(cfg, n_groups):
 def bridge_enabled(cfg):
     """Decide whether GroupRuns also pause at bridging pier-DP instances.
 
-    'auto' consults the measured policy (auto_device_ok): off on cpu and
-    tunnel-relayed backends (0.13 s/dispatch measured vs single-digit-ms
-    host DP), engaged on a direct-attached part whose warm dispatch beats
-    device_auto_max_dispatch_ms.  'on' forces the device path (fuzz/
-    parity runs, probes)."""
+    'auto' consults the measured amortization model (auto_device_ok /
+    ops/crossover.py): off wherever a + b*B >= c*B (cpu, and this relay
+    where a ~= 0.14 s), engaged on a direct-attached part whose measured
+    crossover predicts a win.  'on' forces the device path (fuzz/parity
+    runs, probes)."""
     mode = getattr(cfg, "device_bridge", "off")
     env = os.environ.get("ALETSCH_DEVICE_BRIDGE")
     if env == "0":

@@ -161,6 +161,11 @@ def _bind(lib):
             lib.core_resolve_groups_mt.argtypes
         lib.core_batch_join.restype = ctypes.c_void_p
         lib.core_batch_join.argtypes = [ctypes.c_void_p]
+    # standalone native drain benchmark (crossover model calibration)
+    if hasattr(lib, "core_bench_drain"):
+        lib.core_bench_drain.restype = None
+        lib.core_bench_drain.argtypes = \
+            [vp] * 4 + [ctypes.c_int32] * 3 + [vp] * 3
     # device-paused cross-sample support reduce (ops/support.py)
     if hasattr(lib, "core_support_export"):
         lib.core_support_export.restype = ctypes.c_int32
@@ -550,6 +555,34 @@ def greedy_consume_fused(gh, ws_row, paths_row, npaths, maxv, trust):
         gh.h, ws.ctypes.data, pm.ctypes.data, int(npaths), maxv,
         0 if trust else 1, fused_stats.ctypes.data))
     return gh.pause_kind
+
+
+def bench_drain_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_bench_drain")
+
+
+def bench_drain(W, P, sink, scal, maxp):
+    """Run the genuine native host drain over a dense [B, V, V] fused-drain
+    batch (same inputs the device dispatch receives) and return
+    (ws [B,maxp] f64, npaths [B] i32, build_s, drain_s).  Calibrates the
+    host side of the device-crossover model (meta/device_wave.py) and the
+    bench crossover table (bench.py)."""
+    lib = _load_lib()
+    _bind(lib)
+    W = np.ascontiguousarray(W, dtype=np.float64)
+    P = np.ascontiguousarray(P, dtype=np.int32)
+    sink = np.ascontiguousarray(sink, dtype=np.int32)
+    scal = np.ascontiguousarray(scal, dtype=np.float64)
+    B, V, _ = W.shape
+    ws = np.zeros((B, maxp), dtype=np.float64)
+    np_out = np.zeros(B, dtype=np.int32)
+    nanos = np.zeros(2, dtype=np.int64)
+    lib.core_bench_drain(W.ctypes.data, P.ctypes.data, sink.ctypes.data,
+                         scal.ctypes.data, B, V, int(maxp),
+                         ws.ctypes.data, np_out.ctypes.data,
+                         nanos.ctypes.data)
+    return ws, np_out, nanos[0] * 1e-9, nanos[1] * 1e-9
 
 
 def greedy_export(gh, Wrow, maxv):

@@ -1,0 +1,188 @@
+"""Measured device-vs-host amortization model for the fused greedy drain.
+
+The 'auto' device policy must decide from a measured crossover — engage
+the chip iff dispatch_cost(B) < B x host_per_graph_cost — not a fixed
+per-dispatch threshold (round-3 review).  This module owns that model:
+
+- measure(): for each batch size B, time a warm fused-drain dispatch
+  (ops/greedy_fused.py, the whole repeat-until-drained loop of
+  scallop/scallop.cc:2874-2897 in one device program) and the genuine
+  native host drain on the SAME dense inputs (native core_bench_drain:
+  intrusive-list graphs + compute_maximum_path_w, i.e. production code,
+  not the numpy oracle).
+- fit t_device(B) = a + b*B (fixed dispatch overhead + per-graph marginal
+  cost: transfer of V*V*(8+4) bytes plus compute) and t_host(B) = c*B.
+  Break-even B* = a / (c - b) when b < c, else no crossover exists on
+  this attachment: the chip can never amortize, whatever the batch.
+- calibration(): cache the fit per backend platform in /tmp so production
+  runs read the measured model instead of re-compiling the kernel; the
+  bench populates the cache every round.
+
+meta/device_wave.py consults device_wins(n) per wave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+DEFAULT_V = 64
+CACHE_FMT = "/tmp/aletsch_crossover_{platform}_v1.json"
+
+
+def synth_batch(B, V=DEFAULT_V, seed=3, n_vertices=32, fan_in=3):
+    """Deterministic synthetic drain batch at the production bench shape:
+    DAGs in topo space with ~fan_in in-edges per vertex, integer weights
+    (exact in f64), mincov/guard/smin at the production defaults."""
+    rng = np.random.default_rng(seed)
+    NEG = -1.0e18
+    W = np.full((B, V, V), NEG, dtype=np.float64)
+    P = np.full((B, V, V), -1, dtype=np.int32)
+    sink = np.zeros(B, dtype=np.int32)
+    scal = np.zeros((B, 3), dtype=np.float64)
+    n = n_vertices
+    for b in range(B):
+        cnt = np.zeros(n, dtype=int)
+        for j in range(1, n):
+            for u in rng.choice(j, size=min(j, fan_in), replace=False):
+                W[b, u, j] = float(rng.integers(1, 1000))
+                P[b, u, j] = cnt[j]
+                cnt[j] += 1
+        sink[b] = n - 1
+        scal[b] = (2.0, 0.01, 1e-8)
+    return W, P, sink, scal
+
+
+def platform_name():
+    try:
+        import jax
+        p = jax.config.jax_platforms or ""
+    except Exception:
+        p = ""
+    if not p:
+        p = os.environ.get("JAX_PLATFORMS", "")
+    return (p.split(",")[0].strip()) or "default"
+
+
+def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3):
+    """Measure the crossover sweep.  Returns a calibration dict with the
+    per-B table, the a/b/c fit, and the break-even batch size."""
+    import time
+
+    from ..meta import native_core
+    from .greedy_fused import DeviceGreedyFused
+
+    table = []
+    for B in sorted(set(int(b) for b in batches)):
+        W, P, sink, scal = synth_batch(B, V, seed=seed)
+        fd = DeviceGreedyFused(batch=B, maxv=V)   # ctor warms the compile
+        fd.W[:] = W
+        fd.P[:] = P
+        fd.sink[:] = sink
+        fd.scal[:] = scal
+        dev_times = []
+        npaths_dev = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, _, npaths_dev = fd.solve(B)
+            dev_times.append(time.perf_counter() - t0)
+        host_times = []
+        npaths_host = None
+        build_s = 0.0
+        for _ in range(reps):
+            _, npaths_host, build_s, drain_s = native_core.bench_drain(
+                W, P, sink, scal, fd.maxp)
+            host_times.append(drain_s)
+        row = {
+            "B": B,
+            "device_dispatch_s": round(float(np.median(dev_times)), 5),
+            "host_native_drain_s": round(float(np.median(host_times)), 6),
+            "host_graph_build_s": round(build_s, 6),
+            "paths_per_graph": round(float(np.mean(npaths_host)), 2),
+            "paths_agree": bool(np.array_equal(np.asarray(npaths_dev),
+                                               npaths_host)),
+            "bytes_up": int(W.nbytes + P.nbytes + sink.nbytes
+                            + scal.nbytes),
+        }
+        table.append(row)
+
+    # fit t_dev(B) = a + b*B (least squares), t_host(B) = c*B
+    Bs = np.array([r["B"] for r in table], dtype=np.float64)
+    td = np.array([r["device_dispatch_s"] for r in table])
+    th = np.array([r["host_native_drain_s"] for r in table])
+    if len(Bs) >= 2:
+        A = np.stack([np.ones_like(Bs), Bs], axis=1)
+        coef, *_ = np.linalg.lstsq(A, td, rcond=None)
+        a, b = float(coef[0]), float(coef[1])
+    else:
+        a, b = float(td[0]), 0.0
+    c = float((th / Bs).mean())
+    if b < c:
+        break_even = a / (c - b) if c > b else None
+        break_even = int(np.ceil(break_even)) if break_even is not None \
+            else None
+    else:
+        break_even = None   # marginal device cost alone exceeds host cost
+    return {
+        "platform": platform_name(),
+        "V": V,
+        "table": table,
+        "fit": {"a_fixed_dispatch_s": round(a, 5),
+                "b_per_graph_device_s": round(b, 8),
+                "c_per_graph_host_s": round(c, 8)},
+        "break_even_B": break_even,
+        "note": ("no crossover: per-graph device marginal cost b >= host "
+                 "per-graph cost c; the chip cannot amortize at ANY batch "
+                 "size on this attachment" if break_even is None else
+                 "device wins for waves with >= break_even_B graphs"),
+    }
+
+
+def cache_path():
+    return CACHE_FMT.format(platform=platform_name())
+
+
+def calibration(measure_if_missing=False, batches=(64, 256), reps=3):
+    """Load the cached calibration for the active platform; optionally
+    measure (and cache) when absent.  Returns None when unavailable."""
+    path = cache_path()
+    try:
+        with open(path) as fh:
+            cal = json.load(fh)
+        if cal.get("platform") == platform_name() and "fit" in cal:
+            return cal
+    except Exception:
+        pass
+    if not measure_if_missing:
+        return None
+    try:
+        cal = measure(batches=batches, reps=reps)
+    except Exception:
+        return None
+    save(cal)
+    return cal
+
+
+def save(cal):
+    path = cache_path()
+    try:
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as fh:
+            json.dump(cal, fh)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return path
+
+
+def device_wins(n_graphs, cal):
+    """The amortization decision: a + b*n < c*n for this wave."""
+    if not cal:
+        return False
+    f = cal["fit"]
+    a = f["a_fixed_dispatch_s"]
+    b = f["b_per_graph_device_s"]
+    c = f["c_per_graph_host_s"]
+    return a + b * n_graphs < c * n_graphs

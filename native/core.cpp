@@ -10,6 +10,7 @@
 #include "core_scallop.h"
 
 #include <atomic>
+#include <chrono>
 #include <functional>
 #include <thread>
 
@@ -1178,6 +1179,70 @@ i32 core_greedy_consume_fused(void* h, const double* ws,
     r->sc->greedy_consume_fused(ws, paths, npaths, maxv, mode, stats2);
     r->finish_scallop();
     return r->advance();
+}
+
+// Standalone native drain benchmark for the device-crossover model
+// (bench.py crossover_probe / meta/device_wave.py amortized policy).
+// Rebuilds each dense [V,V] batch row as the production intrusive-list
+// SpliceGraph (edges inserted in P order so the DP's last-wins tie rule
+// matches, splice_graph.cc:845-851) and runs the genuine host drain:
+// repeat {compute_maximum_path_w; subtract the bottleneck with the
+// split_edge arithmetic of scallop.cc:2433-2484} — identical semantics
+// to ops/greedy_fused.py drain_host, on the same inputs the device
+// dispatch receives.  nanos_out = {graph build ns, drain ns}; ws_out /
+// np_out let the caller cross-check parity with the device results.
+void core_bench_drain(const double* W, const i32* P, const i32* sink,
+                      const double* scal, i32 B, i32 V, i32 maxp,
+                      double* ws_out, i32* np_out, i64* nanos_out) {
+    using clk = std::chrono::steady_clock;
+    std::vector<core::SpliceGraph> graphs((size_t)B);
+    std::vector<std::pair<i32, int>> order;
+    auto t0 = clk::now();
+    for (i32 b = 0; b < B; b++) {
+        core::SpliceGraph& g = graphs[(size_t)b];
+        if (sink[b] <= 0) continue;
+        int n = sink[b] + 1;
+        for (int v = 0; v < n; v++) g.add_vertex();
+        const double* Wb = W + (size_t)b * V * V;
+        const i32* Pb = P + (size_t)b * V * V;
+        for (int v = 1; v < n; v++) {
+            order.clear();
+            for (int u = 0; u < n; u++) {
+                i32 p = Pb[(size_t)u * V + v];
+                if (p >= 0) order.push_back({p, u});
+            }
+            std::sort(order.begin(), order.end());
+            for (auto& pu : order)
+                g.add_edge(pu.second, v)->wrt =
+                    Wb[(size_t)pu.second * V + v];
+        }
+    }
+    auto t1 = clk::now();
+    for (i32 b = 0; b < B; b++) {
+        np_out[b] = 0;
+        if (sink[b] <= 0) continue;
+        core::SpliceGraph& g = graphs[(size_t)b];
+        double mincov = scal[(size_t)b * 3 + 0];
+        double guard = scal[(size_t)b * 3 + 1];
+        double smin = scal[(size_t)b * 3 + 2];
+        std::vector<core::GEdge*> path;
+        for (i32 k = 0; k < maxp; k++) {
+            double w = g.compute_maximum_path_w(path);
+            if (w < 0.0 || w <= mincov) break;
+            for (core::GEdge* e : path) {
+                double d = e->wrt - w;
+                if (std::abs(d) <= smin) g.remove_edge(e);
+                else e->wrt = (d <= guard) ? guard : d;
+            }
+            ws_out[(size_t)b * maxp + k] = w;
+            np_out[b]++;
+        }
+    }
+    auto t2 = clk::now();
+    nanos_out[0] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+        t1 - t0).count();
+    nanos_out[1] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+        t2 - t1).count();
 }
 
 // dense f32 adjacency of the paused graph in topo space, or 0 if the
