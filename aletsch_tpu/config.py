@@ -61,6 +61,9 @@ class Parameters:
     # cross-sample junction-support reduce on device (ops/support.py);
     # same auto posture (see meta/device_wave.py support_enabled)
     device_support: str = "auto"
+    # scallop resolution-ladder prefix on device (ops/ladder_kernel.py,
+    # pause kind 4); same auto posture (device_wave.ladder_enabled)
+    device_ladder: str = "auto"
 
     # meta-assembly
     max_group_size: int = 200
@@ -174,6 +177,7 @@ _GENERIC_FLAGS = {
     "--device_min_cluster": ("device_min_cluster", int),
     "--device_bridge": ("device_bridge", str),
     "--device_support": ("device_support", str),
+    "--device_ladder": ("device_ladder", str),
     "--jax_profile_dir": ("jax_profile_dir", str),
     "--checkpoint_dir": ("checkpoint_dir", str),
     "--min_bridging_score": ("min_bridging_score", float),

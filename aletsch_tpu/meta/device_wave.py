@@ -44,6 +44,8 @@ stats = {
     "device_bridge_insts": 0,  # pier-DP instances consumed from the device
     "host_support_groups": 0,   # support reduces solved by the host sums
     "device_support_groups": 0,  # support reduces consumed from the device
+    "host_ladder_graphs": 0,    # ladder-paused graphs solved on host
+    "device_ladder_graphs": 0,  # ladder decision logs consumed from device
     "waves": 0,
 }
 
@@ -111,12 +113,30 @@ def _get_support_device():
     return _SUPPORT
 
 
+_LADDER = None
+_LADDER_FAILED = False
+_LADDER_TRUST = None
+
+
+def _get_ladder_device():
+    global _LADDER, _LADDER_FAILED, _LADDER_TRUST
+    if _LADDER is None and not _LADDER_FAILED:
+        try:
+            from ..ops.greedy_fused import device_f64_exact
+            from ..ops.ladder_device import DeviceLadder
+            _LADDER_TRUST = device_f64_exact()
+            _LADDER = DeviceLadder()
+        except Exception:
+            _LADDER_FAILED = True
+    return _LADDER
+
+
 _MESH_KEYS = ("mesh_dispatches", "mesh_bytes_in", "mesh_bytes_out")
 
 
 def device_stats():
     d = dict(stats)
-    solvers = [s for s in (_DEVICE, _FUSED, _BRIDGE, _SUPPORT)
+    solvers = [s for s in (_DEVICE, _FUSED, _BRIDGE, _SUPPORT, _LADDER)
                if s is not None]
     for s in solvers:
         d.update({k: v for k, v in s.stats.items() if k not in _MESH_KEYS})
@@ -132,6 +152,10 @@ def device_stats():
         d["fused_trust"] = bool(_FUSED_TRUST)
         d["fused_agree"] = int(native_core.fused_stats[0])
         d["fused_total"] = int(native_core.fused_stats[1])
+    if _LADDER is not None:
+        d["ladder_trust"] = bool(_LADDER_TRUST)
+        d["ladder_agree"] = int(native_core.ladder_stats[0])
+        d["ladder_total"] = int(native_core.ladder_stats[1])
     return d
 
 
@@ -196,7 +220,7 @@ def enabled(cfg, n_groups):
     if env == "0":
         return False
     if env == "1" or mode == "on" or bridge_enabled(cfg) \
-            or support_enabled(cfg):
+            or support_enabled(cfg) or ladder_enabled(cfg):
         return native_core.native_core_available()
     if mode != "auto":
         return False
@@ -223,6 +247,22 @@ def bridge_enabled(cfg):
         return native_core.bridge_pause_available()
     if mode == "auto" and auto_device_ok(cfg):
         return native_core.bridge_pause_available()
+    return False
+
+
+def ladder_enabled(cfg):
+    """Decide whether GroupRuns pause at the scallop resolution ladder
+    (pause kind 4; ops/ladder_kernel.py batched over the wave's graphs).
+    Same posture as bridge_enabled: 'auto' consults the measured
+    amortization model; 'on' forces it (fuzz/parity runs, probes)."""
+    mode = getattr(cfg, "device_ladder", "auto")
+    env = os.environ.get("ALETSCH_DEVICE_LADDER")
+    if env == "0":
+        return False
+    if env == "1" or mode == "on":
+        return native_core.ladder_pause_available()
+    if mode == "auto" and auto_device_ok(cfg):
+        return native_core.ladder_pause_available()
     return False
 
 
@@ -260,13 +300,18 @@ def assemble_groups(asms, gvs, cfg):
     sdev = _get_support_device() if support_dev else None
     if support_dev and sdev is None:
         support_dev = False
+    ladder_dev = ladder_enabled(cfg)
+    ldev = _get_ladder_device() if ladder_dev else None
+    if ladder_dev and ldev is None:
+        ladder_dev = False
     minv = int(getattr(cfg, "device_min_vertices", 16))
     from ..ops.bridge_topk import K, S
     runs = []               # (asmb, gv, handle-or-None) in group order
     active = []
     for asmb, gv in zip(asms, gvs):
         gh = native_core.start_group_device(asmb, gv, True, minv,
-                                            bridge_dev, support_dev)
+                                            bridge_dev, support_dev,
+                                            ladder_dev)
         runs.append((asmb, gv, gh))
         if gh is not None and gh.paused:
             active.append(gh)
@@ -277,6 +322,19 @@ def assemble_groups(asms, gvs, cfg):
         g_exp = []          # greedy-paused handles with exported rows
         f_exp = []          # fused-drain handles with exported rows
         s_exp = []          # support-paused handles with exported rows
+        l_exp = []          # ladder-paused handles with exported rows
+
+        def flush_ladder():
+            if not l_exp:
+                return
+            larm, ltgt, ndec, lstatus = ldev.solve(len(l_exp))
+            for i, g in enumerate(l_exp):
+                stats["device_ladder_graphs"] += 1
+                if native_core.ladder_consume(
+                        g, larm[i], ltgt[i], int(ndec[i]),
+                        int(lstatus[i]), _LADDER_TRUST):
+                    nxt.append(g)
+            del l_exp[:]
 
         def flush_greedy():
             if not g_exp:
@@ -344,6 +402,19 @@ def assemble_groups(asms, gvs, cfg):
             del s_exp[:]
 
         for gh in active:
+            if gh.pause_kind == 4:
+                v = native_core.ladder_export(
+                    gh, ldev.row(len(l_exp)), ldev.maxv, ldev.maxe,
+                    ldev.maxh, ldev.maxl, ldev.dmax) if ladder_dev else 0
+                if v <= 0:
+                    stats["host_ladder_graphs"] += 1
+                    if native_core.ladder_solve_host(gh):
+                        nxt.append(gh)
+                    continue
+                l_exp.append(gh)
+                if len(l_exp) == ldev.batch:
+                    flush_ladder()
+                continue
             if gh.pause_kind == 3:
                 v = native_core.support_export(
                     gh, sdev.row(len(s_exp))) if support_dev else 0
@@ -404,6 +475,7 @@ def assemble_groups(asms, gvs, cfg):
         flush_fused()
         feed_bridges()
         flush_support()
+        flush_ladder()
         active = nxt
 
     # replay in group order (determinism), host-fallback where ineligible

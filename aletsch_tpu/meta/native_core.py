@@ -161,6 +161,20 @@ def _bind(lib):
             lib.core_resolve_groups_mt.argtypes
         lib.core_batch_join.restype = ctypes.c_void_p
         lib.core_batch_join.argtypes = [ctypes.c_void_p]
+    # device-paused scallop ladder (pause kind 4; ops/ladder_kernel.py)
+    if hasattr(lib, "core_ladder_export"):
+        lib.core_group_set_ladder.restype = None
+        lib.core_group_set_ladder.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_int32]
+        lib.core_ladder_export.restype = ctypes.c_int32
+        lib.core_ladder_export.argtypes = \
+            [ctypes.c_void_p] + [vp] * 12 + [ctypes.c_int32] * 5
+        lib.core_ladder_consume.restype = ctypes.c_int32
+        lib.core_ladder_consume.argtypes = \
+            [ctypes.c_void_p, vp, vp, ctypes.c_int32, ctypes.c_int32,
+             ctypes.c_int32, vp]
+        lib.core_ladder_solve_host.restype = ctypes.c_int32
+        lib.core_ladder_solve_host.argtypes = [ctypes.c_void_p]
     # standalone native drain benchmark (crossover model calibration)
     if hasattr(lib, "core_bench_drain"):
         lib.core_bench_drain.restype = None
@@ -504,11 +518,12 @@ def support_pause_available():
 
 
 def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False,
-                       support_dev=False):
+                       support_dev=False, ladder_dev=False):
     """Begin a device-paused group assembly; returns a GroupHandle, or
     None when the group is ineligible for the native core.  bridge_dev
     additionally pauses at every bridging pier-DP instance; support_dev at
-    the cross-sample junction-support reduce."""
+    the cross-sample junction-support reduce; ladder_dev at the scallop
+    resolution ladder (pause kind 4)."""
     if not eligible(asmb, gv):
         return None
     lib = _load_lib()
@@ -521,6 +536,8 @@ def start_group_device(asmb, gv, do_bridge, minv, bridge_dev=False,
     args, keep = _marshal_group(asmb, gv, do_bridge)
     h = lib.core_group_start(*(args + (int(minv), 1 if bridge_dev else 0,
                                        1 if support_dev else 0)))
+    if ladder_dev and hasattr(lib, "core_group_set_ladder"):
+        lib.core_group_set_ladder(h, 1)
     kind = int(lib.core_group_advance(h))
     return GroupHandle(h, asmb, gv, keep, kind)
 
@@ -554,6 +571,45 @@ def greedy_consume_fused(gh, ws_row, paths_row, npaths, maxv, trust):
     gh.pause_kind = int(lib.core_greedy_consume_fused(
         gh.h, ws.ctypes.data, pm.ctypes.data, int(npaths), maxv,
         0 if trust else 1, fused_stats.ctypes.data))
+    return gh.pause_kind
+
+
+def ladder_pause_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_ladder_export")
+
+
+# cumulative ladder agreement stats: [consumed/agreeing, device decisions]
+ladder_stats = np.zeros(2, dtype=np.int64)
+
+
+def ladder_export(gh, rows, maxv, emax, hmax, lmax, dmax):
+    """Export the ladder-paused graph into one DeviceLadder batch row
+    (rows = DeviceLadder.row(i)); returns V > 0 or 0 (ineligible)."""
+    lib = _load_lib()
+    ptrs = [r.ctypes.data for r in rows]
+    return int(lib.core_ladder_export(
+        gh.h, *ptrs, int(maxv), int(emax), int(hmax), int(lmax),
+        int(dmax)))
+
+
+def ladder_consume(gh, arm_row, tgt_row, ndec, status, trust):
+    """Feed one graph's device decision log back (replayed in trust mode,
+    agreement-compared in verify mode; host ladder always completes the
+    router rungs); returns the next pause kind."""
+    lib = _load_lib()
+    arm = np.ascontiguousarray(arm_row, dtype=np.int32)
+    tgt = np.ascontiguousarray(tgt_row, dtype=np.int32)
+    gh.pause_kind = int(lib.core_ladder_consume(
+        gh.h, arm.ctypes.data, tgt.ctypes.data, int(ndec), int(status),
+        0 if trust else 1, ladder_stats.ctypes.data))
+    return gh.pause_kind
+
+
+def ladder_solve_host(gh):
+    """Run phase1 on the host for a ladder-ineligible graph."""
+    lib = _load_lib()
+    gh.pause_kind = int(lib.core_ladder_solve_host(gh.h))
     return gh.pause_kind
 
 

@@ -336,6 +336,20 @@ struct GroupRun {
     //      hoisted once -- serial solvers see the identical graph because
     //      each adds and removes the same adjacent-edge set and
     //      update_bridges never touches the combined graph.
+    // ---- paused device ladder (pause kind 4): assemble_graph_begin
+    //      stops before phase1; core_ladder_export / core_ladder_consume
+    //      run the resolution arms through ops/ladder_kernel.py
+    int device_ladder = 0;
+    bool ladder_pending = false;
+
+    void ladder_done() {
+        ladder_pending = false;
+        if (device_minv <= 0 || sc->greedy_done) {
+            if (!sc->greedy_done) sc->greedy_finish_host();
+            finish_scallop();
+        }
+    }
+
     int device_bridge = 0;
     int bphase = 0;         // 0: queue phase-0, 1: queue joint, 2: cleanup
     struct BridgeEntry {
@@ -549,6 +563,12 @@ struct GroupRun {
         out.g_sid.push_back(sid);
         out.g_subindex.push_back(subindex_);
         sc.reset(new Scallop(g, *sc_hs, acfg));
+        if (device_ladder) {
+            // pause kind 4: the batched device ladder consumes the
+            // resolution-arm decisions before phase1 completes
+            ladder_pending = true;
+            return;
+        }
         sc->assemble_phase1();
         if (device_minv <= 0 || sc->greedy_done) {
             if (!sc->greedy_done) sc->greedy_finish_host();
@@ -598,9 +618,11 @@ struct GroupRun {
         bd.clear();
     }
 
-    // run until the next pause (1 = greedy, 2 = bridge) or completion (0)
+    // run until the next pause (1 = greedy, 2 = bridge, 3 = support,
+    // 4 = ladder) or completion (0)
     int advance() {
         while (true) {
+            if (sc && ladder_pending) return 4;
             if (sc) return 1;
             if (bridge_queued()) return 2;
             if (support_pending) return 3;
@@ -1086,10 +1108,49 @@ void* core_group_start(
         device_minv > 0 ? device_minv : 1, device_bridge, device_support);
 }
 
-// run to the first pause (1 = greedy, 2 = bridge, 3 = support reduce) or
-// completion (0)
+// run to the first pause (1 = greedy, 2 = bridge, 3 = support reduce,
+// 4 = ladder) or completion (0)
 i32 core_group_advance(void* h) {
     return ((core::GroupRun*)h)->advance();
+}
+
+// ---- paused device ladder (ops/ladder_kernel.py; pause kind 4)
+
+// enable ladder pauses for this run (call before the first advance)
+void core_group_set_ladder(void* h, i32 on) {
+    ((core::GroupRun*)h)->device_ladder = on;
+}
+
+// fill one batch row with the pre-ladder dense state; V > 0 or 0 when
+// ineligible (caller then uses core_ladder_solve_host)
+i32 core_ladder_export(void* h, i32* esrc, i32* edst, double* ewrt,
+                       i32* estr, i32* esin, i32* esout, uint8_t* ealive,
+                       i32* meta3, uint8_t* nz, i32* hedge, i32* hlen,
+                       double* scal4, i32 maxv, i32 emax, i32 hmax,
+                       i32 lmax, i32 dmax) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    if (!r->sc || !r->ladder_pending) return 0;
+    return r->sc->ladder_export(esrc, edst, ewrt, estr, esin, esout,
+                                ealive, meta3, nz, hedge, hlen, scal4,
+                                maxv, emax, hmax, lmax, dmax);
+}
+
+// consume the device decision log (mode 0 trust / 1 verify; status != 0
+// means device overflow) and finish phase1; returns the next pause kind
+i32 core_ladder_consume(void* h, const i32* arm, const i32* tgt,
+                        i32 ndec, i32 status, i32 mode, i64* stats2) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->sc->ladder_consume(arm, tgt, ndec, status, mode, stats2);
+    r->ladder_done();
+    return r->advance();
+}
+
+// ineligible graph: run phase1 on host; returns the next pause kind
+i32 core_ladder_solve_host(void* h) {
+    core::GroupRun* r = (core::GroupRun*)h;
+    r->sc->assemble_phase1();
+    r->ladder_done();
+    return r->advance();
 }
 
 // ---- paused cross-sample support reduce (wave-batched sample-axis sum on

@@ -352,7 +352,20 @@ struct Scallop {
     // ladder + existing st paths + greedy balance prep (scallop.cc:38-188
     // up to the extraction loop of :2874-2897)
     void assemble_phase1() {
-        gr.copy_into(gr_ori);
+        ladder_prep();
+        ladder_loop();
+        ladder_post();
+    }
+
+    void ladder_prep() { gr.copy_into(gr_ori); }
+
+    // the resolution ladder (scallop.cc:47-173).  declog, when set,
+    // records the rung-1..4 decisions for device-agreement accounting
+    // (verify mode of the batched ladder kernel, ops/ladder_kernel.py).
+    std::vector<std::pair<i32, i32>>* declog = nullptr;
+
+    void ladder_loop(std::vector<std::pair<i32, i32>>* log = nullptr) {
+        declog = log;
         const double* r = cfg.max_decompose_error_ratio;
         while (true) {
             if (gr.num_vertices() > cfg.max_num_exons) break;
@@ -360,24 +373,45 @@ struct Scallop {
             if (resolve_trivial_vertex_fast(r[TRIVIAL_VERTEX])) continue;
             if (resolve_trivial_vertex(1, true, r[TRIVIAL_VERTEX])) continue;
             if (resolve_smallest_edges(r[0])) continue;
-            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, 1, 0.01))
+            declog = nullptr;   // router rungs are outside the device arms
+            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, 1, 0.01)) {
+                declog = log;
                 continue;
-            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, 1, 0.01))
+            }
+            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, 1, 0.01)) {
+                declog = log;
                 continue;
+            }
             if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, PY_INT_MAX,
-                                            r[UNSPLITTABLE_SINGLE]))
+                                            r[UNSPLITTABLE_SINGLE])) {
+                declog = log;
                 continue;
+            }
             if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX,
-                                            r[SPLITTABLE_PURE]))
+                                            r[SPLITTABLE_PURE])) {
+                declog = log;
                 continue;
+            }
             if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, PY_INT_MAX,
-                                            INF))
+                                            INF)) {
+                declog = log;
                 continue;
-            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX, INF))
+            }
+            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX,
+                                            INF)) {
+                declog = log;
                 continue;
-            if (resolve_trivial_vertex(2, true, r[TRIVIAL_VERTEX])) continue;
+            }
+            if (resolve_trivial_vertex(2, true, r[TRIVIAL_VERTEX])) {
+                declog = log;
+                continue;
+            }
             break;
         }
+        declog = nullptr;
+    }
+
+    void ladder_post() {
         collect_existing_st_paths();
         // greedy prep (scallop.cc:2874-2880): early-out keeps the graph
         // unbalanced exactly like the reference when no edges remain
@@ -521,6 +555,150 @@ struct Scallop {
         return n;
     }
 
+    // ---- batched device ladder (ops/ladder_kernel.py): export the
+    //      pre-ladder dense state, consume the device's decision log.
+
+    // Fill one batch row with the dense ladder state.  Arrays sized
+    // emax / maxv / hmax*lmax per the kernel shape.  Returns V on
+    // success, 0 when ineligible (caps/weights) — the caller then runs
+    // the host ladder unchanged.
+    int ladder_export(i32* esrc, i32* edst, double* ewrt, i32* estr,
+                      i32* esin, i32* esout, uint8_t* ealive,
+                      i32* meta3, uint8_t* nz, i32* hedge, i32* hlen,
+                      double* scal4, int maxv, int emax, int hmax,
+                      int lmax, int dmax) {
+        int n = gr.num_vertices();
+        if (n < 2 || n > maxv) return 0;
+        if (n > cfg.max_num_exons) return 0;
+        int ne = (int)i2e.size();
+        if (ne > emax / 2) return 0;
+        if ((int)hs.edges.size() > hmax) return 0;
+        for (const auto& vv : hs.edges)
+            if ((int)vv.size() > lmax) return 0;
+        for (int v = 0; v < n; v++) {
+            if (gr.vin[v].n > dmax || gr.vout[v].n > dmax) return 0;
+        }
+        for (int i = 0; i < emax; i++) {
+            esrc[i] = -1;
+            edst[i] = -1;
+            ewrt[i] = 0.0;
+            estr[i] = 0;
+            esin[i] = 0;
+            esout[i] = 0;
+            ealive[i] = 0;
+        }
+        i32 stamp = 0;
+        for (int v = 0; v < n; v++) {
+            for (GEdge* e = gr.vin[v].head; e; e = e->inext)
+                esin[e->si] = stamp++;
+            for (GEdge* e = gr.vout[v].head; e; e = e->onext)
+                esout[e->si] = stamp++;
+        }
+        for (int i = 0; i < ne; i++) {
+            GEdge* e = i2e[i];
+            if (e == nullptr) return 0;    // ladder starts with a fresh map
+            double w = e->wrt;
+            if (!(w >= 0.0) || w > 1e17) return 0;
+            esrc[i] = e->s;
+            edst[i] = e->t;
+            ewrt[i] = w;
+            estr[i] = e->info.strand;
+            ealive[i] = 1;
+        }
+        meta3[0] = ne;
+        meta3[1] = stamp;
+        meta3[2] = n;
+        for (int v = 0; v < maxv; v++) nz[v] = 0;
+        for (int v : nonzeroset) nz[v] = 1;
+        for (int i = 0; i < hmax * lmax; i++) hedge[i] = -1;
+        for (int i = 0; i < hmax; i++) hlen[i] = 0;
+        for (size_t k = 0; k < hs.edges.size(); k++) {
+            const std::vector<int>& vv = hs.edges[k];
+            hlen[k] = (i32)vv.size();
+            for (size_t j = 0; j < vv.size(); j++)
+                hedge[k * lmax + j] = vv[j];
+        }
+        scal4[0] = cfg.max_decompose_error_ratio[TRIVIAL_VERTEX];
+        scal4[1] = cfg.max_decompose_error_ratio[0];
+        scal4[2] = cfg.min_guaranteed_edge_weight;
+        scal4[3] = SMIN;
+        return n;
+    }
+
+    // Replay the device decision log with full-metadata host surgery.
+    // Returns the count of decisions applied; stops early (and the
+    // caller's host ladder takes over from the current — still valid —
+    // state) if a decision's structural preconditions fail.
+    i32 ladder_replay(const i32* arm, const i32* tgt, i32 ndec) {
+        for (i32 k = 0; k < ndec; k++) {
+            int a = arm[k];
+            int x = tgt[k];
+            if (a == 0) {                      // broken vertex
+                if (x <= 0 || x >= gr.num_vertices() - 1) return k;
+                if (!nonzeroset.count(x)) return k;
+                if (gr.in_degree(x) >= 1 && gr.out_degree(x) >= 1)
+                    return k;
+                std::vector<int> ve;
+                for (GEdge* e = gr.vin[x].head; e; e = e->inext)
+                    ve.push_back(e->si);
+                for (GEdge* e = gr.vout[x].head; e; e = e->onext)
+                    ve.push_back(e->si);
+                for (int e : ve) {
+                    remove_edge(e);
+                    hs.remove(e);
+                }
+                nonzeroset.erase(x);
+            } else if (a == 1) {               // trivial decompose
+                if (x <= 0 || x >= gr.num_vertices() - 1) return k;
+                if (!nonzeroset.count(x)) return k;
+                int d1 = gr.in_degree(x), d2 = gr.out_degree(x);
+                if (d1 <= 0 || d2 <= 0) return k;
+                if (d1 != 1 && d2 != 1) return k;
+                decompose_trivial_vertex(x);
+            } else {                           // smallest-edge removal
+                if (x < 0 || x >= (int)i2e.size()) return k;
+                if (i2e[x] == nullptr) return k;
+                remove_edge(x);
+                hs.remove(x);
+            }
+        }
+        return ndec;
+    }
+
+    // Consume a device ladder result.  mode 0 = trust (IEEE-f64 backend:
+    // replay the log, then let the host ladder finish the router rungs);
+    // mode 1 = verify (host ladder is authoritative; the device log only
+    // feeds the agreement stats).  status != 0 = device overflow: host
+    // redoes everything.  stats2 accumulates {agreeing, device} counts.
+    void ladder_consume(const i32* arm, const i32* tgt, i32 ndec,
+                        i32 status, i32 mode, i64* stats2) {
+        if (mode != 0) {
+            std::vector<std::pair<i32, i32>> log;
+            ladder_prep();
+            ladder_loop(&log);
+            ladder_post();
+            if (status == 0) {
+                stats2[1] += ndec;
+                i32 m = ndec < (i32)log.size() ? ndec : (i32)log.size();
+                for (i32 k = 0; k < m; k++) {
+                    if (log[k].first == arm[k] && log[k].second == tgt[k])
+                        stats2[0]++;
+                    else
+                        break;
+                }
+            }
+            return;
+        }
+        ladder_prep();
+        if (status == 0) {
+            i32 done = ladder_replay(arm, tgt, ndec);
+            stats2[1] += ndec;
+            stats2[0] += done;
+        }
+        ladder_loop();
+        ladder_post();
+    }
+
     // Decode one device path (topo-space vertex mask) into graph edges;
     // returns false on any structural inconsistency.
     bool decode_fused_path(const uint8_t* m, std::vector<GEdge*>& vpath,
@@ -613,6 +791,7 @@ struct Scallop {
             break;
         }
         if (x == -1) return false;
+        if (declog) declog->push_back({0, x});
         std::vector<int> ve;
         for (GEdge* e = gr.vin[x].head; e; e = e->inext) ve.push_back(e->si);
         for (GEdge* e = gr.vout[x].head; e; e = e->onext) ve.push_back(e->si);
@@ -706,6 +885,7 @@ struct Scallop {
 
     // scallop.cc:2144-2167
     void decompose_trivial_vertex(int x) {
+        if (declog) declog->push_back({1, x});
         balance_vertex(x);
         Pe2w pe2w;
         for (GEdge* ein = gr.vin[x].head; ein; ein = ein->inext) {
@@ -783,6 +963,7 @@ struct Scallop {
             if (s == i && z >= 1 && vs[0] + vs[z] <= 1) continue;
             if (t == i && z >= 1 && vs[3] + vs[z + 3] <= 1) continue;
             if (r < 0.01) {
+                if (declog) declog->push_back({2, e});
                 remove_edge(e);
                 hs.remove(e);
                 flag = true;
@@ -794,6 +975,7 @@ struct Scallop {
         }
         if (flag) return true;
         if (se == -1) return false;
+        if (declog) declog->push_back({2, se});
         remove_edge(se);
         hs.remove(se);
         return true;

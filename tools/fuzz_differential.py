@@ -80,7 +80,7 @@ def random_cohort(tmp, seed, adversarial=True):
     return bl
 
 def run(tmp, bl, tag, native, device="off", max_exons=None,
-        device_bridge="off", device_support="off"):
+        device_bridge="off", device_support="off", device_ladder="off"):
     out_gtf = os.path.join(tmp, tag + ".gtf")
     out_dir = os.path.join(tmp, tag + "_d")
     os.makedirs(out_dir, exist_ok=True)
@@ -95,6 +95,7 @@ def run(tmp, bl, tag, native, device="off", max_exons=None,
         p.device_min_groups = 0
         p.device_bridge = device_bridge
         p.device_support = device_support
+        p.device_ladder = device_ladder
         if max_exons is not None:
             p.max_num_exons = max_exons
     saved = (bam_native._LIB, bam_native._LIB_TRIED)
@@ -184,8 +185,10 @@ def fuzz_device(tmp, seeds=(31, 32, 33, 34)):
             s0 = device_wave.stats["device_steps"]
             b0 = device_wave.stats["device_bridge_insts"]
             u0 = device_wave.stats["device_support_groups"]
+            l0 = device_wave.stats["device_ladder_graphs"]
             g2, d2 = run(tmp, "%s" % bl, "dv1_%s_%d" % (tag, seed), "scan",
-                         "on", me, device_bridge="on", device_support="on")
+                         "on", me, device_bridge="on", device_support="on",
+                         device_ladder="on")
             ok = open(g1).read() == open(g2).read()
             for fn in sorted(os.listdir(d1)):
                 ok = ok and (open(os.path.join(d1, fn)).read() ==
@@ -193,10 +196,12 @@ def fuzz_device(tmp, seeds=(31, 32, 33, 34)):
             steps = device_wave.stats["device_steps"] - s0
             binsts = device_wave.stats["device_bridge_insts"] - b0
             sgrps = device_wave.stats["device_support_groups"] - u0
+            lgr = device_wave.stats["device_ladder_graphs"] - l0
             print("device seed %d %s: %s (%d device extractions, "
-                  "%d device bridge DPs, %d device support reduces)"
+                  "%d device bridge DPs, %d device support reduces, "
+                  "%d device ladder graphs)"
                   % (seed, tag, "OK" if ok else "DIVERGED", steps, binsts,
-                     sgrps))
+                     sgrps, lgr))
             bad += 0 if ok else 1
     return bad
 
