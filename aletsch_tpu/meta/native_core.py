@@ -180,6 +180,11 @@ def _bind(lib):
         lib.core_bench_drain.restype = None
         lib.core_bench_drain.argtypes = \
             [vp] * 4 + [ctypes.c_int32] * 3 + [vp] * 3
+    # standalone native ladder benchmark (ladder crossover measurement)
+    if hasattr(lib, "core_bench_ladder"):
+        lib.core_bench_ladder.restype = None
+        lib.core_bench_ladder.argtypes = \
+            [ctypes.c_int32] + [vp] * 10 + [vp] * 2 + [vp] * 2
     # device-paused cross-sample support reduce (ops/support.py)
     if hasattr(lib, "core_support_export"):
         lib.core_support_export.restype = ctypes.c_int32
@@ -611,6 +616,38 @@ def ladder_solve_host(gh):
     lib = _load_lib()
     gh.pause_kind = int(lib.core_ladder_solve_host(gh.h))
     return gh.pause_kind
+
+
+def bench_ladder_available():
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "core_bench_ladder")
+
+
+def bench_ladder(nv, eoff, es, et, ew, estr, hoff, hvoff, hverts, hcnts,
+                 cfg):
+    """Run the genuine native host ladder over a flattened batch of graphs
+    + hyper node-lists (crossover measurement; see core_bench_ladder).
+    Returns (ndec [B] i32, build_s, ladder_s)."""
+    lib = _load_lib()
+    _bind(lib)
+    B = len(nv)
+    ci, cd = _cfg_arrays(cfg)
+    a = [np.ascontiguousarray(x, dtype=np.int32)
+         for x in (nv, eoff, es, et)]
+    ew = np.ascontiguousarray(ew, dtype=np.float64)
+    estr = np.ascontiguousarray(estr, dtype=np.int32)
+    b = [np.ascontiguousarray(x, dtype=np.int32)
+         for x in (hoff, hvoff, hverts)]
+    hcnts = np.ascontiguousarray(hcnts, dtype=np.int64)
+    ndec = np.zeros(B, dtype=np.int32)
+    nanos = np.zeros(2, dtype=np.int64)
+    lib.core_bench_ladder(
+        B, a[0].ctypes.data, a[1].ctypes.data, a[2].ctypes.data,
+        a[3].ctypes.data, ew.ctypes.data, estr.ctypes.data,
+        b[0].ctypes.data, b[1].ctypes.data, b[2].ctypes.data,
+        hcnts.ctypes.data, ci.ctypes.data, cd.ctypes.data,
+        ndec.ctypes.data, nanos.ctypes.data)
+    return ndec, nanos[0] * 1e-9, nanos[1] * 1e-9
 
 
 def bench_drain_available():

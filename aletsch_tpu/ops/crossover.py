@@ -195,6 +195,152 @@ def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3,
     }
 
 
+def _synth_scallops(B, seed=5):
+    """Random flow-consistent Scallop instances (production-ish sizes)
+    with phasing paths and occasional strands — the shared inputs for the
+    ladder crossover (host ladder vs device ladder kernel)."""
+    import random
+
+    from ..config import Parameters
+    from ..core.graph_io import simulate_graph
+    from ..scallop.decompose import Scallop
+    from ..scallop.hyper_set import HyperSet
+    out = []
+    s = seed
+    while len(out) < B:
+        s += 1
+        rng = random.Random(s)
+        nv = rng.randint(8, 30)
+        gr = simulate_graph(nv, rng.randint(nv, 3 * nv), 100, seed=s)
+        if gr.num_edges() == 0:
+            continue
+        for e in gr.edges():
+            ei = gr.get_edge_info(e)
+            ei.samples = {0}
+            ei.spAbd = {0: gr.get_edge_weight(e)}
+            ei.abd = gr.get_edge_weight(e)
+            ei.count = 1
+            if s % 3 == 0:
+                ei.strand = rng.choice([0, 0, 0, 1, 2])
+        hs = HyperSet()
+        n = gr.num_vertices() - 1
+        for _ in range(rng.randint(0, 8)):
+            v, path = 0, []
+            while v != n:
+                outs = gr.out_edges(v)
+                if not outs:
+                    break
+                e = rng.choice(outs)
+                v = e.t
+                if v != n:
+                    path.append(v)
+            if len(path) >= 2:
+                hs.add_node_list(path, rng.randint(2, 10))
+        hs.filter_nodes(gr)
+        out.append(Scallop(gr, hs, Parameters()))
+    return out
+
+
+def measure_ladder(batches=(64, 256), reps=3, seed=5):
+    """Ladder crossover sweep: device kernel dispatch (whole-batch
+    resolution-arm prefix, ops/ladder_kernel.py) vs the genuine native
+    host ladder (core_bench_ladder) on identical graphs.  Same fit and
+    break-even shape as measure()."""
+    import time
+
+    from ..meta import native_core
+    from . import ladder_kernel as lk
+    from . import ladder_ref
+
+    if not native_core.bench_ladder_available():
+        return {"error": "native core_bench_ladder unavailable"}
+    table = []
+    for B in sorted(set(int(b) for b in batches)):
+        scs = _synth_scallops(B, seed=seed)
+        # flatten for the native bench
+        nv, eoff, es, et, ew, estr = [], [0], [], [], [], []
+        hoff, hvoff, hverts, hcnts = [0], [0], [], []
+        for sc in scs:
+            gr = sc.gr
+            nv.append(gr.num_vertices())
+            for e in sc.i2e:
+                es.append(e.s)
+                et.append(e.t)
+                ew.append(gr.get_edge_weight(e))
+                estr.append(gr.get_edge_info(e).strand)
+            eoff.append(len(es))
+            for vvl, c in sc.hs.nodes.items():
+                hverts.extend(vvl)
+                hvoff.append(len(hverts))
+                hcnts.append(c)
+            hoff.append(len(hvoff) - 1)
+        host_times = []
+        ndec_host = None
+        for _ in range(reps):
+            ndec_host, build_s, lad_s = native_core.bench_ladder(
+                nv, eoff, es, et, ew, estr, hoff, hvoff, hverts, hcnts,
+                scs[0].cfg)
+            host_times.append(lad_s)
+        # device: pack the identical dense states at production shapes
+        states = [ladder_ref.export_scallop(sc) for sc in scs]
+        n_elig = sum(1 for st in states if st is not None)
+        fn_key = dict(V=lk.DEFAULT_V, E=lk.DEFAULT_E, H=lk.DEFAULT_H,
+                      L=lk.DEFAULT_L)
+        arr = lk.pack_states(states, B, fn_key["V"], fn_key["E"],
+                             fn_key["H"], fn_key["L"])
+        fn = lk.get_ladder_fn(B)
+        import jax
+        with jax.enable_x64():
+            import jax.numpy as jnp
+            args = [jnp.asarray(arr[k]) for k in
+                    ("esrc", "edst", "ewrt", "estr", "esin", "esout",
+                     "ealive", "nedges", "nstamp", "nz", "hedge", "hlen",
+                     "nv", "jump", "smallr", "guard", "smin")]
+            fn(*args)[2].block_until_ready()        # warm compile
+            dev_times = []
+            ndec_dev = status = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(*args)
+                out[2].block_until_ready()
+                dev_times.append(time.perf_counter() - t0)
+            ndec_dev = np.asarray(out[2])
+            status = np.asarray(out[3])
+        clean = status == 0
+        agree = int(np.sum(clean[:len(scs)]
+                           & (ndec_dev[:len(scs)] == ndec_host)))
+        table.append({
+            "B": B,
+            "device_dispatch_s": round(float(np.median(dev_times)), 5),
+            "host_native_ladder_s": round(float(np.median(host_times)),
+                                          6),
+            "host_graph_build_s": round(build_s, 6),
+            "decisions_per_graph": round(float(np.mean(ndec_host)), 2),
+            "eligible": n_elig,
+            "clean": int(clean[:len(scs)].sum()),
+            "ndec_agree": agree,
+        })
+    Bs = np.array([r["B"] for r in table], dtype=np.float64)
+    td = np.array([r["device_dispatch_s"] for r in table])
+    th = np.array([r["host_native_ladder_s"] for r in table])
+    if len(Bs) >= 2:
+        A = np.stack([np.ones_like(Bs), Bs], axis=1)
+        coef, *_ = np.linalg.lstsq(A, td, rcond=None)
+        a, b = float(coef[0]), float(coef[1])
+    else:
+        a, b = float(td[0]), 0.0
+    c = float((th / Bs).mean())
+    be = int(np.ceil(a / (c - b))) if b < c and c > b else None
+    return {
+        "platform": platform_name(),
+        "table": table,
+        "fit": {"a_fixed_dispatch_s": round(a, 5),
+                "b_per_graph_device_s": round(b, 8),
+                "c_per_graph_host_s": round(c, 8)},
+        "break_even_B": be,
+    }
+
+
 def project_direct(cal, dispatch_latency_s=1e-4, link_gbps=10.0):
     """Project the measured crossover onto a DIRECT-attached part.
 

@@ -318,6 +318,11 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
                            estr, nv)
             din, dout = t["din"], t["dout"]
             active_v = t["interior"] & nz
+            # arm masks snapshot pc at iteration start: a transition takes
+            # effect NEXT iteration, so the heavy-table gating (dominates /
+            # extends on the start-pc) can never starve a scan that chained
+            # in mid-body
+            pc0 = pc
 
             def logd(larm, ltgt, ndec, mask, arm, tgt):
                 """Append a decision for masked graphs."""
@@ -348,8 +353,14 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             d2_is1 = dout == 1
             cls1_nofast = (d1_is1 & (outdeg_src == 1)) \
                 | (d2_is1 & (indeg_dst == 1))
-            rdom = dominates(hedge, hlen, hi_c, right=True)
-            ldom = dominates(hedge, hlen, ho_c, right=False)
+            # dominate queries are the body's most expensive tables; only
+            # TV1-scanning graphs read them, so skip the whole computation
+            # on iterations where no graph is in that arm
+            rdom, ldom = lax.cond(
+                jnp.any(pc0 == PC_TV1),
+                lambda: (dominates(hedge, hlen, hi_c, right=True),
+                         dominates(hedge, hlen, ho_c, right=False)),
+                lambda: (jnp.zeros((B, V), bool), jnp.zeros((B, V), bool)))
             cls1_fast = cls1_nofast | (d1_is1 & rdom) | (d2_is1 & ldom)
             one_sided = (d1_is1 | d2_is1) & (din > 0) & (dout > 0)
             base_triv = active_v & (din > 0) & (dout > 0) \
@@ -361,7 +372,7 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             brk_cand = active_v & ((din == 0) | (dout == 0))
             brk_any = jnp.any(brk_cand, axis=1)
             brk_x = jnp.argmax(brk_cand, axis=1).astype(jnp.int32)
-            m_br = (pc == PC_BROKEN)
+            m_br = (pc0 == PC_BROKEN)
             fire_br = m_br & brk_any
             # apply: kill edges at x, hs-remove them
             exm = (edst == brk_x[:, None]) | (esrc == brk_x[:, None])
@@ -385,7 +396,7 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             # ======================= PC_FAST =========================
             fast_cand = base_triv & cls1_nofast & (bal_r < jump[:, None]) \
                 & pos_ge_cur
-            m_fa = (pc == PC_FAST)
+            m_fa = (pc0 == PC_FAST)
             fa_any = jnp.any(fast_cand, axis=1)
             fa_f = jnp.argmax(fast_cand, axis=1).astype(jnp.int32)
             fire_fa = m_fa & fa_any
@@ -402,7 +413,7 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             # ======================= PC_TV1 ==========================
             tv_base = base_triv & cls1_fast & pos_ge_cur
             r_im = tv_base & (bal_r < 1.02)
-            m_tv = (pc == PC_TV1)
+            m_tv = (pc0 == PC_TV1)
             im_any = jnp.any(r_im, axis=1)
             im_f = jnp.where(im_any, jnp.argmax(r_im, axis=1),
                              V).astype(jnp.int32)
@@ -452,7 +463,7 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             fired = jnp.where(end_tv, False, fired)
 
             # ======================= PC_SMALL ========================
-            m_sm = (pc == PC_SMALL)
+            m_sm = (pc0 == PC_SMALL)
             both_multi = active_v & (din > 1) & (dout > 1)
             in_ok = t["sm_in_e"] >= 0
             out_ok = t["sm_out_e"] >= 0
@@ -469,7 +480,10 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             et = edst[bi[:, None], smec]
             deg_ok = (dout[bi[:, None], jnp.clip(es, 0, V - 1)] > 1) \
                 & (din[bi[:, None], jnp.clip(et, 0, V - 1)] > 1)
-            lext, rext = extends(hedge, hlen, smec)
+            lext, rext = lax.cond(
+                jnp.any(pc0 == PC_SMALL),
+                lambda: extends(hedge, hlen, smec),
+                lambda: (jnp.zeros((B, V), bool), jnp.zeros((B, V), bool)))
             ext_ok = ~(lext & rext)
             at_t = et == varange[None, :]
             at_s = es == varange[None, :]
@@ -631,7 +645,7 @@ def _build(jax, jnp, B, V, E, H, L, DMAX, DLOG, MAXITER):
             ovf_cap = trig & ((npairs > DMAX) | t["deg_over"])
 
             # =================== PC_DECOMP (one pair) ================
-            m_dc = (pc == PC_DECOMP) & ~trig    # started a prior iteration
+            m_dc = (pc0 == PC_DECOMP)   # triggers had pc0 == FAST/TV1
             kc = jnp.clip(dp_k, 0, DMAX - 1)
             pe1 = dp_e1[bi, kc]
             pe2 = dp_e2[bi, kc]

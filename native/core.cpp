@@ -1242,6 +1242,66 @@ i32 core_greedy_consume_fused(void* h, const double* ws,
     return r->advance();
 }
 
+// Standalone native LADDER benchmark (crossover measurement for the
+// device scallop ladder, ops/ladder_kernel.py).  Rebuilds each graph +
+// hyper node-lists through the normal construction path (add_edge in si
+// order, HyperSet::add_node_list + build) and times the genuine host
+// ladder_loop.  Flattened batch layout: edges at [eoff[b], eoff[b+1]),
+// hyper lists at [hoff[b], hoff[b+1]) with vertices at
+// [hvoff[k], hvoff[k+1]).  ndec_out gets each graph's rung-1..4 decision
+// count (cross-checked against the device log); nanos_out = {build ns,
+// ladder ns}.
+void core_bench_ladder(i32 B, const i32* nv, const i32* eoff,
+                       const i32* es, const i32* et, const double* ew,
+                       const i32* estr, const i32* hoff, const i32* hvoff,
+                       const i32* hverts, const i64* hcnts,
+                       const i64* cfg_ints, const double* cfg_dbls,
+                       i32* ndec_out, i64* nanos_out) {
+    using clk = std::chrono::steady_clock;
+    core::Cfg cfg = core::cfg_from_arrays(cfg_ints, cfg_dbls);
+    std::vector<std::unique_ptr<core::SpliceGraph>> gs;
+    std::vector<std::unique_ptr<core::HyperSet>> hss;
+    auto t0 = clk::now();
+    for (i32 b = 0; b < B; b++) {
+        gs.emplace_back(new core::SpliceGraph());
+        hss.emplace_back(new core::HyperSet());
+        core::SpliceGraph& g = *gs.back();
+        for (i32 v = 0; v < nv[b]; v++) g.add_vertex();
+        for (i32 i = eoff[b]; i < eoff[b + 1]; i++) {
+            core::GEdge* e = g.add_edge(es[i], et[i]);
+            e->wrt = ew[i];
+            e->info.strand = estr[i];
+            // single-sample stamping, as the meta assembler would
+            // (matches the Python synth generator in ops/crossover.py)
+            e->info.samples.assign(1, 0);
+            e->info.spAbd[0] = ew[i];
+            e->info.abd = ew[i];
+            e->info.count = 1;
+        }
+        core::HyperSet& hs = *hss.back();
+        for (i32 k = hoff[b]; k < hoff[b + 1]; k++) {
+            std::vector<int> vv(hverts + hvoff[k], hverts + hvoff[k + 1]);
+            hs.add_node_list(vv, hcnts[k]);
+        }
+    }
+    auto t1 = clk::now();
+    i64 lad_ns = 0;
+    for (i32 b = 0; b < B; b++) {
+        core::Scallop sc(*gs[(size_t)b], *hss[(size_t)b], cfg);
+        std::vector<std::pair<i32, i32>> log;
+        auto u0 = clk::now();
+        sc.ladder_prep();
+        sc.ladder_loop(&log);
+        auto u1 = clk::now();
+        lad_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(
+            u1 - u0).count();
+        ndec_out[b] = (i32)log.size();
+    }
+    nanos_out[0] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+        t1 - t0).count();
+    nanos_out[1] = lad_ns;
+}
+
 // Standalone native drain benchmark for the device-crossover model
 // (bench.py crossover_probe / meta/device_wave.py amortized policy).
 // Rebuilds each dense [V,V] batch row as the production intrusive-list

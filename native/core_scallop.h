@@ -360,8 +360,11 @@ struct Scallop {
     void ladder_prep() { gr.copy_into(gr_ori); }
 
     // the resolution ladder (scallop.cc:47-173).  declog, when set,
-    // records the rung-1..4 decisions for device-agreement accounting
-    // (verify mode of the batched ladder kernel, ops/ladder_kernel.py).
+    // records the rung-1..4 decisions of the DEVICE-COVERABLE PREFIX —
+    // logging stops permanently at the first router rung, because that
+    // is exactly where the batched ladder kernel pauses back to host
+    // (ops/ladder_kernel.py; used for verify-mode agreement and the
+    // crossover bench).
     std::vector<std::pair<i32, i32>>* declog = nullptr;
 
     void ladder_loop(std::vector<std::pair<i32, i32>>* log = nullptr) {
@@ -373,39 +376,24 @@ struct Scallop {
             if (resolve_trivial_vertex_fast(r[TRIVIAL_VERTEX])) continue;
             if (resolve_trivial_vertex(1, true, r[TRIVIAL_VERTEX])) continue;
             if (resolve_smallest_edges(r[0])) continue;
-            declog = nullptr;   // router rungs are outside the device arms
-            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, 1, 0.01)) {
-                declog = log;
+            declog = nullptr;   // prefix over: router rungs from here
+            if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, 1, 0.01))
                 continue;
-            }
-            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, 1, 0.01)) {
-                declog = log;
+            if (resolve_unsplittable_vertex(SPLITTABLE_PURE, 1, 0.01))
                 continue;
-            }
             if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, PY_INT_MAX,
-                                            r[UNSPLITTABLE_SINGLE])) {
-                declog = log;
+                                            r[UNSPLITTABLE_SINGLE]))
                 continue;
-            }
             if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX,
-                                            r[SPLITTABLE_PURE])) {
-                declog = log;
+                                            r[SPLITTABLE_PURE]))
                 continue;
-            }
             if (resolve_unsplittable_vertex(UNSPLITTABLE_SINGLE, PY_INT_MAX,
-                                            INF)) {
-                declog = log;
+                                            INF))
                 continue;
-            }
             if (resolve_unsplittable_vertex(SPLITTABLE_PURE, PY_INT_MAX,
-                                            INF)) {
-                declog = log;
+                                            INF))
                 continue;
-            }
-            if (resolve_trivial_vertex(2, true, r[TRIVIAL_VERTEX])) {
-                declog = log;
-                continue;
-            }
+            if (resolve_trivial_vertex(2, true, r[TRIVIAL_VERTEX])) continue;
             break;
         }
         declog = nullptr;
