@@ -66,6 +66,10 @@ def _load_lib():
         lib.abam_read_batch.restype = ctypes.c_int
         lib.abam_scan_open.restype = ctypes.c_void_p
         lib.abam_scan_open.argtypes = [ctypes.c_void_p] + [ctypes.c_int32] * 10
+        if hasattr(lib, "abam_scan_set_quirks"):
+            lib.abam_scan_set_quirks.restype = None
+            lib.abam_scan_set_quirks.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_int32]
         lib.abam_scan_free.argtypes = [ctypes.c_void_p]
         lib.abam_scan_drop.argtypes = [ctypes.c_void_p]
         lib.abam_scan_nbundles.argtypes = [ctypes.c_void_p]
@@ -196,10 +200,10 @@ class NativeBamReader:
         lists of ScanBundle.  The caller must not use the reader until the
         generator is exhausted or closed."""
         self.seek(voff)
-        sc = self._lib.abam_scan_open(
+        sc = _apply_scan_quirks(self._lib, self._lib.abam_scan_open(
             self._h, 0, tid, end1, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
-            params.uniq_only, params.library_type)
+            params.uniq_only, params.library_type))
         return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
     def scan_region_raw(self, tid, end1, voff, params, chunk_records=262144):
@@ -211,10 +215,10 @@ class NativeBamReader:
         addresses (fixed, coords, mev, iev, frgs)."""
         self.seek(voff)
         lib = self._lib
-        sc = lib.abam_scan_open(
+        sc = _apply_scan_quirks(lib, lib.abam_scan_open(
             self._h, 0, tid, end1, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
-            params.uniq_only, params.library_type)
+            params.uniq_only, params.library_type))
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         try:
@@ -254,10 +258,10 @@ class NativeBamReader:
 
     def scan_preview(self, params, chunk_records=262144, need_qnames=True):
         """Native whole-file preview scan (previewer insert-size loop)."""
-        sc = self._lib.abam_scan_open(
+        sc = _apply_scan_quirks(self._lib, self._lib.abam_scan_open(
             self._h, 1, -1, 0, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
-            params.uniq_only, params.library_type)
+            params.uniq_only, params.library_type))
         return _scan_chunks(self._lib, sc, chunk_records, need_qnames)
 
     def scan_preview_pools(self, params, chunk_records=262144,
@@ -274,10 +278,10 @@ class NativeBamReader:
         tables are filled before the scanner is freed — one full-file
         decode serves both the preview and set_batch_boundaries."""
         lib = self._lib
-        sc = lib.abam_scan_open(
+        sc = _apply_scan_quirks(lib, lib.abam_scan_open(
             self._h, 1, -1, 0, params.min_mapq, params.max_num_cigar,
             params.max_read_span, params.min_bundle_gap, params.use_second,
-            params.uniq_only, params.library_type)
+            params.uniq_only, params.library_type))
         if boundary_sink is not None:
             region_len, bsp = boundary_sink
             lib.abam_scan_enable_boundaries(sc, region_len)
@@ -474,6 +478,18 @@ def _scan_chunks(lib, sc, chunk_records, need_qnames=True):
                 break
     finally:
         lib.abam_scan_free(sc)
+
+
+def _apply_scan_quirks(lib, sc):
+    """ALETSCH_REF_QUIRKS: the reference applies its mate-span filter to
+    ANY read with 0x8 unset (generator.cc:95), silently dropping
+    single-end/long reads past max_read_span; byte-parity runs replicate
+    that in the native scanner (abam_scan_set_quirks)."""
+    import os
+    if sc and os.environ.get("ALETSCH_REF_QUIRKS") == "1" and \
+            hasattr(lib, "abam_scan_set_quirks"):
+        lib.abam_scan_set_quirks(sc, 1)
+    return sc
 
 
 class _ScanParams:

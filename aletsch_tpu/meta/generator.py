@@ -199,8 +199,13 @@ class Generator:
             # mate-span filter only for paired reads with a mapped mate
             # (generator.cc:95 applies it to any read with 0x8 unset, which
             # drops single-end/long reads past max_read_span; divergence
-            # documented in docs/DESIGN.md)
-            paired_mate = ((f[:, 4] & 0x1) != 0) & ((f[:, 4] & 0x8) == 0)
+            # documented in docs/DESIGN.md; ALETSCH_REF_QUIRKS replicates
+            # the reference exactly for byte-parity runs)
+            import os as _os
+            if _os.environ.get("ALETSCH_REF_QUIRKS") == "1":
+                paired_mate = (f[:, 4] & 0x8) == 0
+            else:
+                paired_mate = ((f[:, 4] & 0x1) != 0) & ((f[:, 4] & 0x8) == 0)
             keep &= ~paired_mate | (np.abs(f[:, 1] - f[:, 6]) < cfg.max_read_span)
             idx = np.nonzero(keep)[0]
             if idx.size == 0:
@@ -302,7 +307,10 @@ class Generator:
                 hid += 1
                 if abs(ht.pos - ht.rpos) >= cfg.max_read_span:
                     continue
-                if (rec.flag & 0x1) and (rec.flag & 0x8) == 0 and \
+                import os as _os
+                if ((rec.flag & 0x1)
+                        or _os.environ.get("ALETSCH_REF_QUIRKS") == "1") \
+                        and (rec.flag & 0x8) == 0 and \
                         abs(ht.pos - ht.mpos) >= cfg.max_read_span:
                     continue
                 if ht.pos == pre_lpos and ht.rpos == pre_rpos:

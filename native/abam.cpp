@@ -497,6 +497,7 @@ struct Scanner {
     int32_t end1 = 0;
     // filters
     int32_t min_mapq = 0, max_num_cigar = 0, max_read_span = 0;
+    int32_t span_quirk = 0;   // ALETSCH_REF_QUIRKS mate-span filter
     int32_t min_bundle_gap = 0;
     int32_t use_second = 0, uniq_only = 0, library_type = 0;
     // state
@@ -640,6 +641,11 @@ Scanner* abam_scan_open(BamFile* f, int32_t preview, int32_t tid,
     s->library_type = library_type;
     return s;
 }
+
+// ALETSCH_REF_QUIRKS: apply the mate-span filter to ANY read with 0x8
+// unset (generator.cc:95), reproducing the reference's silent drop of
+// single-end/long reads past max_read_span for byte-parity runs
+void abam_scan_set_quirks(Scanner* s, int32_t q) { s->span_quirk = q; }
 
 void abam_scan_free(Scanner* s) { delete s; }
 
@@ -853,7 +859,9 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
             // (generator.cc:95), which on single-end/long-read BAMs
             // (mpos = -1, 0x8 meaningless without 0x1) drops every read
             // past coordinate max_read_span — documented divergence
-            if ((flag & 0x1) && !(flag & 0x8) &&
+            // quirks mode (ALETSCH_REF_QUIRKS) replicates the reference
+            // exactly — any read with 0x8 unset — for byte-parity runs
+            if ((s->span_quirk || (flag & 0x1)) && !(flag & 0x8) &&
                 llabs((int64_t)pos - next_pos) >= s->max_read_span) continue;
             bool dup = (pos == s->pre_lpos && rpos == s->pre_rpos);
             s->pre_lpos = pos;

@@ -99,10 +99,109 @@ def cohort_multi5(d):
     return bams, ["paired_end"] * 5
 
 
+def _long_read_sample(path, seed, n_genes=20, reads_per_gene=6,
+                      chrlen=40_000_000):
+    """Single-end full-length long reads (ONT/PacBio shape) + sentinel.
+
+    Genes start at 100 kb and run past max_read_span (500 kb), so the
+    reference's generator.cc:95 quirk — the mate-span filter applied to
+    ANY read with 0x8 unset, silently dropping single-end reads past that
+    coordinate — is exercised for real: quirks-mode byte parity proves we
+    replicate it (ALETSCH_REF_QUIRKS; abam_scan_set_quirks)."""
+    import random
+
+    from aletsch_tpu.sim import map_to_genome, sentinel_target, write_bam
+    rng = random.Random(seed)
+    recs = []
+    pos = 100000
+    for g in range(n_genes):
+        exons = []
+        p = pos
+        for _ in range(rng.randint(2, 6)):
+            el = rng.randint(150, 450)
+            exons.append((p, p + el))
+            p += el + rng.randint(400, 2500)
+        pos = p + rng.randint(25000, 50000)
+        strand = "+" if g % 2 == 0 else "-"
+        total = sum(b - a for a, b in exons)
+        for i in range(reads_per_gene):
+            trim_l = rng.randint(0, 20)
+            trim_r = rng.randint(0, 20)
+            gpos, cigar = map_to_genome(exons, trim_l,
+                                        total - trim_l - trim_r)
+            recs.append(dict(qname="lr%d.%d" % (g, i),
+                             flag=0x10 if strand == "-" else 0,
+                             pos=gpos, cigar=cigar, mpos=-1, isize=0,
+                             xs=strand))
+    recs, names, lengths = sentinel_target(recs, ("chr1",), (chrlen,))
+    write_bam(path, recs, names, lengths)
+
+
+def cohort_ont2(d):
+    """2 ONT samples: per-type overlays (util/parameters.cc:508-518) +
+    the single-end mate-span quirk under the reference binary itself."""
+    bams = []
+    for i, seed in enumerate((71, 72)):
+        p = os.path.join(d, "o%d.bam" % i)
+        _long_read_sample(p, seed)
+        bams.append(p)
+    return bams, ["ont"] * 2
+
+
+def cohort_pacbio2(d):
+    """pacbio_ccs + pacbio_sub in one list (both long-read overlays)."""
+    p1 = os.path.join(d, "ccs.bam")
+    p2 = os.path.join(d, "sub.bam")
+    _long_read_sample(p1, 81, reads_per_gene=8)
+    _long_read_sample(p2, 82, reads_per_gene=10)
+    return [p1, p2], ["pacbio_ccs", "pacbio_sub"]
+
+
+def cohort_smartseq8(d):
+    """8 sparse single-cell (smart-seq) samples: shared gene models, each
+    cell expressing a random subset at low depth (BASELINE.json config 5
+    shape at golden-test scale)."""
+    import random
+
+    from aletsch_tpu.sim import (sentinel_target, simulate_pairs,
+                                 write_bam)
+    rng0 = random.Random(90)
+    genes = []
+    pos = 100000
+    for g in range(25):
+        exons = []
+        p = pos
+        for _ in range(rng0.randint(2, 5)):
+            el = rng0.randint(150, 400)
+            exons.append((p, p + el))
+            p += el + rng0.randint(400, 2000)
+        genes.append(exons)
+        pos = p + rng0.randint(25000, 45000)
+    bams = []
+    for c in range(8):
+        rng = random.Random(91 + c)
+        recs = []
+        for gi, exons in enumerate(genes):
+            if rng.random() < 0.55:      # sparse per-cell expression
+                continue
+            recs += simulate_pairs(exons, rng.randint(8, 30),
+                                   "+" if gi % 2 == 0 else "-", rng,
+                                   prefix="c%dg%d" % (c, gi))
+        recs, names, lengths = sentinel_target(recs, ("chr1",),
+                                               (40_000_000,))
+        p = os.path.join(d, "cell%d.bam" % c)
+        write_bam(p, recs, names, lengths)
+        bams.append(p)
+    return bams, ["paired_end"] * 8
+
+
 COHORTS = {
     "basic2": cohort_basic2,
     "adversarial2": cohort_adversarial2,
     "multi5": cohort_multi5,
+    "ont2": cohort_ont2,
+    "pacbio2": cohort_pacbio2,
+    "smartseq8": cohort_smartseq8,
 }
 
 
@@ -239,12 +338,25 @@ def compare(ref_dir, our_dir):
     }
 
 
+# Cohorts whose DEFAULT-mode output legitimately differs from the
+# reference: our generator applies the mate-span filter to paired reads
+# only, while the reference silently drops single-end/long reads past
+# max_read_span (generator.cc:95; docs/DESIGN.md).  Quirks-mode byte
+# parity remains mandatory — ALETSCH_REF_QUIRKS replicates the bug.
+DEFAULT_DIVERGENT = {"ont2", "pacbio2"}
+
+
 def main():
     save = "--save-goldens" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     ensure_binary()
     reports = {}
     fail = False
     for name, maker in COHORTS.items():
+        if only is not None and name not in only:
+            continue
         d = tempfile.mkdtemp(prefix="refcmp_%s_" % name)
         bams, protos = maker(d)
         lst = write_list(d, bams, protos)
@@ -268,9 +380,15 @@ def main():
                  rep["matched_chains"], rep["exact_cov"],
                  rep["matched_chains"], n_id, len(bc)))
         if rep["only_ref"] or rep["only_ours"]:
-            fail = True
-            print("  only_ref:", rep["only_ref"][:5])
-            print("  only_ours:", rep["only_ours"][:5])
+            if name in DEFAULT_DIVERGENT:
+                print("  default-mode divergence EXPECTED (mate-span "
+                      "filter fix, docs/DESIGN.md): only_ref=%d "
+                      "only_ours=%d" % (len(rep["only_ref"]),
+                                        len(rep["only_ours"])))
+            else:
+                fail = True
+                print("  only_ref:", rep["only_ref"][:5])
+                print("  only_ours:", rep["only_ours"][:5])
         if save:
             gd = os.path.join(GOLDEN_DIR, name)
             shutil.rmtree(gd, ignore_errors=True)
