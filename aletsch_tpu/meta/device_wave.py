@@ -186,11 +186,16 @@ def auto_calibration(cfg):
     if _AUTO_CAL != ("unset",):
         return _AUTO_CAL
     platform = ""
-    try:
-        import jax
-        platform = jax.config.jax_platforms or ""
-    except Exception:
-        pass
+    # read the platform WITHOUT importing jax: under a minimal `python -S`
+    # launch (no sitecustomize) the production host path never needs the
+    # 1.5 s jax import; when jax IS loaded (normal sessions), read its
+    # resolved config
+    import sys as _sys
+    if "jax" in _sys.modules:
+        try:
+            platform = _sys.modules["jax"].config.jax_platforms or ""
+        except Exception:
+            pass
     if not platform:
         platform = os.environ.get("JAX_PLATFORMS", "")
     platform = platform.split(",")[0].strip()

@@ -18,12 +18,19 @@ from .bundle import Bundle
 
 
 class Generator:
-    def __init__(self, sp, vcb, cfg, target_id, region_id):
+    def __init__(self, sp, vcb, cfg, target_id, region_id,
+                 region_id_last=None):
         self.sp = sp
         self.vcb = vcb
         self.cfg = cfg
         self.target_id = target_id
         self.region_id = region_id
+        # merged multi-region scan (incubator _generate_sample_block):
+        # one seek + one native pass covers [region_id, region_id_last];
+        # region tables are gap-aligned so records partition exactly and
+        # the caller splits the bundle stream by lpos
+        self.region_id_last = region_id if region_id_last is None \
+            else region_id_last
         self.index = 0
 
     def resolve(self):
@@ -68,7 +75,7 @@ class Generator:
         # coverage maps for them (the scanner's splices are the same
         # sorted-unique set _generate would derive)
         skip_se = cfg.skip_single_exon_transcripts
-        for chunk in r.scan_region(tid, sp.end1[tid][rid],
+        for chunk in r.scan_region(tid, sp.end1[tid][self.region_id_last],
                                    sp.start_off[tid][rid], pr,
                                    need_qnames=not light):
             for sb in chunk:
@@ -98,7 +105,8 @@ class Generator:
         new_b = Bundle.__new__
         for (nb, mlist, fixed, coords, mev, iev, frgs, splices, ptrs) in \
                 r.scan_region_raw(self.target_id,
-                                  sp.end1[self.target_id][self.region_id],
+                                  sp.end1[self.target_id]
+                                  [self.region_id_last],
                                   sp.start_off[self.target_id]
                                   [self.region_id], pr):
             p_fix, p_co, p_me, p_ie, p_fr = ptrs
@@ -163,7 +171,7 @@ class Generator:
         cfg = self.cfg
         tid = self.target_id
         rid = self.region_id
-        end1 = sp.end1[tid][rid]
+        end1 = sp.end1[tid][self.region_id_last]
         offt = sp.start_off[tid][rid]
         lt = sp.library_type
         unstranded = lt == UNSTRANDED
@@ -274,7 +282,7 @@ class Generator:
         cfg = self.cfg
         tid = self.target_id
         rid = self.region_id
-        end1 = sp.end1[tid][rid]
+        end1 = sp.end1[tid][self.region_id_last]
         offt = sp.start_off[tid][rid]
 
         from ..core.bundle import BundleBase

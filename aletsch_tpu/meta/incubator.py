@@ -393,31 +393,105 @@ class Incubator:
         # outputs unchanged.
         nw = min(cfg.max_threads, 4)
         pool = self._region_pool(nw)
-        flat = []     # (region index, entry, rid): scans in canonical order
         live = []     # (chrm, rid, ck, has_ckpt) in canonical region order
         for chrm, rid in regions:
             ck = self._ckpt_path(chrm, rid)
             has_ckpt = bool(ck) and os.path.exists(ck)
-            ri = len(live)
             live.append((chrm, rid, ck, has_ckpt))
-            if has_ckpt:
-                continue          # no scans prefetched; loaded in order below
-            for e in self._region_entries(chrm, rid):
-                flat.append((ri, e, rid))
-        pending = deque()
-        state = {"fi": 0}
+        # Scan tasks are (sample x K-consecutive-regions) BLOCKS: one seek
+        # + one native scanner pass replaces K (the per-scan fixed costs
+        # — BGZF seek, scanner open, chunk marshal — were ~40% of scan
+        # CPU on the production soak).  _generate_sample_block splits the
+        # merged bundle stream back per region bit-exactly; quirks mode
+        # keeps K=1 (the reference's per-region first-read-drop offsets
+        # only exist per region).
+        K = 1 if os.environ.get("ALETSCH_REF_QUIRKS") == "1" else \
+            int(os.environ.get("ALETSCH_SCAN_BLOCK") or 6)
+        runs = []             # (entry, [(ri, rid), ...])
+        run_of = {}           # (ri, entry) -> run index
+        for b0 in range(0, len(live), K):
+            per_sample = {}
+            for ri in range(b0, min(b0 + K, len(live))):
+                chrm, rid, ck, has_ckpt = live[ri]
+                if has_ckpt:
+                    continue  # no scans prefetched; loaded in order below
+                for e in self._region_entries(chrm, rid):
+                    per_sample.setdefault(e, []).append((ri, rid))
+            for e, lst in per_sample.items():
+                # merged scans require CONSECUTIVE region slots: a rid gap
+                # (region filtered out by a shard predicate, checkpointed,
+                # or a different chromosome) means the intervening records
+                # belong to someone else — break the run there
+                seg = []
+                for ri, rid in lst:
+                    if seg and rid != seg[-1][1] + 1:
+                        for rj, _ in seg:
+                            run_of[(rj, e)] = len(runs)
+                        runs.append((e, seg))
+                        seg = []
+                    seg.append((ri, rid))
+                if seg:
+                    for rj, _ in seg:
+                        run_of[(rj, e)] = len(runs)
+                    runs.append((e, seg))
+        import threading
+        import time as _t
+        futures = {}          # run idx -> Future
+        scan_results = {}     # (ri, entry) -> bundles
+        state = {"next": 0, "out": 0}
+        lock = threading.Lock()
+
+        def _run_task(e, lst):
+            rids = [rid for _, rid in lst]
+            if len(rids) == 1:
+                return {rids[0]: self._generate_sample(e[0], e[1],
+                                                       rids[0])}
+            return self._generate_sample_block(e[0], e[1], rids)
+
+        def _dec(_f):
+            with lock:
+                state["out"] -= 1
+
+        def _submit(i):
+            e, lst = runs[i]
+            with lock:
+                state["out"] += 1
+            f = pool.submit(_run_task, e, lst)
+            f.add_done_callback(_dec)
+            futures[i] = f
+            return f
 
         def pump():
-            while state["fi"] < len(flat) and len(pending) <= nw:
-                ri, e, rid = flat[state["fi"]]
-                pending.append((ri, e, pool.submit(
-                    self._generate_sample, e[0], e[1], rid)))
-                state["fi"] += 1
+            while state["next"] < len(runs):
+                with lock:
+                    if state["out"] > nw:
+                        return
+                i = state["next"]
+                state["next"] += 1
+                if i not in futures:
+                    _submit(i)
+
+        def get_result(ri, e):
+            key = (ri, e)
+            if key in scan_results:
+                return scan_results.pop(key)
+            i = run_of[key]
+            f = futures.get(i)
+            if f is None:
+                f = _submit(i)    # lookahead exhausted: force-submit
+            _t0 = _t.perf_counter()
+            res = f.result()
+            self.stats["scanwait_s"] = self.stats.get(
+                "scanwait_s", 0.0) + _t.perf_counter() - _t0
+            ee = runs[i][0]
+            for (rj, rjd) in runs[i][1]:
+                scan_results[(rj, ee)] = res[rjd]
+            return scan_results.pop(key)
 
         def iter_region(ri):
-            while pending and pending[0][0] == ri:
-                _, e, f = pending.popleft()
-                v = f.result()
+            chrm, rid, ck, has_ckpt = live[ri]
+            for e in self._region_entries(chrm, rid):
+                v = get_result(ri, e)
                 pump()
                 yield e, v
             # keep the pipe full even for regions with no live scans left
@@ -429,24 +503,32 @@ class Incubator:
         # then finish(r-1) replays the previous wave's transcripts while
         # r's C++ workers assemble — the replay/merge Python that used to
         # serialize the wall now hides under GIL-free native time.
-        prev = None     # (started region, ck, chrm, rid, nbundles, ngroups)
+        # in-flight started regions (each native wave runs on its own
+        # 1-thread pool, so depth D keeps up to D C++ workers busy while
+        # the main thread consumes/clusters/launches the next region);
+        # depth 2 measured best on the 2-core host — join-wait that the
+        # 1-deep pipeline exposed now hides under the younger wave
+        depth = int(os.environ.get("ALETSCH_PIPE_DEPTH") or 2)
+        inflight = deque()   # (started region, ck, chrm, rid, nb, ng)
 
-        def flush_prev():
-            nonlocal prev
-            if prev is None:
+        def flush_one():
+            if not inflight:
                 return
-            pr, ck, chrm, rid, nb, ng = prev
-            prev = None
+            pr, ck, chrm, rid, nb, ng = inflight.popleft()
             rs = self._region_finish(pr)
             tr.region_line(chrm, rid, nb, ng)
             if ck:
                 self._ckpt_save(ck, rs, {"bundles": nb, "groups": ng})
 
+        def flush_all():
+            while inflight:
+                flush_one()
+
         for ri, (chrm, rid, ck, has_ckpt) in enumerate(live):
             if has_ckpt:
                 # checkpoint loads fold into the global transcript sets:
                 # keep that in region order w.r.t. in-flight waves
-                flush_prev()
+                flush_all()
                 if self._ckpt_load(ck, chrm, rid, tr):
                     continue
             b0, g0 = self.stats["bundles"], self.stats["groups"]
@@ -456,9 +538,10 @@ class Incubator:
             pr = self._region_start(chrm, rid, results)
             nb = self.stats["bundles"] - b0
             ng = self.stats["groups"] - g0
-            flush_prev()
-            prev = (pr, ck, chrm, rid, nb, ng)
-        flush_prev()
+            inflight.append((pr, ck, chrm, rid, nb, ng))
+            while len(inflight) >= depth + 1:
+                flush_one()
+        flush_all()
 
     def _assemble_groups(self, asms, gvs):
         """Assemble one strand's groups in order.
@@ -519,6 +602,31 @@ class Incubator:
         Generator(sp, v, self.params[sp.data_type], tid, rid).resolve()
         return v
 
+    def _generate_sample_block(self, sid, tid, rids):
+        """One merged native scan spanning the consecutive region slots
+        `rids` of one sample: one seek + one scanner pass instead of one
+        per region (the region tables are gap-aligned, so records
+        partition exactly; sample_profile.cc:167-252 semantics are
+        unchanged).  Returns {rid: bundles} with the per-region bundle
+        lists — including gene ids — identical to per-region scans."""
+        sp = self.samples[sid]
+        v = []
+        Generator(sp, v, self.params[sp.data_type], tid, rids[0],
+                  region_id_last=rids[-1]).resolve()
+        out = {r: [] for r in rids}
+        ends = [sp.end1[tid][r] for r in rids]
+        k = 0
+        for bd in v:
+            while k < len(rids) - 1 and bd.lpos >= ends[k]:
+                k += 1
+            out[rids[k]].append(bd)
+        # per-region gene ids restart at 0 (generator.cc:203-227 runs one
+        # generator per region)
+        for r in rids:
+            for i, bd in enumerate(out[r]):
+                bd.gid = "gene.%d.%d" % (sid, i)
+        return out
+
     def process_region(self, chrm, rid, results=None):
         """Bulk-synchronous version of generate_merge_assemble
         (incubator.cc:346-494 + generate :496-607 + assemble :609-637).
@@ -576,6 +684,8 @@ class Incubator:
         # (strand, group) — identical bytes to the per-strand loop.
         all_asms = []
         all_gvs = []
+        import time as _t
+        _tc0 = _t.perf_counter()
         for s in STRANDS:
             g = grps[s]
             if imm_counts[s] >= 1:
@@ -605,6 +715,8 @@ class Incubator:
             nthreads = int(os.environ.get("ALETSCH_MT_THREADS") or
                            max(1, min(cfg.max_threads, os.cpu_count() or 1) - 1))
             job = launch_groups_native_mt(all_asms, all_gvs, True, nthreads)
+        self.stats["cluster_s"] = self.stats.get("cluster_s", 0.0) \
+            + _t.perf_counter() - _tc0
         return (chrm, rid, grps, all_asms, all_gvs, job)
 
     def _region_finish(self, pending):
