@@ -241,11 +241,14 @@ def _synth_scallops(B, seed=5):
     return out
 
 
-def measure_ladder(batches=(64, 256), reps=3, seed=5):
+def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
+                   H=None, L=None, DMAX=None, DLOG=None):
     """Ladder crossover sweep: device kernel dispatch (whole-batch
     resolution-arm prefix, ops/ladder_kernel.py) vs the genuine native
     host ladder (core_bench_ladder) on identical graphs.  Same fit and
-    break-even shape as measure()."""
+    break-even shape as measure().  Shape kwargs size the kernel: the
+    relay's XLA compiler handles the small test shapes (~12 min compile)
+    but faults on the full production shape — size accordingly."""
     import time
 
     from ..meta import native_core
@@ -281,14 +284,20 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5):
                 nv, eoff, es, et, ew, estr, hoff, hvoff, hverts, hcnts,
                 scs[0].cfg)
             host_times.append(lad_s)
-        # device: pack the identical dense states at production shapes
-        states = [ladder_ref.export_scallop(sc) for sc in scs]
+        # device: pack the identical dense states at the kernel shape
+        kV = V or lk.DEFAULT_V
+        kE = E or lk.DEFAULT_E
+        kH = H or lk.DEFAULT_H
+        kL = L or lk.DEFAULT_L
+        kD = DMAX or lk.DEFAULT_DMAX
+        kG = DLOG or lk.DEFAULT_DLOG
+        states = [ladder_ref.export_scallop(sc, emax=kE, hmax=kH,
+                                            lmax=kL) for sc in scs]
+        states = [st if st is not None and st.nv <= kV else None
+                  for st in states]
         n_elig = sum(1 for st in states if st is not None)
-        fn_key = dict(V=lk.DEFAULT_V, E=lk.DEFAULT_E, H=lk.DEFAULT_H,
-                      L=lk.DEFAULT_L)
-        arr = lk.pack_states(states, B, fn_key["V"], fn_key["E"],
-                             fn_key["H"], fn_key["L"])
-        fn = lk.get_ladder_fn(B)
+        arr = lk.pack_states(states, B, kV, kE, kH, kL)
+        fn = lk.get_ladder_fn(B, kV, kE, kH, kL, kD, kG)
         import jax
         with jax.enable_x64():
             import jax.numpy as jnp
@@ -307,7 +316,8 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5):
             ndec_dev = np.asarray(out[2])
             status = np.asarray(out[3])
         clean = status == 0
-        agree = int(np.sum(clean[:len(scs)]
+        elig = np.array([st is not None for st in states])
+        agree = int(np.sum(clean[:len(scs)] & elig
                            & (ndec_dev[:len(scs)] == ndec_host)))
         table.append({
             "B": B,
