@@ -292,6 +292,23 @@ def crossover_probe():
         return {"error": str(e)}
 
 
+def ladder_crossover_probe():
+    """Device scallop-ladder crossover (round-3 review item 3's 'measured
+    host-vs-device comparison at B>=256'): the batched ladder kernel
+    (ops/ladder_kernel.py) vs the genuine native host ladder
+    (core_bench_ladder) on identical graphs.  Uses the reduced kernel
+    shape the relay's XLA compiler handles (V=32/E=96/H=16/L=16 — the
+    full production shape faults the compiler; the first compile of a new
+    shape costs ~12 min, later runs hit the relay cache)."""
+    try:
+        from aletsch_tpu.ops import crossover
+        return crossover.measure_ladder(batches=(64, 256), reps=2,
+                                        V=32, E=96, H=16, L=16, DMAX=12,
+                                        DLOG=64)
+    except Exception as e:                    # pragma: no cover
+        return {"error": str(e)}
+
+
 def mfu_probe():
     """Per-kernel MFU / speed-of-light accounting (ops/mfu.py, SURVEY §7
     step 9): analytic FLOPs+bytes per dispatch vs measured time vs chip
@@ -430,6 +447,9 @@ def main():
         cross = crossover_probe()
         print("crossover sweep + amortization fit: %s" % json.dumps(cross),
               file=sys.stderr)
+        lcross = ladder_crossover_probe()
+        print("ladder crossover: %s" % json.dumps(lcross),
+              file=sys.stderr)
         mfu = mfu_probe()
         print("mfu / speed-of-light: %s" % json.dumps(mfu), file=sys.stderr)
         jd = jaxdist_probe()
@@ -455,6 +475,7 @@ def main():
                 prod["device_stats"].get("device_share", 0.0),
             "fused_probe": fused,
             "crossover": cross,
+            "ladder_crossover": lcross,
             "mfu": mfu,
             "jax_dist": jd,
             "scaling_shape": shape,
