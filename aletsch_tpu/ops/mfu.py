@@ -224,9 +224,17 @@ def measure_all(reps=3):
             "The work per dispatch (~MB state, ~10-100 MFLOP) is orders "
             "of magnitude below what would saturate either peak, so "
             "device-vs-host is decided entirely by the amortization model "
-            "(ops/crossover.py): fixed dispatch latency vs native host "
-            "cost. Tuning the kernels cannot close that gap on a "
-            "relay-attached part; a direct-attached part reduces the "
-            "fixed cost ~1000x and flips the same model on."
+            "(ops/crossover.py): dispatch cost a + b*B vs native host "
+            "c*B. On this relay b is ~97%% transfer, so no batch "
+            "amortizes; the crossover sweep's resident-dispatch split "
+            "further shows the drain's on-device marginal compute "
+            "(~39 us/graph) still exceeds the native host drain "
+            "(~11 us/graph) — i.e. even a direct-attached part stays "
+            "host-favored until the kernels' serialized rounds are "
+            "reduced ~4x (f32/Pallas sublane forms), which verify-mode "
+            "output checking would then spend back. These DP stages are "
+            "measured CPU-shaped; the chip's leverage in this workload "
+            "is the MXU similarity matmul and multi-chip region "
+            "sharding, not the per-graph DPs."
             % max(worst, 0.01))
     return out
