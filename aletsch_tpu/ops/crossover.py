@@ -351,7 +351,7 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
     }
 
 
-def measure_similarity(sizes=(128, 512, 1024, 2048), n_splices=512,
+def measure_similarity(sizes=(256, 1024, 4096), n_splices=512,
                        reps=3, seed=9):
     """Crossover for the ONE genuinely MXU-shaped stage: the pairwise
     splice-set similarity matmul (ops/similarity.py; bundle_group.cc:

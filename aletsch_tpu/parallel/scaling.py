@@ -46,7 +46,7 @@ def measure_scaling(device_counts=None, B_per_dev=8, V=32, reps=5):
     return results
 
 
-def measure_scaling_shape(device_counts=None, B_per_dev=8, V=32, reps=5):
+def measure_scaling_shape(device_counts=None, B_per_dev=64, V=32, reps=5):
     """Weak-scaling SHAPE analysis (round-3 review item 6): for each mesh
     size d, time the sharded step at total batch d*B_per_dev on d devices
     AND the same total batch on 1 device.  On the virtual CPU mesh every
@@ -96,18 +96,23 @@ def measure_scaling_shape(device_counts=None, B_per_dev=8, V=32, reps=5):
             "bytes_in_per_device": bytes_in // d,
             "bytes_out_per_device": bytes_out // d,
         })
-    contention = all(0.7 <= r["mesh_vs_single"] <= 1.4 for r in rows)
+    last = rows[-1]["mesh_vs_single"] if rows else 0.0
+    contention = bool(rows) and 0.7 <= last <= 1.15
     return {
         "rows": rows,
         "pure_host_contention": contention,
-        "note": ("mesh_vs_single ~ 1 at every d: the virtual-mesh "
-                 "efficiency collapse is host core contention, not "
-                 "sharding overhead; per-device bytes shrink 1/d, so d "
-                 "real chips each run a 1/d slice at the single-device "
-                 "rate (weak-scaling efficiency ~ 1 up to the ICI "
-                 "all-gather of the output bytes)" if contention else
-                 "mesh_vs_single deviates from 1: sharding itself adds "
-                 "overhead beyond host contention at these sizes"),
+        "largest_mesh_vs_single": last,
+        "note": ("mesh_vs_single ~ 1 at the largest mesh: the sharded "
+                 "program neither gains nor loses vs one device doing "
+                 "the identical work, so the virtual-mesh efficiency "
+                 "collapse is host core contention, not sharding "
+                 "overhead; per-device bytes shrink 1/d, so d real chips "
+                 "each run a 1/d slice at the single-device rate "
+                 "(weak-scaling efficiency ~ 1 up to the ICI all-gather "
+                 "of the output bytes)" if contention else
+                 "mesh_vs_single deviates from 1 at the largest mesh: "
+                 "sharding itself adds overhead beyond host contention "
+                 "at these sizes"),
     }
 
 

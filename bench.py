@@ -143,9 +143,13 @@ def run_cli(base, lst, sub, env_extra=None, extra_args=()):
     meta = os.path.join(out, "meta.gtf")
     r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t0 = time.time()
-    subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst, "-o",
-                    meta, "-d", os.path.join(out, "gtf"), "--verbose", "0"]
-                   + list(extra_args), check=True, env=env)
+    # children must not write to OUR stdout: bench's contract is ONE JSON
+    # line there (the gloo backend of --jax_dist_launch logs to stdout)
+    with open(os.path.join(out, "run.log"), "w") as log:
+        subprocess.run([sys.executable, "-m", "aletsch_tpu", "-i", lst,
+                        "-o", meta, "-d", os.path.join(out, "gtf"),
+                        "--verbose", "0"] + list(extra_args), check=True,
+                       env=env, stdout=log, stderr=log)
     wall = time.time() - t0
     r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
@@ -393,7 +397,15 @@ def jaxdist_probe(reps=1):
             identical = sorted(open(ref_meta).readlines()) == \
                 sorted(open(meta).readlines())
         return {"wall_s": round(wall, 2), "cpu_s": round(cpu, 1),
-                "processes": 2, "meta_gtf_identical": identical}
+                "processes": 2, "meta_gtf_identical": identical,
+                "note": "2 region-shard processes on 2 shared host cores "
+                        "(each re-profiles all samples and the platform "
+                        "is forced to cpu): wall > single-process is "
+                        "expected here; the probe pins the collective "
+                        "merge path byte-exact at production scale — on "
+                        "a real multi-host part each process owns its "
+                        "own cores and the region grid splits the scan+"
+                        "assembly work 1/P"}
     except Exception as e:                    # pragma: no cover
         return {"error": str(e)}
 
