@@ -498,50 +498,80 @@ class Incubator:
             pump()
 
         pump()
-        # one-region software pipeline: start(r) consumes scans + clusters
-        # + LAUNCHES the native wave async (meta/native_core.py MtJob),
-        # then finish(r-1) replays the previous wave's transcripts while
-        # r's C++ workers assemble — the replay/merge Python that used to
-        # serialize the wall now hides under GIL-free native time.
-        # in-flight started regions (each native wave runs on its own
-        # 1-thread pool, so depth D keeps up to D C++ workers busy while
-        # the main thread consumes/clusters/launches the next region);
-        # depth 2 measured best on the 2-core host — join-wait that the
-        # 1-deep pipeline exposed now hides under the younger wave
+        # Region software pipeline with a dedicated REPLAY WORKER: the
+        # main thread only consumes scans + clusters + LAUNCHES each
+        # wave's native assembly (meta/native_core.py MtJob); a single
+        # ordered worker thread joins the waves and replays their
+        # transcripts into the global sets.  Replay is GIL-bound Python,
+        # but it overlaps the GIL-free native scan/assembly the main
+        # thread drives — the fold order (and therefore every byte) is
+        # the submission order, identical to the serial loop.  The queue
+        # depth bounds retained wave memory; checkpoint loads ride the
+        # same queue so their folds stay in region order.
         depth = int(os.environ.get("ALETSCH_PIPE_DEPTH") or 2)
-        inflight = deque()   # (started region, ck, chrm, rid, nb, ng)
+        import queue as _queue
+        replay_q = _queue.Queue(maxsize=max(1, depth))
+        replay_err = []
 
-        def flush_one():
-            if not inflight:
-                return
-            pr, ck, chrm, rid, nb, ng = inflight.popleft()
+        def _finish_one(item):
+            pr, ck, chrm, rid, nb, ng = item
             rs = self._region_finish(pr)
             tr.region_line(chrm, rid, nb, ng)
             if ck:
                 self._ckpt_save(ck, rs, {"bundles": nb, "groups": ng})
 
-        def flush_all():
-            while inflight:
-                flush_one()
+        def _replay_worker():
+            while True:
+                item = replay_q.get()
+                try:
+                    if item is None:
+                        return
+                    kind, payload = item
+                    if replay_err:
+                        continue        # drain after a failure
+                    if kind == "region":
+                        _finish_one(payload)
+                    else:               # ordered checkpoint load
+                        ck, chrm, rid, done = payload
+                        done.append(self._ckpt_load(ck, chrm, rid, tr))
+                except BaseException as e:   # propagate to the main thread
+                    replay_err.append(e)
+                finally:
+                    replay_q.task_done()
 
-        for ri, (chrm, rid, ck, has_ckpt) in enumerate(live):
-            if has_ckpt:
-                # checkpoint loads fold into the global transcript sets:
-                # keep that in region order w.r.t. in-flight waves
-                flush_all()
-                if self._ckpt_load(ck, chrm, rid, tr):
-                    continue
-            b0, g0 = self.stats["bundles"], self.stats["groups"]
-            # a corrupt checkpoint re-assembles from an inline scan (its
-            # scans were intentionally not prefetched)
-            results = None if has_ckpt else iter_region(ri)
-            pr = self._region_start(chrm, rid, results)
-            nb = self.stats["bundles"] - b0
-            ng = self.stats["groups"] - g0
-            inflight.append((pr, ck, chrm, rid, nb, ng))
-            while len(inflight) >= depth + 1:
-                flush_one()
-        flush_all()
+        worker = threading.Thread(target=_replay_worker,
+                                  name="aletsch-replay", daemon=True)
+        worker.start()
+
+        def _check_err():
+            if replay_err:
+                replay_q.put(None)
+                worker.join()
+                raise replay_err[0]
+
+        try:
+            for ri, (chrm, rid, ck, has_ckpt) in enumerate(live):
+                _check_err()
+                if has_ckpt:
+                    done = []
+                    replay_q.put(("ckpt", (ck, chrm, rid, done)))
+                    replay_q.join()     # need the result to decide
+                    _check_err()
+                    if done and done[0]:
+                        continue
+                b0, g0 = self.stats["bundles"], self.stats["groups"]
+                # a corrupt checkpoint re-assembles from an inline scan
+                # (its scans were intentionally not prefetched)
+                results = None if has_ckpt else iter_region(ri)
+                pr = self._region_start(chrm, rid, results)
+                nb = self.stats["bundles"] - b0
+                ng = self.stats["groups"] - g0
+                replay_q.put(("region", (pr, ck, chrm, rid, nb, ng)))
+            replay_q.join()
+        finally:
+            replay_q.put(None)
+            worker.join()
+        _check_err()
 
     def _assemble_groups(self, asms, gvs):
         """Assemble one strand's groups in order.
