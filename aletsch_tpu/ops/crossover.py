@@ -242,7 +242,8 @@ def _synth_scallops(B, seed=5):
 
 
 def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
-                   H=None, L=None, DMAX=None, DLOG=None):
+                   H=None, L=None, DMAX=None, DLOG=None,
+                   time_budget_s=None):
     """Ladder crossover sweep: device kernel dispatch (whole-batch
     resolution-arm prefix, ops/ladder_kernel.py) vs the genuine native
     host ladder (core_bench_ladder) on identical graphs.  Same fit and
@@ -258,7 +259,15 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
     if not native_core.bench_ladder_available():
         return {"error": "native core_bench_ladder unavailable"}
     table = []
+    skipped = []
+    t_start = time.perf_counter()
     for B in sorted(set(int(b) for b in batches)):
+        if time_budget_s is not None and table \
+                and time.perf_counter() - t_start > time_budget_s:
+            # a cold relay compile cache can cost ~12 min per new shape;
+            # publish what was measured rather than stalling the bench
+            skipped.append(B)
+            continue
         scs = _synth_scallops(B, seed=seed)
         # flatten for the native bench
         nv, eoff, es, et, ew, estr = [], [0], [], [], [], []
@@ -348,6 +357,7 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
                 "b_per_graph_device_s": round(b, 8),
                 "c_per_graph_host_s": round(c, 8)},
         "break_even_B": be,
+        "skipped_batches_over_budget": skipped or None,
     }
 
 

@@ -355,7 +355,7 @@ def ladder_crossover_probe():
         from aletsch_tpu.ops import crossover
         return crossover.measure_ladder(batches=(64, 256), reps=2,
                                         V=32, E=96, H=16, L=16, DMAX=12,
-                                        DLOG=64)
+                                        DLOG=64, time_budget_s=900)
     except Exception as e:                    # pragma: no cover
         return {"error": str(e)}
 
