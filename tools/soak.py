@@ -7,6 +7,7 @@ from aletsch_tpu.meta.incubator import Incubator
 from aletsch_tpu.utils.tracing import rss_mb
 
 base = "/tmp/soak"
+os.makedirs(base, exist_ok=True)
 N_GENES, CHRLEN, NS = 500, 160000000, 10
 
 def gene_exons(g):
