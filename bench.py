@@ -14,7 +14,10 @@ fused greedy-drain probe (hot + production shapes, ops/greedy_fused.py),
 measured host-vs-device crossover numbers for every device stage, and the
 virtual-mesh scaling probe.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE COMPACT JSON line: {"metric", "value", "unit", "vs_baseline",
+...scalar summaries...}; the full probe tables are written to
+BENCH_DETAIL.json next to this file (and echoed to stderr) so the
+driver's stdout capture never overflows (round-4 BENCH parse failure).
 """
 
 import json
@@ -532,8 +535,16 @@ def main():
         if shape:
             print("scaling shape: %s" % json.dumps(shape), file=sys.stderr)
 
+        emit(prod, fused, cross, lcross, scross, mfu, jd, shape)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def emit(prod, fused, cross, lcross, scross, mfu, jd, shape):
+    """Write BENCH_DETAIL.json and print the compact headline line."""
+    if True:
         vs = prod["vs_reference_10t"]
-        print(json.dumps({
+        detail = {
             "metric": "bundles_per_second",
             "value": prod["bundles_per_s"],
             "unit": "bundles/s",
@@ -552,9 +563,43 @@ def main():
             "mfu": mfu,
             "jax_dist": jd,
             "scaling_shape": shape,
-        }))
-    finally:
-        shutil.rmtree(tmpdir, ignore_errors=True)
+        }
+        # Full tables go to a sidecar file + stderr; stdout carries ONE
+        # COMPACT line (round-4 verdict weak#1: the ~8 KB single-line JSON
+        # overflowed the driver's capture -> BENCH_r04 "parsed": null).
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print("bench detail -> %s" % detail_path, file=sys.stderr)
+        mfu_line = None
+        try:
+            kerns = mfu.get("kernels", {}) if isinstance(mfu, dict) else {}
+            pcts = [k["pct_of_hbm_peak"] for k in kerns.values()
+                    if isinstance(k, dict) and "pct_of_hbm_peak" in k]
+            if pcts:
+                mfu_line = ("best kernel %.4f%% of HBM peak -> "
+                            "latency/serialization-bound" % max(pcts))
+        except Exception:
+            pass
+        headline = {
+            "metric": "bundles_per_second",
+            "value": prod["bundles_per_s"],
+            "unit": "bundles/s",
+            "vs_baseline": vs if vs is not None else 0.0,
+            "wall_s": prod["wall_s"],
+            "ref_wall_s": prod["ref_wall_s"],
+            "ref_same_window": prod["ref_same_window"],
+            "cpu_efficiency_vs_ref": prod["cpu_efficiency_vs_ref"],
+            "steal_pct_window": prod["steal_pct_window"],
+            "device_share_default":
+                round(prod["device_stats"].get("device_share", 0.0), 4),
+            "break_even_B": (cross or {}).get("break_even_B")
+            if isinstance(cross, dict) else None,
+            "mfu": mfu_line,
+            "detail_file": "BENCH_DETAIL.json",
+        }
+        print(json.dumps(headline))
 
 
 if __name__ == "__main__":
