@@ -137,6 +137,7 @@ class Incubator:
         # regions so combined-graph results are host-count invariant)
         self.region_filter = region_filter
         self._pool = None
+        self._native_ts = False
         _limit_blas_threads()
 
     def _region_pool(self, nw):
@@ -156,6 +157,18 @@ class Incubator:
         if self.params[DEFAULT].profile_only:
             tr.summary()
             return
+        # Native transcript sets (native/core_tset.h): replay, fold and
+        # output formatting in C++ like the reference (transcript_set.cc,
+        # incubator.cc:673-796).  Gated off when the Python sets must be
+        # consumed directly: checkpoint pickles (region sets), shard dumps
+        # (resolve(write_outputs=False) callers pickle self.tts).  The
+        # Python path is the byte-exact oracle (ALETSCH_NATIVE_TSET=0).
+        from .native_tset import native_tset_available
+        cfg0 = self.params[DEFAULT]
+        self._native_ts = (write_outputs
+                           and not cfg0.checkpoint_dir
+                           and self.region_filter is None
+                           and native_tset_available())
         self.init_transcript_sets()
         tr.start_jax_trace()
         with tr.phase("assemble-regions"):
@@ -603,6 +616,12 @@ class Incubator:
 
     def init_transcript_sets(self):
         cfg = self.params[DEFAULT]
+        if self._native_ts:
+            from .native_tset import NativeTSet
+            for chrm in self.sindex:
+                for s in STRANDS:
+                    self.tts[(chrm, s)] = NativeTSet(chrm, -9, cfg)
+            return
         for chrm in self.sindex:
             for s in STRANDS:
                 self.tts[(chrm, s)] = new_transcript_set(chrm, -9, cfg)
@@ -675,7 +694,14 @@ class Incubator:
         cfg = self.params[DEFAULT]
         grps = {s: BundleGroup(chrm, s, rid, cfg, self.sindex)
                 for s in STRANDS}
-        ts_imm = {s: new_transcript_set(chrm, rid, cfg) for s in STRANDS}
+        if self._native_ts:
+            from .native_tset import NativeTSet
+            for s in STRANDS:
+                grps[s].tmerge = NativeTSet(chrm, rid, cfg)
+            ts_imm = {s: NativeTSet(chrm, rid, cfg) for s in STRANDS}
+        else:
+            ts_imm = {s: new_transcript_set(chrm, rid, cfg)
+                      for s in STRANDS}
         imm_counts = {s: 0 for s in STRANDS}
         if results is None:
             results = [(e, self._generate_sample(e[0], e[1], rid))
@@ -778,6 +804,26 @@ class Incubator:
                            self.samples[0].region_partition_length
                            if self.samples else cfg.region_partition_length)
         self.samples.append(sn)
+        if self._native_ts:
+            # fully-native output phase: sync + combined GTF + per-sample
+            # GTF/CSV formatting in C++, samples partitioned across
+            # threads (incubator.cc:673-796)
+            from . import native_tset
+            from ..io.gtf import gtf_source
+            for tm in self.tts.values():
+                tm.sync()
+            ordered = [(chrm, tm)
+                       for (chrm, _s), tm in sorted(self.tts.items())]
+            native_tset.write_combined(ordered, cfg.output_gtf_file,
+                                       gtf_source())
+            if cfg.output_gtf_dir:
+                os.makedirs(cfg.output_gtf_dir, exist_ok=True)
+                nthreads = max(1, min(cfg.max_threads, os.cpu_count() or 1))
+                native_tset.write_individual(
+                    ordered, cfg.output_gtf_dir, len(self.samples),
+                    cfg.min_single_exon_individual_coverage, gtf_source(),
+                    nthreads)
+            return
         # deferred per-sample-copy propagation (transcript_set.cc:68-76;
         # see TranscriptSet.sync_samples) — must precede every writer
         for tm in self.tts.values():

@@ -175,6 +175,10 @@ def _bind(lib):
              ctypes.c_int32, vp]
         lib.core_ladder_solve_host.restype = ctypes.c_int32
         lib.core_ladder_solve_host.argtypes = [ctypes.c_void_p]
+    # resolution-ladder rung-fire histogram (round-4 verdict weak#4)
+    if hasattr(lib, "core_ladder_hist"):
+        lib.core_ladder_hist.restype = None
+        lib.core_ladder_hist.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     # standalone native drain benchmark (crossover model calibration)
     if hasattr(lib, "core_bench_drain"):
         lib.core_bench_drain.restype = None
@@ -618,6 +622,30 @@ def ladder_solve_host(gh):
     return gh.pause_kind
 
 
+# scallop.cc:47-173 rung order; indices 0-3 are the device-coverable
+# prefix (ops/ladder_kernel.py), 4-10 the host-only router rungs
+LADDER_RUNGS = (
+    "broken_vertex", "trivial_vertex_fast", "trivial_vertex",
+    "smallest_edges", "unsplittable_single_d1", "splittable_pure_d1",
+    "unsplittable_single_ratio", "splittable_pure_ratio",
+    "unsplittable_single_inf", "splittable_pure_inf", "trivial_vertex_2")
+
+
+def ladder_histogram(reset=False):
+    """Process-wide per-rung resolution-ladder fire counts, or None when
+    the native core is unavailable.  Pins the device-prefix coverage
+    claim: the share of fires landing in rungs 0-3 is exactly the share
+    of ladder iterations the batched device ladder can absorb."""
+    if not native_core_available():
+        return None
+    lib = _load_lib()
+    if not hasattr(lib, "core_ladder_hist"):
+        return None
+    out = np.zeros(11, dtype=np.int64)
+    lib.core_ladder_hist(out.ctypes.data, 1 if reset else 0)
+    return dict(zip(LADDER_RUNGS, out.tolist()))
+
+
 def bench_ladder_available():
     lib = _load_lib()
     return lib is not None and hasattr(lib, "core_bench_ladder")
@@ -775,15 +803,34 @@ def support_solve_host(gh):
     return gh.pause_kind
 
 
+def _nts_target(asmb):
+    """The native transcript-set handle when asmb.tmerge is one (the
+    default production path), else None (Python replay)."""
+    from .native_tset import NativeTSet
+    return asmb.tmerge if isinstance(asmb.tmerge, NativeTSet) else None
+
+
 def finish_group_device(gh):
     """Fetch + replay a completed handle's transcripts (group order)."""
     assert not gh.paused
     lib = _load_lib()
+    stats["native_groups"] += 1
+    tset = _nts_target(gh.asmb)
+    if tset is not None:
+        from .native_tset import merge_group_nts
+        a = gh.asmb
+        merge_group_nts(gh.h, tset, a.rid, a.gid, a.instance,
+                        gh.gv[0].chrm, a.cfg.skip_single_exon_transcripts)
+        lib.core_group_free(gh.h)
+        gh.h = None
+        gh.keep = None
+        for bd in gh.gv:
+            bd.clear()
+        return
     out = _fetch_out(lib, gh.h, lib.core_group_sizes, lib.core_group_fill)
     lib.core_group_free(gh.h)
     gh.h = None
     gh.keep = None
-    stats["native_groups"] += 1
     _replay_transcripts(gh.asmb, gh.gv[0].chrm, *out)
     for bd in gh.gv:
         bd.clear()
@@ -931,6 +978,29 @@ def _batch_eligible(asms, gvs):
     return True
 
 
+def _replay_batch_nts(lib, h, asms, gvs):
+    """Native-set replay of a whole BatchOut wave: ONE C call merges every
+    group's transcripts into its target set in group order (the C++ twin
+    of _replay_batch; byte parity is differential-fuzz-enforced)."""
+    from .native_tset import merge_batch_nts
+    merge_batch_nts(h, asms, gvs[0][0].chrm)
+    lib.core_batch_free(h)
+    stats["native_groups"] += len(asms)
+    for gv in gvs:
+        for bd in gv:
+            bd.clear()
+
+
+def _batch_nts_targets(asms):
+    """True when EVERY group of the wave replays into a native set (mixed
+    waves fall back to the Python replay for all groups — per-group
+    interleaving across set kinds would reorder merges)."""
+    if not asms:
+        return False
+    from .native_tset import NativeTSet
+    return all(isinstance(a.tmerge, NativeTSet) for a in asms)
+
+
 def _replay_batch(lib, h, asms, gvs):
     """Fetch + replay every group's outputs in group order, then free.
 
@@ -1013,7 +1083,10 @@ def resolve_groups_native_mt(asms, gvs, do_bridge, nthreads):
     del _keep
     _t2 = _time.perf_counter()
     stats["mt_native_s"] += _t2 - _t1
-    _replay_batch(lib, h, asms, gvs)
+    if _batch_nts_targets(asms):
+        _replay_batch_nts(lib, h, asms, gvs)
+    else:
+        _replay_batch(lib, h, asms, gvs)
     stats["mt_replay_s"] += _time.perf_counter() - _t2
     return True
 
@@ -1042,7 +1115,10 @@ class MtJob:
         self._keep = None
         _t1 = _time.perf_counter()
         stats["mt_native_s"] += _t1 - _t0
-        _replay_batch(lib, h, self.asms, self.gvs)
+        if _batch_nts_targets(self.asms):
+            _replay_batch_nts(lib, h, self.asms, self.gvs)
+        else:
+            _replay_batch(lib, h, self.asms, self.gvs)
         stats["mt_replay_s"] += _time.perf_counter() - _t1
 
 
@@ -1070,7 +1146,25 @@ def launch_groups_native_mt(asms, gvs, do_bridge, nthreads):
 def resolve_group_native(asmb, gv, do_bridge):
     """Run the whole group assembly natively and replay the transcript-set
     adds exactly as Assembler.assemble_graph would.  Returns True when
-    handled (bundles are cleared), False when the caller must fall back."""
+    handled (bundles are cleared), False when the caller must fall back.
+    When asmb.tmerge is a NativeTSet (default production path) the replay
+    stays in C++ (core_out_merge_nts) — no Python transcript objects."""
+    if not eligible(asmb, gv):
+        stats["fallback_groups"] += 1
+        return False
+    tset = _nts_target(asmb)
+    if tset is not None:
+        from .native_tset import merge_out_nts
+        lib = _load_lib()
+        args, _keep = _marshal_group(asmb, gv, do_bridge)
+        h = lib.core_resolve_group(*args)
+        merge_out_nts(h, tset, asmb.rid, asmb.gid, asmb.instance,
+                      gv[0].chrm, asmb.cfg.skip_single_exon_transcripts)
+        lib.core_out_free(h)
+        stats["native_groups"] += 1
+        for bd in gv:
+            bd.clear()
+        return True
     out = launch_group_native(asmb, gv, do_bridge)
     if out is None:
         stats["fallback_groups"] += 1

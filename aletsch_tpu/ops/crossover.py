@@ -55,6 +55,34 @@ def synth_batch(B, V=DEFAULT_V, seed=3, n_vertices=32, fan_in=3):
     return W, P, sink, scal
 
 
+def _clamped_line(Bs, td):
+    """Least-squares a + b*B with a clamped to >= 0: a negative fixed
+    dispatch cost is unphysical (round-4 verdict weak#2 — produced by
+    mixing measurement windows); when lstsq lands negative, re-fit the
+    slope through the origin."""
+    if len(Bs) >= 2:
+        A = np.stack([np.ones_like(Bs), Bs], axis=1)
+        coef, *_ = np.linalg.lstsq(A, td, rcond=None)
+        a, b = float(coef[0]), float(coef[1])
+        if a < 0:
+            a = 0.0
+            b = float((Bs * td).sum() / (Bs * Bs).sum())
+    else:
+        a, b = float(td[0]), 0.0
+    return a, b
+
+
+def _fit_rows(table):
+    """Rows eligible for fitting: rows measured in THIS window when at
+    least two exist; cached rows (carried forward across windows for the
+    relay's >10-min-per-shape compiles) otherwise.  Returns (rows, tag)
+    where tag records whether the fit mixed windows."""
+    fresh = [r for r in table if not r.get("cached")]
+    if len(fresh) >= 2:
+        return fresh, "fresh"
+    return table, ("mixed" if len(table) > len(fresh) else "fresh")
+
+
 def platform_name():
     try:
         import jax
@@ -148,16 +176,13 @@ def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3,
         }
         table.append(row)
 
-    # fit t_dev(B) = a + b*B (least squares), t_host(B) = c*B
-    Bs = np.array([r["B"] for r in table], dtype=np.float64)
-    td = np.array([r["device_dispatch_s"] for r in table])
-    th = np.array([r["host_native_drain_s"] for r in table])
-    if len(Bs) >= 2:
-        A = np.stack([np.ones_like(Bs), Bs], axis=1)
-        coef, *_ = np.linalg.lstsq(A, td, rcond=None)
-        a, b = float(coef[0]), float(coef[1])
-    else:
-        a, b = float(td[0]), 0.0
+    # fit t_dev(B) = a + b*B (clamped a >= 0, same-window rows only when
+    # possible — round-4 verdict weak#2), t_host(B) = c*B
+    rows, fit_window = _fit_rows(table)
+    Bs = np.array([r["B"] for r in rows], dtype=np.float64)
+    td = np.array([r["device_dispatch_s"] for r in rows])
+    th = np.array([r["host_native_drain_s"] for r in rows])
+    a, b = _clamped_line(Bs, td)
     c = float((th / Bs).mean())
     if b < c:
         break_even = a / (c - b) if c > b else None
@@ -165,17 +190,15 @@ def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3,
             else None
     else:
         break_even = None   # marginal device cost alone exceeds host cost
-    # resident (compute-only) fit: a2 + b2*B, when measured
+    # resident (compute-only) fit: a2 + b2*B, when measured (same window
+    # preference + a2 >= 0 clamp as the dispatch fit)
     a2 = b2 = None
-    tr = [r for r in table if r.get("device_resident_s")]
-    if len(tr) >= 2:
+    tr = [r for r in rows if r.get("device_resident_s")] or \
+        [r for r in table if r.get("device_resident_s")]
+    if len(tr) >= 1:
         Bs2 = np.array([r["B"] for r in tr], dtype=np.float64)
         tc = np.array([r["device_resident_s"] for r in tr])
-        A2 = np.stack([np.ones_like(Bs2), Bs2], axis=1)
-        coef2, *_ = np.linalg.lstsq(A2, tc, rcond=None)
-        a2, b2 = float(coef2[0]), float(coef2[1])
-    elif len(tr) == 1:
-        a2, b2 = float(tr[0]["device_resident_s"]), 0.0
+        a2, b2 = _clamped_line(Bs2, tc)
     return {
         "platform": platform_name(),
         "V": V,
@@ -186,7 +209,8 @@ def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3,
                 "a2_resident_launch_s": None if a2 is None
                 else round(a2, 5),
                 "b2_resident_per_graph_s": None if b2 is None
-                else round(b2, 8)},
+                else round(b2, 8),
+                "fit_window": fit_window},
         "break_even_B": break_even,
         "note": ("no crossover: per-graph device marginal cost b >= host "
                  "per-graph cost c; the chip cannot amortize at ANY batch "
@@ -339,15 +363,11 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
             "clean": int(clean[:len(scs)].sum()),
             "ndec_agree": agree,
         })
-    Bs = np.array([r["B"] for r in table], dtype=np.float64)
-    td = np.array([r["device_dispatch_s"] for r in table])
-    th = np.array([r["host_native_ladder_s"] for r in table])
-    if len(Bs) >= 2:
-        A = np.stack([np.ones_like(Bs), Bs], axis=1)
-        coef, *_ = np.linalg.lstsq(A, td, rcond=None)
-        a, b = float(coef[0]), float(coef[1])
-    else:
-        a, b = float(td[0]), 0.0
+    rows, fit_window = _fit_rows(table)
+    Bs = np.array([r["B"] for r in rows], dtype=np.float64)
+    td = np.array([r["device_dispatch_s"] for r in rows])
+    th = np.array([r["host_native_ladder_s"] for r in rows])
+    a, b = _clamped_line(Bs, td)
     c = float((th / Bs).mean())
     be = int(np.ceil(a / (c - b))) if b < c and c > b else None
     return {
@@ -355,7 +375,8 @@ def measure_ladder(batches=(64, 256), reps=3, seed=5, V=None, E=None,
         "table": table,
         "fit": {"a_fixed_dispatch_s": round(a, 5),
                 "b_per_graph_device_s": round(b, 8),
-                "c_per_graph_host_s": round(c, 8)},
+                "c_per_graph_host_s": round(c, 8),
+                "fit_window": fit_window},
         "break_even_B": be,
         "skipped_batches_over_budget": skipped or None,
     }

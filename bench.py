@@ -223,9 +223,29 @@ def production_bench(reps=3):
     wall_med = sorted(walls)[len(walls) // 2]
     cpu_med = sorted(cpus)[len(cpus) // 2]
     # one in-process run for device statistics (wave/device accounting
-    # lives in this process's device_wave.stats)
+    # lives in this process's device_wave.stats) + the resolution-ladder
+    # arm histogram (round-4 verdict weak#4: pin the router-rung share)
+    from aletsch_tpu.meta import native_core as _nc
+    _nc.ladder_histogram(reset=True)
     bundles, dt_inproc, n_trst, dstat = run_pipeline(
         base, lst, sub="bench_ours_inproc", reps=1)
+    lhist = _nc.ladder_histogram()
+    lhist_summary = None
+    if lhist:
+        names = _nc.LADDER_RUNGS
+        prefix = sum(lhist[k] for k in names[:4])
+        router = sum(lhist[k] for k in names[4:])
+        tot = prefix + router
+        lhist_summary = {
+            "fires": lhist,
+            "device_prefix_fires": prefix,
+            "router_fires": router,
+            "device_prefix_share": round(prefix / tot, 6) if tot else None,
+            "note": ("the device ladder (ops/ladder_kernel.py) covers "
+                     "rungs 0-3; router_fires is the measured count of "
+                     "production ladder iterations it CANNOT absorb "
+                     "(scallop.cc:64-150 rungs 5+)"),
+        }
     rate = bundles / wall_med if wall_med > 0 else 0.0
     # reference baseline: same-window interleaved medians when measured
     # above, else the pinned baseline_measured.json
@@ -274,6 +294,7 @@ def production_bench(reps=3):
         else round(ref["ref_cpu_s"] / cpu_med, 2),
         "device_stats": {k: round(v, 4) if isinstance(v, float) else v
                          for k, v in dstat.items()},
+        "ladder_arm_histogram": lhist_summary,
     }
 
 

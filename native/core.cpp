@@ -8,6 +8,7 @@
 // pipeline remains the differential oracle.
 
 #include "core_scallop.h"
+#include "core_tset.h"
 
 #include <atomic>
 #include <chrono>
@@ -1781,6 +1782,268 @@ i64 core_debug_hash(void* h) {
     dbg_mix(x, &r->phase, sizeof(r->phase));
     dbg_mix(x, &r->bphase, sizeof(r->bphase));
     return (i64)x;
+}
+
+}  // extern "C"
+
+// ---- native transcript-set merge + writers (core_tset.h; replaces the
+//      Python replay / fold / output formatting of meta/native_core.py
+//      _replay_transcripts + core/transcript_set.py + incubator
+//      postprocess — the Python path stays as the byte-exact oracle).
+
+// replay of one CoreOut into a target set, mirroring
+// meta/native_core.py::_replay_transcripts exactly: per-graph set built in
+// transcript order, then folded (assembler.cc:1121-1136 order)
+static void tset_merge_out(core::CoreOut& o, core_tset::NTSet* tgt,
+                           i64 rid, i64 gid, i64 inst, const char* chrm,
+                           i32 skip_se) {
+    using namespace core_tset;
+    size_t ng = o.g_sid.size(), nt = o.t_group.size();
+    if (ng == 0) return;
+    std::vector<size_t> eo(nt);
+    size_t acc = 0;
+    for (size_t i = 0; i < nt; i++) {
+        eo[i] = acc;
+        acc += 2 * (size_t)o.t_nexons[i];
+    }
+    std::vector<std::vector<i32>> per(ng);
+    for (size_t i = 0; i < nt; i++)
+        per[o.t_group[i]].push_back((i32)i);
+    char gidbuf[128], tidbuf[320];
+    for (size_t g = 0; g < ng; g++) {
+        NTSet ts;
+        ts.seo = tgt->seo;
+        int sid = o.g_sid[g];
+        snprintf(gidbuf, sizeof(gidbuf), "instance.%lld.%lld.%lld.%d.0",
+                 (long long)rid, (long long)gid, (long long)inst,
+                 (int)o.g_subindex[g]);
+        for (i32 i : per[g]) {
+            i32 ne = o.t_nexons[i];
+            if (ne <= 1 && skip_se) continue;
+            NItem it;
+            NTrans& t = it.trst;
+            t.gene_id = gidbuf;
+            snprintf(tidbuf, sizeof(tidbuf), "chr%s.%s.%d", chrm, gidbuf,
+                     (int)o.t_pathi[i]);
+            t.tid = tidbuf;
+            t.meta_tid = tidbuf;
+            t.strand = (char)o.t_strand[i];
+            t.coverage = t.cov2 = o.t_cov[i];
+            t.conf = o.t_conf[i];
+            t.abd = o.t_abd[i];
+            t.count1 = o.t_count1[i];
+            t.count2 = 1;
+            t.exons.assign(o.exons.begin() + eo[i],
+                           o.exons.begin() + eo[i] + 2 * (size_t)ne);
+            t.feat.assign(
+                o.feats.begin() + (size_t)i * core::N_FEATURES,
+                o.feats.begin() + (size_t)(i + 1) * core::N_FEATURES);
+            it.count = 1;
+            NTrans copy = t;          // TransItem clone, count2 = 1
+            it.samples.emplace_back(sid, std::move(copy));
+            uint64_t key = chain_hash(t.exons);
+            set_insert_item(&ts, key, std::move(it));
+        }
+        set_add(tgt, &ts);
+    }
+}
+
+extern "C" {
+
+// per-rung resolution-ladder fire counters (core::Scallop::ladder_hist;
+// scallop.cc:47-173 rung order).  reset != 0 zeroes after reading.
+void core_ladder_hist(i64* out11, i32 reset) {
+    std::atomic<long long>* h = core::Scallop::ladder_hist();
+    for (int i = 0; i < 11; i++) {
+        out11[i] = (i64)h[i].load();
+        if (reset) h[i].store(0);
+    }
+}
+
+void* nts_new(double single_exon_overlap) {
+    core_tset::NTSet* s = new core_tset::NTSet();
+    s->seo = single_exon_overlap;
+    return s;
+}
+
+void nts_free(void* h) { delete (core_tset::NTSet*)h; }
+
+void nts_add(void* dst, void* src) {
+    core_tset::set_add((core_tset::NTSet*)dst, (core_tset::NTSet*)src);
+}
+
+void nts_sync(void* h) { core_tset::set_sync((core_tset::NTSet*)h); }
+
+i64 nts_size(void* h) {
+    core_tset::NTSet* s = (core_tset::NTSet*)h;
+    i64 n = 0;
+    for (auto& kv : s->mt) n += (i64)kv.second.size();
+    return n;
+}
+
+void core_out_merge_nts(void* outh, void* tgt, i64 rid, i64 gid, i64 inst,
+                        const char* chrm, i32 skip_se) {
+    tset_merge_out(*(core::CoreOut*)outh, (core_tset::NTSet*)tgt, rid, gid,
+                   inst, chrm, skip_se);
+}
+
+void core_group_merge_nts(void* h, void* tgt, i64 rid, i64 gid, i64 inst,
+                          const char* chrm, i32 skip_se) {
+    tset_merge_out(((core::GroupRun*)h)->out, (core_tset::NTSet*)tgt, rid,
+                   gid, inst, chrm, skip_se);
+}
+
+void core_batch_merge_nts(void* bh, i32 n_groups, void** tgt,
+                          const i64* rid, const i64* gid, const i64* inst,
+                          const char* chrm, const i32* skip_se) {
+    BatchOut* bo = (BatchOut*)bh;
+    for (i32 g = 0; g < n_groups; g++)
+        tset_merge_out(bo->outs[g], (core_tset::NTSet*)tgt[g], rid[g],
+                       gid[g], inst[g], chrm, skip_se[g]);
+}
+
+// import a Python-built TranscriptSet (fallback-assembled groups,
+// meta/native_tset.py _import): bucket-grouped item records, each root
+// followed by its insertion-ordered sample copies
+void nts_import_merge(void* tgt_, i64 n_buckets, const uint64_t* bkeys,
+                      const i32* bcounts, const i64* icounts,
+                      const i32* ncopies, const i32* r_sid,
+                      const i32* r_strand, const double* r_cov,
+                      const double* r_cov2, const double* r_conf,
+                      const double* r_abd, const i64* r_count1,
+                      const i32* r_count2, const i32* r_nexons,
+                      const i64* exons_flat, const double* feats_flat,
+                      const i64* str_off, const char* strbuf) {
+    using namespace core_tset;
+    NTSet* tgt = (NTSet*)tgt_;
+    NTSet src;
+    src.seo = tgt->seo;
+    size_t item = 0, rec = 0, eoff = 0;
+    auto load_rec = [&](NTrans& t) {
+        t.strand = (char)r_strand[rec];
+        t.coverage = r_cov[rec];
+        t.cov2 = r_cov2[rec];
+        t.conf = r_conf[rec];
+        t.abd = r_abd[rec];
+        t.count1 = r_count1[rec];
+        t.count2 = r_count2[rec];
+        i32 ne = r_nexons[rec];
+        t.exons.assign(exons_flat + eoff, exons_flat + eoff + 2 * (size_t)ne);
+        eoff += 2 * (size_t)ne;
+        t.feat.assign(feats_flat + rec * core::N_FEATURES,
+                      feats_flat + (rec + 1) * core::N_FEATURES);
+        t.gene_id = strbuf + str_off[3 * rec + 0];
+        t.tid = strbuf + str_off[3 * rec + 1];
+        t.meta_tid = strbuf + str_off[3 * rec + 2];
+        rec++;
+    };
+    for (i64 b = 0; b < n_buckets; b++) {
+        std::vector<NItem> bucket;
+        bucket.reserve((size_t)bcounts[b]);
+        for (i32 j = 0; j < bcounts[b]; j++, item++) {
+            NItem it;
+            it.count = icounts[item];
+            i32 nc = ncopies[item];
+            load_rec(it.trst);            // root record (r_sid unused)
+            for (i32 c = 0; c < nc; c++) {
+                i32 sid = r_sid[rec];
+                NTrans cp;
+                load_rec(cp);
+                it.samples.emplace_back(sid, std::move(cp));
+            }
+            bucket.push_back(std::move(it));
+        }
+        src.mt.emplace(bkeys[b], std::move(bucket));
+    }
+    set_add(tgt, &src);
+}
+
+// combined GTF (meta/incubator.py write_combined_gtf,
+// incubator.cc:713-743): sets in the caller's sorted (chrm, strand)
+// order, buckets by sorted key, items in list order
+i32 nts_write_combined(void** hs, i32 n, const char* const* chrms,
+                       const char* path, const char* source) {
+    FILE* f = fopen(path, "w");
+    if (!f) return -1;
+    std::vector<char> buf(1 << 20);
+    setvbuf(f, buf.data(), _IOFBF, buf.size());
+    for (i32 i = 0; i < n; i++) {
+        core_tset::NTSet* s = (core_tset::NTSet*)hs[i];
+        for (uint64_t k : core_tset::sorted_keys(s))
+            for (core_tset::NItem& z : s->mt.at(k))
+                core_tset::write_gtf_rec(f, z.trst, chrms[i], source, -1.0,
+                                         (i64)z.samples.size());
+    }
+    fclose(f);
+    return 0;
+}
+
+// per-sample GTFs + feature CSVs (meta/incubator.py
+// write_individual_gtfs, incubator.cc:745-796) in one pass over the sets;
+// samples partitioned across threads like the reference's parallel
+// postprocess (incubator.cc:673-711)
+i32 nts_write_individual(void** hs, i32 n_sets, const char* const* chrms,
+                         const char* dir, i32 n_samples, double min_se,
+                         const char* source, i32 nthreads) {
+    using namespace core_tset;
+    std::vector<std::vector<uint64_t>> keys((size_t)n_sets);
+    for (i32 i = 0; i < n_sets; i++)
+        keys[i] = sorted_keys((NTSet*)hs[i]);
+    std::atomic<int> fail{0};
+    auto work = [&](i32 lo, i32 hi) {
+        size_t nf = (size_t)(hi - lo);
+        std::vector<FILE*> fg(nf, nullptr), ff(nf, nullptr);
+        char pathbuf[4096];
+        for (i32 j = lo; j < hi; j++) {
+            snprintf(pathbuf, sizeof(pathbuf), "%s/%d.gtf", dir, (int)j);
+            fg[j - lo] = fopen(pathbuf, "w");
+            snprintf(pathbuf, sizeof(pathbuf), "%s/%d.trstFeature.csv",
+                     dir, (int)j);
+            ff[j - lo] = fopen(pathbuf, "w");
+            if (!fg[j - lo] || !ff[j - lo]) fail.store(1);
+        }
+        if (!fail.load()) {
+            for (i32 i = 0; i < n_sets; i++) {
+                NTSet* s = (NTSet*)hs[i];
+                const char* chrm = chrms[i];
+                for (uint64_t k : keys[i])
+                    for (NItem& z : s->mt.at(k))
+                        for (auto& p : z.samples) {
+                            i32 j = p.first;
+                            if (j == -1) j = n_samples - 1;
+                            if (j < lo || j >= hi) continue;
+                            NTrans& t = p.second;
+                            if (t.nex() == 1) {
+                                if (t.cov2 < min_se) continue;
+                                write_gtf_rec(fg[j - lo], t, chrm, source,
+                                              t.cov2, t.count2);
+                            } else {
+                                write_gtf_rec(fg[j - lo], t, chrm, source,
+                                              t.cov2, t.count2);
+                                write_feat_row(ff[j - lo], t, chrm);
+                            }
+                        }
+            }
+        }
+        for (FILE* fp : fg)
+            if (fp) fclose(fp);
+        for (FILE* fp : ff)
+            if (fp) fclose(fp);
+    };
+    i32 T = nthreads < 1 ? 1 : nthreads;
+    if (T > n_samples) T = n_samples > 0 ? n_samples : 1;
+    if (T <= 1 || n_samples <= 1) {
+        work(0, n_samples);
+    } else {
+        std::vector<std::thread> ths;
+        i32 per = (n_samples + T - 1) / T;
+        for (i32 t0 = 0; t0 < n_samples; t0 += per) {
+            i32 t1 = t0 + per < n_samples ? t0 + per : n_samples;
+            ths.emplace_back(work, t0, t1);
+        }
+        for (auto& t : ths) t.join();
+    }
+    return fail.load() ? -1 : 0;
 }
 
 }  // extern "C"

