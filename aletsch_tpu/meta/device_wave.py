@@ -355,12 +355,16 @@ def assemble_groups(asms, gvs, cfg):
             if not f_exp:
                 return
             paths, ws, npaths = fdev.solve(len(f_exp))
+            # Pallas f32 form: per-batch trust (integer-exact weights);
+            # XLA f64 form: backend-level f64-exactness probe
+            trust = _FUSED_TRUST if fdev.last_trust is None \
+                else bool(fdev.last_trust)
             for i, g in enumerate(f_exp):
-                if _FUSED_TRUST:
+                if trust:
                     stats["device_steps"] += int(npaths[i])
                 if native_core.greedy_consume_fused(
                         g, ws[i], paths[i], int(npaths[i]), fdev.maxv,
-                        _FUSED_TRUST):
+                        trust):
                     nxt.append(g)
             del f_exp[:]
 

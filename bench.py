@@ -358,11 +358,27 @@ def crossover_probe():
     model."""
     try:
         from aletsch_tpu.ops import crossover
+        from aletsch_tpu.ops.greedy_fused import _pallas_drain_wanted
+        # the Pallas f32 form compiles in seconds at every batch shape,
+        # so no cross-window row reuse is needed; the XLA f64 fallback
+        # keeps the cached-large-B policy (>10-min compiles per shape)
+        reuse = None if _pallas_drain_wanted() else 256
         cal = crossover.measure(batches=(64, 256, 512, 1024), reps=3,
-                                reuse_above=256)
+                                reuse_above=reuse)
         cal["direct_projection"] = crossover.project_direct(cal)
         crossover.save(cal)
         return cal
+    except Exception as e:                    # pragma: no cover
+        return {"error": str(e)}
+
+
+def pallas_drain_probe():
+    """The round-4 verdict item-1 deliverable: f32 Pallas fused drain vs
+    the native host drain, resident and dispatch, with bit-exactness
+    against the f64 host oracle (ops/crossover.measure_pallas_drain)."""
+    try:
+        from aletsch_tpu.ops import crossover
+        return crossover.measure_pallas_drain()
     except Exception as e:                    # pragma: no cover
         return {"error": str(e)}
 
@@ -540,6 +556,9 @@ def main():
         cross = crossover_probe()
         print("crossover sweep + amortization fit: %s" % json.dumps(cross),
               file=sys.stderr)
+        pallas = pallas_drain_probe()
+        print("pallas fused-drain crossover: %s" % json.dumps(pallas),
+              file=sys.stderr)
         lcross = ladder_crossover_probe()
         print("ladder crossover: %s" % json.dumps(lcross),
               file=sys.stderr)
@@ -556,12 +575,14 @@ def main():
         if shape:
             print("scaling shape: %s" % json.dumps(shape), file=sys.stderr)
 
-        emit(prod, fused, cross, lcross, scross, mfu, jd, shape)
+        emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
+             pallas)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
-def emit(prod, fused, cross, lcross, scross, mfu, jd, shape):
+def emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
+         pallas=None):
     """Write BENCH_DETAIL.json and print the compact headline line."""
     if True:
         vs = prod["vs_reference_10t"]
@@ -579,6 +600,7 @@ def emit(prod, fused, cross, lcross, scross, mfu, jd, shape):
                 prod["device_stats"].get("device_share", 0.0),
             "fused_probe": fused,
             "crossover": cross,
+            "pallas_drain_crossover": pallas,
             "ladder_crossover": lcross,
             "similarity_crossover": scross,
             "mfu": mfu,
@@ -617,6 +639,13 @@ def emit(prod, fused, cross, lcross, scross, mfu, jd, shape):
                 round(prod["device_stats"].get("device_share", 0.0), 4),
             "break_even_B": (cross or {}).get("break_even_B")
             if isinstance(cross, dict) else None,
+            "pallas_resident_us_per_graph":
+                (pallas.get("table") or [{}])[0].get(
+                    "resident_us_per_graph")
+                if isinstance(pallas, dict) else None,
+            "pallas_beats_host_resident":
+                pallas.get("device_beats_host_resident")
+                if isinstance(pallas, dict) else None,
             "mfu": mfu_line,
             "detail_file": "BENCH_DETAIL.json",
         }
