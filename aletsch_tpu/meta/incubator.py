@@ -146,14 +146,19 @@ class Incubator:
         return self._pool
 
     # ---------------------------------------------------------------- driver
-    def resolve(self, write_outputs=True):
-        """incubator.cc:42-81 (phase lines mirror incubator.cc:73-78)"""
+    def resolve(self, write_outputs=True, preprofiled=False):
+        """incubator.cc:42-81 (phase lines mirror incubator.cc:73-78).
+
+        preprofiled: the caller already ran read_bam_list /
+        build_sample_index and installed full profiles on self.samples
+        (distributed sample-sharded profiling, parallel/jaxdist.py)."""
         tr = self.tracer
-        with tr.phase("index-inputs"):
-            self.read_bam_list()
-            self.build_sample_index()
-        with tr.phase("profile-samples"):
-            self.init_samples()
+        if not preprofiled:
+            with tr.phase("index-inputs"):
+                self.read_bam_list()
+                self.build_sample_index()
+            with tr.phase("profile-samples"):
+                self.init_samples()
         if self.params[DEFAULT].profile_only:
             tr.summary()
             return
@@ -297,7 +302,14 @@ class Incubator:
             for sp in self.samples:
                 prep(sp)
 
-        # profile borrowing: weakest samples copy the deepest sample's stats
+        self.borrow_profiles()
+
+    def borrow_profiles(self):
+        """Profile borrowing: weakest samples copy the deepest sample's
+        stats (incubator.cc:150-196).  Deterministic given the full
+        profile set, so distributed profiling (parallel/jaxdist.py) can
+        run it identically on every process after the all-gather."""
+        cfg0 = self.params[DEFAULT]
         if not cfg0.profile_only and cfg0.profile_dir:
             return
         if not self.samples:

@@ -53,6 +53,37 @@ def _allgather_bytes(payload, np_mod=None):
     return [gathered[p, : lens[p]].tobytes() for p in range(n)]
 
 
+def _profile_sample_shard(inc, params, process_id, num_processes):
+    """Profile only the samples this process owns (sid % P == pid), then
+    all-gather the filled SampleProfile objects so every process holds
+    the complete profile set; the deterministic borrow pass then runs
+    identically everywhere (Incubator.borrow_profiles)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..meta.incubator import _prep_sample
+
+    owned = [sp for sp in inc.samples
+             if sp.sample_id % num_processes == process_id]
+    nw = min(len(owned), os.cpu_count() or 1) or 1
+    if len(owned) > 1 and nw > 1:
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            owned = list(ex.map(lambda sp: _prep_sample((sp, params)),
+                                owned))
+    else:
+        owned = [_prep_sample((sp, params)) for sp in owned]
+    blobs = _allgather_bytes(pickle.dumps(owned, protocol=4))
+    merged = {}
+    for b in blobs:
+        for sp in pickle.loads(b):
+            merged[sp.sample_id] = sp
+    assert len(merged) == len(inc.samples), \
+        "distributed profiling lost samples (%d/%d)" % (len(merged),
+                                                        len(inc.samples))
+    inc.samples = [merged[i] for i in range(len(inc.samples))]
+    inc.borrow_profiles()
+
+
 def launch_jax_distributed(argv, num_processes):
     """Single-command local launcher: spawn `num_processes` CLI workers
     that join one jax.distributed group on a free localhost port and wait
@@ -108,7 +139,17 @@ def run_jax_distributed(params, process_id, num_processes,
     try:
         inc = Incubator(
             params, region_filter=region_shard_filter(process_id, num_processes))
-        inc.resolve(write_outputs=False)
+        # Sample-sharded profiling (round-4 verdict item 4): the reference
+        # profiles each sample exactly once (meta/incubator.cc:116-196);
+        # here sample i is profiled only by process i % P and the full
+        # profiles ride the same all-gather the transcript payloads use,
+        # so the group's total profiling CPU matches a single process.
+        with inc.tracer.phase("index-inputs"):
+            inc.read_bam_list()
+            inc.build_sample_index()
+        with inc.tracer.phase("profile-samples"):
+            _profile_sample_shard(inc, params, process_id, num_processes)
+        inc.resolve(write_outputs=False, preprofiled=True)
         payload = pickle.dumps(
             {"tts": inc.tts, "n_samples": len(inc.samples), "stats": inc.stats},
             protocol=4)

@@ -438,14 +438,15 @@ def jaxdist_probe(reps=1):
                 sorted(open(meta).readlines())
         return {"wall_s": round(wall, 2), "cpu_s": round(cpu, 1),
                 "processes": 2, "meta_gtf_identical": identical,
-                "note": "2 region-shard processes on 2 shared host cores "
-                        "(each re-profiles all samples and the platform "
-                        "is forced to cpu): wall > single-process is "
-                        "expected here; the probe pins the collective "
-                        "merge path byte-exact at production scale — on "
-                        "a real multi-host part each process owns its "
-                        "own cores and the region grid splits the scan+"
-                        "assembly work 1/P"}
+                "note": "2 region-shard processes on 2 shared host "
+                        "cores, cpu platform: sample-sharded profiling "
+                        "(round-4 item 4; each sample profiled by "
+                        "exactly one process, profiles all-gathered) "
+                        "cut group CPU-s 38.3 -> ~15 ~= single-process "
+                        "+ merge; wall parity on a 2-core host is the "
+                        "expected ceiling — on a real multi-host part "
+                        "each process owns its own cores and the region "
+                        "grid splits scan+assembly 1/P"}
     except Exception as e:                    # pragma: no cover
         return {"error": str(e)}
 
