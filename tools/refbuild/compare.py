@@ -195,6 +195,27 @@ def cohort_smartseq8(d):
     return bams, ["paired_end"] * 8
 
 
+def cohort_mixed3(d):
+    """paired_end + ont in ONE input list: the per-data-type flag
+    overlays (util/parameters.cc:508-518) applied WITHIN a single run —
+    paired-end samples get bridging/insert-size handling while the ONT
+    sample takes the long-read path, and their bundles cluster into the
+    same cross-sample groups.  Round-4 verdict item 7: this mix was
+    previously only chain-level-checked (tools/soak_adversarial.py),
+    never byte-compared against the shim-built reference binary."""
+    from aletsch_tpu.sim import simulate_sample
+    bams = []
+    for i, seed in enumerate((91, 92)):
+        p = os.path.join(d, "pe%d.bam" % i)
+        simulate_sample(p, seed=seed, n1=200 - 20 * i, n2=80, n3=140,
+                        sentinel=True)
+        bams.append(p)
+    lr = os.path.join(d, "lr.bam")
+    _long_read_sample(lr, 93, reads_per_gene=7)
+    bams.append(lr)
+    return bams, ["paired_end", "paired_end", "ont"]
+
+
 COHORTS = {
     "basic2": cohort_basic2,
     "adversarial2": cohort_adversarial2,
@@ -202,6 +223,7 @@ COHORTS = {
     "ont2": cohort_ont2,
     "pacbio2": cohort_pacbio2,
     "smartseq8": cohort_smartseq8,
+    "mixed3": cohort_mixed3,
 }
 
 
@@ -343,7 +365,7 @@ def compare(ref_dir, our_dir):
 # only, while the reference silently drops single-end/long reads past
 # max_read_span (generator.cc:95; docs/DESIGN.md).  Quirks-mode byte
 # parity remains mandatory — ALETSCH_REF_QUIRKS replicates the bug.
-DEFAULT_DIVERGENT = {"ont2", "pacbio2"}
+DEFAULT_DIVERGENT = {"ont2", "pacbio2", "mixed3"}
 
 
 def main():
