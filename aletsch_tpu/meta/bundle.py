@@ -42,7 +42,7 @@ class Bundle(BundleBase):
             # native scanner arrays (cluster engine + native assembly core)
             for a in ("_scan_fixed", "_scan_coords", "_scan_mev",
                       "_scan_iev", "_scan_frgs", "_splices_arr",
-                      "_scan_ptrs", "_scan_cnts"):
+                      "_scan_ptrs", "_scan_cnts", "_scan_rec"):
                 v = getattr(base, a, None)
                 if v is not None:
                     setattr(self, a, v)

@@ -103,6 +103,10 @@ class Generator:
         unstranded = sp.library_type == UNSTRANDED
         sid = sp.sample_id
         new_b = Bundle.__new__
+        from .native_core import _cfg_index
+        cfg_idx = _cfg_index(cfg)
+        ins_lo = sp.insertsize_low
+        ins_hi = sp.insertsize_high
         for (nb, mlist, fixed, coords, mev, iev, frgs, splices, ptrs) in \
                 r.scan_region_raw(self.target_id,
                                   sp.end1[self.target_id]
@@ -155,6 +159,15 @@ class Generator:
                                    p_me + 4 * mo, p_ie + 4 * io,
                                    p_fr + 4 * fo),
                     "_scan_cnts": (n, ml // 2, il // 2, fl // 2),
+                    # one flat record for the vectorized batch marshal
+                    # (native_core._marshal_batch fast path): 5 ptrs,
+                    # 4 counts, lpos, rpos, strand, sid, ins_lo/hi,
+                    # native-cfg index
+                    "_scan_rec": (p_fix + 100 * ro, p_co + 4 * co2,
+                                  p_me + 4 * mo, p_ie + 4 * io,
+                                  p_fr + 4 * fo, n, ml // 2, il // 2,
+                                  fl // 2, mlpos, mrpos, ord(st), sid,
+                                  ins_lo, ins_hi, cfg_idx),
                     "cfg": cfg, "sp": sp, "num_combined": 0,
                     "gid": "gene.%d.%d" % (sid, self.index),
                 }

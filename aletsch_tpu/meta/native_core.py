@@ -233,6 +233,40 @@ def _cfg_arrays(cfg):
     return ints, dbls
 
 
+# value-keyed registry of distinct native cfg blocks: _scan_rec carries a
+# small index instead of per-bundle cfg arrays, so the batch marshal can
+# gather cfg rows with one np.take (the per-bundle Python appends were
+# the marshal hot loop).  Rebuilt lazily; rows never mutate in-place.
+_CFG_TAB = {"key2idx": {}, "ints": [], "dbls": [], "stack": None}
+
+
+def _cfg_index(cfg):
+    """Stable index of this cfg's native (ints, dbls) block."""
+    ci, cd = _cfg_arrays(cfg)
+    cached = getattr(cfg, "_native_cfg_idx", None)
+    tok = cfg._native_cfg_cache[0]
+    if cached is not None and cached[0] == tok:
+        return cached[1]
+    key = ci.tobytes() + cd.tobytes()
+    idx = _CFG_TAB["key2idx"].get(key)
+    if idx is None:
+        idx = len(_CFG_TAB["ints"])
+        _CFG_TAB["key2idx"][key] = idx
+        _CFG_TAB["ints"].append(ci)
+        _CFG_TAB["dbls"].append(cd)
+        _CFG_TAB["stack"] = None
+    cfg._native_cfg_idx = (tok, idx)
+    return idx
+
+
+def _cfg_tables():
+    st = _CFG_TAB["stack"]
+    if st is None:
+        st = (np.stack(_CFG_TAB["ints"]), np.stack(_CFG_TAB["dbls"]))
+        _CFG_TAB["stack"] = st
+    return st
+
+
 def preview_bundle_native(sb, cfg):
     """Run previewer._process on a raw ScanBundle natively; returns the list
     of fragment inner distances, or None when the core is unavailable."""
@@ -283,9 +317,9 @@ def collect_insertsizes_chunked(reader, cfg, library_type,
     qbufs = None
     if os.environ.get("ALETSCH_REF_QUIRKS") == "1":
         qbufs = np.full(60, -1, dtype=np.int32)
-    m = {}
-    cnt = 0
-    capped_epoch = None
+    accepted = []          # per-chunk accepted distance arrays; one
+    cnt = 0                # np.unique pass at the end builds the
+    capped_epoch = None    # histogram (was a per-chunk dict merge)
     out_d = np.empty(1, dtype=np.int64)
     gen = reader.scan_preview_pools(pr, boundary_sink=boundary_sink)
     for meta, fixed, coords, mev, iev, frgs in gen:
@@ -324,14 +358,15 @@ def collect_insertsizes_chunked(reader, cfg, library_type,
                     stop = True
         naccept = int(cnts[:take].sum())
         if naccept:
-            vals, vcnts = np.unique(out_d[:naccept], return_counts=True)
-            for v, c in zip(vals.tolist(), vcnts.tolist()):
-                m[v] = m.get(v, 0) + c
+            accepted.append(out_d[:naccept].copy())
             cnt += naccept
         if stop:
             gen.close()
             break
-    return m
+    if not accepted:
+        return {}
+    vals, vcnts = np.unique(np.concatenate(accepted), return_counts=True)
+    return dict(zip(vals.tolist(), vcnts.tolist()))
 
 
 def cluster_groups_native(gset, cfg):
@@ -850,11 +885,77 @@ def batch_available():
     return lib is not None and hasattr(lib, "core_resolve_groups_mt")
 
 
+def _marshal_batch_fast(asms, gvs, do_bridge, nthreads):
+    """Vectorized marshal: every bundle carries a flat _scan_rec tuple
+    (generator.py scan-time precompute), so the per-bundle work is ONE
+    list append; columns come from one bulk np.array conversion and cfg
+    rows from one np.take over the cfg registry.  Returns None when any
+    bundle lacks a record (caller falls back to the general loop)."""
+    lib = _load_lib()
+    n_groups = len(gvs)
+    recs = []
+    ap = recs.append
+    try:
+        for gv in gvs:
+            for bd in gv:
+                ap(bd._scan_rec)
+    except AttributeError:
+        return None
+    tot = len(recs)
+    arr = np.array(recs, dtype=np.int64)        # [tot, 16]
+    if arr.ndim != 2 or arr.shape[1] != 16:
+        return None
+    grp_nb = np.asarray([len(gv) for gv in gvs], dtype=np.int32)
+    nh = arr[:, 5].astype(np.int32)
+    fixed_p = (ctypes.c_void_p * tot)(*arr[:, 0].tolist())
+    coords_p = (ctypes.c_void_p * tot)(*arr[:, 1].tolist())
+    mev_p = (ctypes.c_void_p * tot)(*arr[:, 2].tolist())
+    iev_p = (ctypes.c_void_p * tot)(*arr[:, 3].tolist())
+    frg_p = (ctypes.c_void_p * tot)(*arr[:, 4].tolist())
+    mev_cnt = np.ascontiguousarray(arr[:, 6])
+    iev_cnt = np.ascontiguousarray(arr[:, 7])
+    frg_cnt = np.ascontiguousarray(arr[:, 8])
+    lpos = np.ascontiguousarray(arr[:, 9])
+    rpos = np.ascontiguousarray(arr[:, 10])
+    strand = arr[:, 11].astype(np.int32)
+    sid = arr[:, 12].astype(np.int32)
+    ilow = np.ascontiguousarray(arr[:, 13])
+    ihigh = np.ascontiguousarray(arr[:, 14])
+    # cfg rows: per-group [bundle cfgs..., group cfg] interleave
+    idx = np.empty(tot + n_groups, dtype=np.int64)
+    pos = boff = 0
+    for g, (asmb, gv) in enumerate(zip(asms, gvs)):
+        nb = len(gv)
+        idx[pos:pos + nb] = arr[boff:boff + nb, 15]
+        idx[pos + nb] = _cfg_index(asmb.cfg)
+        pos += nb + 1
+        boff += nb
+    ti, td = _cfg_tables()
+    cfg_i = np.ascontiguousarray(ti[idx].reshape(-1))
+    cfg_d = np.ascontiguousarray(td[idx].reshape(-1))
+    keep = [grp_nb, nh, mev_cnt, iev_cnt, frg_cnt, sid, strand, lpos,
+            rpos, ilow, ihigh, cfg_i, cfg_d, fixed_p, coords_p, mev_p,
+            iev_p, frg_p]
+    args = (n_groups, int(nthreads), 1 if do_bridge else 0,
+            grp_nb.ctypes.data, nh.ctypes.data,
+            fixed_p, coords_p,
+            mev_p, mev_cnt.ctypes.data,
+            iev_p, iev_cnt.ctypes.data,
+            frg_p, frg_cnt.ctypes.data,
+            sid.ctypes.data, strand.ctypes.data, lpos.ctypes.data,
+            rpos.ctypes.data, ilow.ctypes.data, ihigh.ctypes.data,
+            cfg_i.ctypes.data, cfg_d.ctypes.data)
+    return args, keep
+
+
 def _marshal_batch(asms, gvs, do_bridge, nthreads):
     """Build the core_resolve_groups_mt[_async] argument tuple.  Returns
     (call_args, keep): `keep` holds contiguous copies the C++ workers read
     from — an async caller must keep it (plus the bundles) alive until
     core_batch_join."""
+    fast = _marshal_batch_fast(asms, gvs, do_bridge, nthreads)
+    if fast is not None:
+        return fast
     lib = _load_lib()
     n_groups = len(gvs)
     tot = sum(len(gv) for gv in gvs)
