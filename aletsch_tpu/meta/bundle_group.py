@@ -96,12 +96,29 @@ class BundleGroup:
             from .native_core import cluster_groups_native
             gids = cluster_groups_native(self.gset, self.cfg)
             if gids is not None:
-                self.gvv = []
-                for i, g in enumerate(gids.tolist()):
-                    if g == len(self.gvv):
-                        self.gvv.append([i])
-                    else:
-                        self.gvv[g].append(i)
+                if len(gids) < 256:
+                    # numpy per-call overhead loses on small regions
+                    # (core/graph_cluster.py vectorization lesson)
+                    self.gvv = []
+                    for i, g in enumerate(gids.tolist()):
+                        if g == len(self.gvv):
+                            self.gvv.append([i])
+                        else:
+                            self.gvv[g].append(i)
+                    return
+                # ids are assigned in first-encounter order, so a stable
+                # argsort groups them with members in index order —
+                # identical lists to the per-bundle append loop
+                import numpy as np
+                g = np.asarray(gids)
+                order = np.argsort(g, kind="stable").tolist()
+                counts = np.bincount(g).tolist()
+                gvv = []
+                pos = 0
+                for c in counts:
+                    gvv.append(order[pos:pos + c])
+                    pos += c
+                self.gvv = gvv
                 return
         sindex = self._build_splice_index()
         ds = DisjointSet(len(self.gset))
