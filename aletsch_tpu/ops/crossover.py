@@ -569,7 +569,8 @@ def _measure_similarity_sparse(sizes=(256, 1024, 4096), reps=3, seed=9,
     }
 
 
-def project_direct(cal, dispatch_latency_s=1e-4, link_gbps=10.0):
+def project_direct(cal, dispatch_latency_s=1e-4, link_gbps=10.0,
+                   b2_override=None):
     """Project the measured crossover onto a DIRECT-attached part.
 
     The sweep MEASURES the compute share: device_resident_s times the
@@ -585,7 +586,8 @@ def project_direct(cal, dispatch_latency_s=1e-4, link_gbps=10.0):
     r = cal["table"][0]
     bytes_per_graph = r["bytes_up"] / r["B"]
     b = f["b_per_graph_device_s"]
-    b2 = f.get("b2_resident_per_graph_s")
+    b2 = b2_override if b2_override is not None \
+        else f.get("b2_resident_per_graph_s")
     if b2 is None:
         b2 = 0.1 * b     # fallback: assume transfer-dominated
     b2 = max(0.0, min(b2, b))
@@ -787,3 +789,18 @@ def measure_pallas_drain(batches=(64, 256, 1024), V=DEFAULT_V, maxp=64,
                  "host drain — chip loses at these shapes even before "
                  "transfer"),
     }
+
+
+def main():
+    """Subprocess entry for isolated measurements: a fresh process has a
+    clean relay queue, so resident timings are unpolluted by earlier
+    dispatch traffic (the in-bench measurement was poisoned ~100x by
+    preceding probes' buffer churn — see measure_pallas_drain)."""
+    import json
+    import sys
+    if "--pallas-drain" in sys.argv:
+        print("RESULT " + json.dumps(measure_pallas_drain()))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,7 +105,9 @@ def run_pipeline(tmpdir, listpath, sub="run", tweak=None, reps=5):
     inc, dt = best
     d1 = device_wave.device_stats()
     dstat = {k: d1.get(k, 0) - d0.get(k, 0)
-             for k in d1 if not isinstance(d1.get(k), bool)}
+             for k in d1 if isinstance(d1.get(k), (int, float))
+             and not isinstance(d1.get(k), bool)}
+    dstat.update({k: v for k, v in d1.items() if isinstance(v, str)})
     dstat["wall_total"] = wall_total
     dev_time = (dstat.get("device_time", 0.0)
                 + dstat.get("fused_device_time", 0.0)
@@ -193,22 +195,30 @@ def production_bench(reps=3):
     ref_walls, ref_cpus = [], []
 
     def run_ref(r):
-        out = os.path.join(base, "bench_ref_r%d" % r)
-        shutil.rmtree(out, ignore_errors=True)
-        os.makedirs(os.path.join(out, "gtf"), exist_ok=True)
-        r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
-        t0 = time.time()
-        with open(os.path.join(out, "log.txt"), "w") as log:
-            subprocess.run([ref_bin, "-i", lst, "-o",
-                            os.path.join(out, "meta.gtf"), "-d",
-                            os.path.join(out, "gtf"), "-t", "10"],
-                           stdout=log, stderr=subprocess.STDOUT,
-                           check=True)
-        wall = time.time() - t0
-        r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-        ref_walls.append(wall)
-        ref_cpus.append((r1.ru_utime - r0.ru_utime)
-                        + (r1.ru_stime - r0.ru_stime))
+        # the reference binary's -t10 run intermittently SEGVs (its own
+        # threading bug); retry once and drop the rep rather than
+        # aborting the whole bench
+        for attempt in range(2):
+            out = os.path.join(base, "bench_ref_r%d" % r)
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(os.path.join(out, "gtf"), exist_ok=True)
+            r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            t0 = time.time()
+            with open(os.path.join(out, "log.txt"), "w") as log:
+                rc = subprocess.run(
+                    [ref_bin, "-i", lst, "-o",
+                     os.path.join(out, "meta.gtf"), "-d",
+                     os.path.join(out, "gtf"), "-t", "10"],
+                    stdout=log, stderr=subprocess.STDOUT).returncode
+            wall = time.time() - t0
+            r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+            if rc == 0:
+                ref_walls.append(wall)
+                ref_cpus.append((r1.ru_utime - r0.ru_utime)
+                                + (r1.ru_stime - r0.ru_stime))
+                return
+            print("bench: reference run %d attempt %d crashed (rc=%s)"
+                  % (r, attempt, rc), file=sys.stderr)
 
     s0, t0j = read_steal()
     walls, cpus = [], []
@@ -375,10 +385,26 @@ def crossover_probe():
 def pallas_drain_probe():
     """The round-4 verdict item-1 deliverable: f32 Pallas fused drain vs
     the native host drain, resident and dispatch, with bit-exactness
-    against the f64 host oracle (ops/crossover.measure_pallas_drain)."""
+    against the f64 host oracle (ops/crossover.measure_pallas_drain).
+
+    Runs in a FRESH subprocess: the relay queue poisons same-process
+    resident timings ~100x after heavy dispatch traffic (measured in
+    round 5 — earlier bench probes inflate 2.4 us/graph to ~400), so
+    the only clean measurement context is a new process."""
+    import subprocess
     try:
-        from aletsch_tpu.ops import crossover
-        return crossover.measure_pallas_drain()
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, "-m", "aletsch_tpu.ops.crossover",
+             "--pallas-drain"],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[7:])
+        return {"error": "no RESULT line (rc=%d): %s"
+                % (r.returncode, (r.stderr or "")[-400:])}
     except Exception as e:                    # pragma: no cover
         return {"error": str(e)}
 
@@ -526,6 +552,11 @@ def scaling_probe():
 def main():
     tmpdir = tempfile.mkdtemp(prefix="aletsch_bench_")
     try:
+        # FIRST, before this process initializes the chip: the pallas
+        # probe subprocess needs exclusive, queue-clean chip access
+        pallas = pallas_drain_probe()
+        print("pallas fused-drain crossover: %s" % json.dumps(pallas),
+              file=sys.stderr)
         prod = production_bench()
         print("bench-production: %d bundles, wall median %.1fs of %s "
               "(steal %.1f%%) -> %.1f bundles/s (reference -t10: %s "
@@ -555,10 +586,17 @@ def main():
         print("fused greedy-drain probe: %s" % json.dumps(fused),
               file=sys.stderr)
         cross = crossover_probe()
+        # the in-process resident column is queue-poisoned by earlier
+        # probes; re-project the direct-attached model with the CLEAN
+        # subprocess-measured pallas resident slope
+        try:
+            from aletsch_tpu.ops import crossover as _co
+            b2c = pallas["fit"]["b2_resident_per_graph_s"]
+            cross["direct_projection_clean"] = _co.project_direct(
+                cross, b2_override=b2c)
+        except Exception:
+            pass
         print("crossover sweep + amortization fit: %s" % json.dumps(cross),
-              file=sys.stderr)
-        pallas = pallas_drain_probe()
-        print("pallas fused-drain crossover: %s" % json.dumps(pallas),
               file=sys.stderr)
         lcross = ladder_crossover_probe()
         print("ladder crossover: %s" % json.dumps(lcross),
