@@ -394,7 +394,11 @@ def pallas_drain_probe():
     import subprocess
     try:
         env = dict(os.environ)
-        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        # APPEND to PYTHONPATH: the axon plugin rides the environment's
+        # sitecustomize dir (~/.axon_site) — replacing the path would
+        # leave the subprocess without the TPU backend
+        env["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__))
+                             + os.pathsep + env.get("PYTHONPATH", ""))
         r = subprocess.run(
             [sys.executable, "-m", "aletsch_tpu.ops.crossover",
              "--pallas-drain"],
