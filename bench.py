@@ -682,10 +682,11 @@ def emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
                 round(prod["device_stats"].get("device_share", 0.0), 4),
             "break_even_B": (cross or {}).get("break_even_B")
             if isinstance(cross, dict) else None,
-            "pallas_resident_us_per_graph":
-                (pallas.get("table") or [{}])[0].get(
-                    "resident_us_per_graph")
-                if isinstance(pallas, dict) else None,
+            "pallas_resident_us_per_graph": min(
+                (r["resident_us_per_graph_min"]
+                 for r in (pallas.get("table") or [])
+                 if r.get("resident_us_per_graph_min") is not None),
+                default=None) if isinstance(pallas, dict) else None,
             "pallas_beats_host_resident":
                 pallas.get("device_beats_host_resident")
                 if isinstance(pallas, dict) else None,
