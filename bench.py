@@ -690,6 +690,9 @@ def emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
             "pallas_beats_host_resident":
                 pallas.get("device_beats_host_resident")
                 if isinstance(pallas, dict) else None,
+            "ladder_device_prefix_share":
+                (prod.get("ladder_arm_histogram") or {}).get(
+                    "device_prefix_share"),
             "mfu": mfu_line,
             "detail_file": "BENCH_DETAIL.json",
         }

@@ -86,3 +86,18 @@ def test_xla_form_retained_without_env(monkeypatch):
     fd = greedy_fused.DeviceGreedyFused(batch=16, maxv=64)
     assert fd.stats["fused_form"] == "xla_f64"
     assert fd.last_trust is None
+
+
+def test_maxp_cap():
+    """More extractions than MAXP: the kernel stops at the cap exactly
+    like the host oracle (the native consumer re-checks with
+    greedy_finish_host either way)."""
+    W, P, sink, mc, gd, sm = _case(B=8, seed=3)
+    maxp = 2                           # far below the ~5 paths per graph
+    ph, wsh, nh = greedy_fused.drain_host(W, P, sink, mc, gd, sm,
+                                          maxp=maxp)
+    pp, wsp, npp = pallas_drain.drain_pallas(W, P, sink, mc, gd, sm,
+                                             maxp=maxp)
+    assert (nh <= maxp).all() and np.array_equal(nh, npp)
+    assert np.array_equal(ph, pp)
+    assert np.array_equal(wsh.astype(np.float32), wsp)
