@@ -440,6 +440,17 @@ def similarity_crossover_probe():
         return {"error": str(e)}
 
 
+def coverage_crossover_probe():
+    """Round-4 verdict weak#8: measured crossover row for the
+    region-stats/coverage kernel (ops/coverage.py) instead of
+    host-only-by-analogy."""
+    try:
+        from aletsch_tpu.ops import crossover
+        return crossover.measure_coverage()
+    except Exception as e:                    # pragma: no cover
+        return {"error": str(e)}
+
+
 def mfu_probe():
     """Per-kernel MFU / speed-of-light accounting (ops/mfu.py, SURVEY §7
     step 9): analytic FLOPs+bytes per dispatch vs measured time vs chip
@@ -608,6 +619,9 @@ def main():
         scross = similarity_crossover_probe()
         print("similarity matmul crossover: %s" % json.dumps(scross),
               file=sys.stderr)
+        covx = coverage_crossover_probe()
+        print("coverage/region-stats crossover: %s" % json.dumps(covx),
+              file=sys.stderr)
         mfu = mfu_probe()
         print("mfu / speed-of-light: %s" % json.dumps(mfu), file=sys.stderr)
         jd = jaxdist_probe()
@@ -619,13 +633,13 @@ def main():
             print("scaling shape: %s" % json.dumps(shape), file=sys.stderr)
 
         emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
-             pallas)
+             pallas, covx)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
-         pallas=None):
+         pallas=None, covx=None):
     """Write BENCH_DETAIL.json and print the compact headline line."""
     if True:
         vs = prod["vs_reference_10t"]
@@ -646,6 +660,7 @@ def emit(prod, fused, cross, lcross, scross, mfu, jd, shape,
             "pallas_drain_crossover": pallas,
             "ladder_crossover": lcross,
             "similarity_crossover": scross,
+            "coverage_crossover": covx,
             "mfu": mfu,
             "jax_dist": jd,
             "scaling_shape": shape,
