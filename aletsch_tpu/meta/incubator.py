@@ -894,7 +894,10 @@ class Incubator:
 
     def write_individual_gtf(self, sid):
         """Single-sample variant of write_individual_gtfs (kept for direct
-        use; incubator.cc:745-796)."""
+        use; incubator.cc:745-796).  Python-set path only: run with
+        ALETSCH_NATIVE_TSET=0 to use it."""
+        assert not self._native_ts, \
+            "write_individual_gtf needs the Python transcript sets"
         cfg = self.params[DEFAULT]
         gtf_path = os.path.join(cfg.output_gtf_dir, "%d.gtf" % sid)
         ftr_path = os.path.join(cfg.output_gtf_dir, "%d.trstFeature.csv" % sid)
