@@ -195,6 +195,21 @@ def cohort_smartseq8(d):
     return bams, ["paired_end"] * 8
 
 
+def cohort_ont_compact2(d):
+    """2 ONT samples whose genes all fit WITHIN max_read_span, so the
+    reference's generator.cc:95 single-end mate-span drop never fires:
+    default-mode chains must fully match the reference (this cohort is
+    NOT in DEFAULT_DIVERGENT), answering the round-4 concern that
+    default-mode long-read behavior was only validated against cohorts
+    built to maximize the divergence."""
+    bams = []
+    for i, seed in enumerate((75, 76)):
+        p = os.path.join(d, "oc%d.bam" % i)
+        _long_read_sample(p, seed, n_genes=6, reads_per_gene=8)
+        bams.append(p)
+    return bams, ["ont"] * 2
+
+
 def cohort_mixed3(d):
     """paired_end + ont in ONE input list: the per-data-type flag
     overlays (util/parameters.cc:508-518) applied WITHIN a single run —
@@ -221,6 +236,7 @@ COHORTS = {
     "adversarial2": cohort_adversarial2,
     "multi5": cohort_multi5,
     "ont2": cohort_ont2,
+    "ont_compact2": cohort_ont_compact2,
     "pacbio2": cohort_pacbio2,
     "smartseq8": cohort_smartseq8,
     "mixed3": cohort_mixed3,
