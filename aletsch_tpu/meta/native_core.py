@@ -152,6 +152,17 @@ def _bind(lib):
     if hasattr(lib, "core_batch_hashes"):
         lib.core_batch_hashes.argtypes = [ctypes.c_void_p,
                                           ctypes.c_int32, vp]
+    if hasattr(lib, "core_batch_capture"):
+        lib.core_batch_capture.restype = None
+        lib.core_batch_capture.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            vp, vp,
+            vpp, vpp,
+            vpp, vp,
+            vpp, vp,
+            vpp, vp,
+            vp, vp, vp, vp, vp, vp,
+            vp, vp, ctypes.c_char_p]
     # async form: launch returns a job handle at once (the C++ job copies
     # every small index array; only the scanner payloads must stay alive),
     # join blocks until the pool drains and returns the BatchOut handle
@@ -161,6 +172,11 @@ def _bind(lib):
             lib.core_resolve_groups_mt.argtypes
         lib.core_batch_join.restype = ctypes.c_void_p
         lib.core_batch_join.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "core_resolve_groups_mt_async_merge"):
+        lib.core_resolve_groups_mt_async_merge.restype = ctypes.c_void_p
+        lib.core_resolve_groups_mt_async_merge.argtypes = \
+            lib.core_resolve_groups_mt.argtypes + \
+            [vpp, vp, vp, vp, ctypes.c_char_p, vp]
     # device-paused scallop ladder (pause kind 4; ops/ladder_kernel.py)
     if hasattr(lib, "core_ladder_export"):
         lib.core_group_set_ladder.restype = None
@@ -907,11 +923,20 @@ def _marshal_batch_fast(asms, gvs, do_bridge, nthreads):
         return None
     grp_nb = np.asarray([len(gv) for gv in gvs], dtype=np.int32)
     nh = arr[:, 5].astype(np.int32)
-    fixed_p = (ctypes.c_void_p * tot)(*arr[:, 0].tolist())
-    coords_p = (ctypes.c_void_p * tot)(*arr[:, 1].tolist())
-    mev_p = (ctypes.c_void_p * tot)(*arr[:, 2].tolist())
-    iev_p = (ctypes.c_void_p * tot)(*arr[:, 3].tolist())
-    frg_p = (ctypes.c_void_p * tot)(*arr[:, 4].tolist())
+    # pointer tables: a C-contiguous int64 column IS a void*[] on LP64 —
+    # cast its buffer instead of building a ctypes array element-wise
+    # (5 x tot c_void_p constructions were the marshal hot spot)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+
+    def pcol(col):
+        a = np.ascontiguousarray(col)
+        return a, ctypes.cast(int(a.ctypes.data), vpp)
+
+    fx_a, fixed_p = pcol(arr[:, 0])
+    co_a, coords_p = pcol(arr[:, 1])
+    me_a, mev_p = pcol(arr[:, 2])
+    ie_a, iev_p = pcol(arr[:, 3])
+    fr_a, frg_p = pcol(arr[:, 4])
     mev_cnt = np.ascontiguousarray(arr[:, 6])
     iev_cnt = np.ascontiguousarray(arr[:, 7])
     frg_cnt = np.ascontiguousarray(arr[:, 8])
@@ -934,8 +959,8 @@ def _marshal_batch_fast(asms, gvs, do_bridge, nthreads):
     cfg_i = np.ascontiguousarray(ti[idx].reshape(-1))
     cfg_d = np.ascontiguousarray(td[idx].reshape(-1))
     keep = [grp_nb, nh, mev_cnt, iev_cnt, frg_cnt, sid, strand, lpos,
-            rpos, ilow, ihigh, cfg_i, cfg_d, fixed_p, coords_p, mev_p,
-            iev_p, frg_p]
+            rpos, ilow, ihigh, cfg_i, cfg_d, fx_a, co_a, me_a,
+            ie_a, fr_a]
     args = (n_groups, int(nthreads), 1 if do_bridge else 0,
             grp_nb.ctypes.data, nh.ctypes.data,
             fixed_p, coords_p,
@@ -1196,14 +1221,18 @@ class MtJob:
     """An in-flight async batch (core_resolve_groups_mt_async): the
     incubator overlaps region r's native assembly with region r-1's
     Python-side replay (meta/incubator.py pipelined waves).  Holds the
-    bundles and the marshalling copies alive until join()."""
-    __slots__ = ("jh", "asms", "gvs", "_keep")
+    bundles and the marshalling copies alive until join().  When `merged`
+    the native job already replayed every group into its target set on
+    the worker thread (core_resolve_groups_mt_async_merge) — join only
+    frees and clears."""
+    __slots__ = ("jh", "asms", "gvs", "_keep", "merged")
 
-    def __init__(self, jh, asms, gvs, keep):
+    def __init__(self, jh, asms, gvs, keep, merged=False):
         self.jh = jh
         self.asms = asms
         self.gvs = gvs
         self._keep = keep
+        self.merged = merged
 
     def join(self):
         """Block until the pool drains, then replay in group order —
@@ -1216,7 +1245,13 @@ class MtJob:
         self._keep = None
         _t1 = _time.perf_counter()
         stats["mt_native_s"] += _t1 - _t0
-        if _batch_nts_targets(self.asms):
+        if self.merged:
+            lib.core_batch_free(h)
+            stats["native_groups"] += len(self.asms)
+            for gv in self.gvs:
+                for bd in gv:
+                    bd.clear()
+        elif _batch_nts_targets(self.asms):
             _replay_batch_nts(lib, h, self.asms, self.gvs)
         else:
             _replay_batch(lib, h, self.asms, self.gvs)
@@ -1226,6 +1261,19 @@ class MtJob:
 def async_batch_available():
     lib = _load_lib()
     return lib is not None and hasattr(lib, "core_resolve_groups_mt_async")
+
+
+def _maybe_capture_batch(lib, args):
+    """Diagnostic: dump this batch's full argument set for the offline
+    gprof replay driver (native/replay_batch.cpp).  Off unless
+    ALETSCH_CAPTURE_BATCH=<path-prefix> is set."""
+    prefix = os.environ.get("ALETSCH_CAPTURE_BATCH")
+    if not prefix or not hasattr(_load_lib(), "core_batch_capture"):
+        return
+    n = stats.get("capture_n", 0)
+    stats["capture_n"] = n + 1
+    path = ("%s_%04d.bin" % (prefix, n)).encode()
+    lib.core_batch_capture(args[0], args[2], *args[3:], path)
 
 
 def launch_groups_native_mt(asms, gvs, do_bridge, nthreads):
@@ -1239,9 +1287,27 @@ def launch_groups_native_mt(asms, gvs, do_bridge, nthreads):
     _t0 = _time.perf_counter()
     lib = _load_lib()
     args, keep = _marshal_batch(asms, gvs, do_bridge, nthreads)
-    jh = lib.core_resolve_groups_mt_async(*args)
+    _maybe_capture_batch(lib, args)
+    merged = False
+    if hasattr(lib, "core_resolve_groups_mt_async_merge") \
+            and _batch_nts_targets(asms) \
+            and os.environ.get("ALETSCH_MT_MERGE", "1") != "0":
+        n = len(asms)
+        hs = (ctypes.c_void_p * n)(*[a.tmerge.h for a in asms])
+        rid = np.asarray([a.rid for a in asms], dtype=np.int64)
+        gid = np.asarray([a.gid for a in asms], dtype=np.int64)
+        inst = np.asarray([a.instance for a in asms], dtype=np.int64)
+        skip = np.asarray([1 if a.cfg.skip_single_exon_transcripts else 0
+                           for a in asms], dtype=np.int32)
+        chrm = gvs[0][0].chrm.encode()
+        jh = lib.core_resolve_groups_mt_async_merge(
+            *args, hs, rid.ctypes.data, gid.ctypes.data, inst.ctypes.data,
+            chrm, skip.ctypes.data)
+        merged = True
+    else:
+        jh = lib.core_resolve_groups_mt_async(*args)
     stats["mt_marshal_s"] += _time.perf_counter() - _t0
-    return MtJob(jh, asms, gvs, keep)
+    return MtJob(jh, asms, gvs, keep, merged)
 
 
 def resolve_group_native(asmb, gv, do_bridge):

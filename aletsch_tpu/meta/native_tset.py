@@ -37,6 +37,9 @@ def _bind(lib):
     lib.nts_new.restype = ctypes.c_void_p
     lib.nts_new.argtypes = [ctypes.c_double]
     lib.nts_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "nts_free_async"):
+        lib.nts_free_async.restype = None
+        lib.nts_free_async.argtypes = [ctypes.c_void_p]
     lib.nts_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.nts_sync.argtypes = [ctypes.c_void_p]
     lib.nts_size.restype = ctypes.c_int64
@@ -112,7 +115,14 @@ class NativeTSet:
         h, self.h = self.h, None
         if h:
             try:
-                _load_lib().nts_free(h)
+                lib = _load_lib()
+                # deferred free: large set destruction (~77 us each on the
+                # production soak) runs on the native drainer thread
+                # instead of the main thread (core.cpp nts_free_async)
+                if hasattr(lib, "nts_free_async"):
+                    lib.nts_free_async(h)
+                else:
+                    lib.nts_free(h)
             except Exception:       # interpreter shutdown
                 pass
 

@@ -1033,6 +1033,7 @@ int abam_scan_next(Scanner* s, int64_t max_records) {
 #include <algorithm>
 #include <array>
 #include <map>
+#include <unordered_map>
 
 namespace {
 
@@ -1084,10 +1085,18 @@ bool continuous(const CGraph& g, int32_t x, int32_t y) {
 
 // align one mate; returns false on failure; on success fills first/last and
 // the grouping key ({-1, a, b} for contiguous vertex ranges)
+// reusable scratch for align_mate: the per-call vector allocations were a
+// measurable slice of the bridge phase (build_pereads_clusters is the
+// hottest native function on the production soak)
+struct MateScratch {
+    std::vector<int32_t> pa, pb, uu, vv;
+};
+
 bool align_mate(const CGraph& g, int32_t pos, int32_t rpos,
                 const int32_t* chain, int32_t clen,
                 int32_t u1, int32_t u2,
-                int32_t& first, int32_t& last, std::vector<int32_t>& key) {
+                int32_t& first, int32_t& last, std::vector<int32_t>& key,
+                MateScratch& ms) {
     if (u1 < 0 || u2 < 0 || u1 > u2) return false;
     key.clear();
     if (clen == 0) {
@@ -1104,7 +1113,10 @@ bool align_mate(const CGraph& g, int32_t pos, int32_t rpos,
     }
     if (rpos < prev) return false;
     // build_path_from_intron_coordinates (essential.cc:368-403)
-    std::vector<int32_t> pa, pb;
+    std::vector<int32_t>& pa = ms.pa;
+    std::vector<int32_t>& pb = ms.pb;
+    pa.clear();
+    pb.clear();
     int32_t n = clen / 2;
     for (int32_t k = 0; k < n; k++) {
         int32_t p = chain[2 * k], q = chain[2 * k + 1];
@@ -1114,7 +1126,8 @@ bool align_mate(const CGraph& g, int32_t pos, int32_t rpos,
         if (a < 0 || b < 0) return false;
         pa.push_back(a); pb.push_back(b);
     }
-    std::vector<int32_t> uu;
+    std::vector<int32_t>& uu = ms.uu;
+    uu.clear();
     uu.push_back(pa[0]);
     for (int32_t k = 0; k + 1 < n; k++) {
         int32_t a = pb[k], b = pa[k + 1];
@@ -1124,7 +1137,8 @@ bool align_mate(const CGraph& g, int32_t pos, int32_t rpos,
     }
     uu.push_back(pb[n - 1]);
     // vv = range(u1, uu[0]) + uu + range(uu[-1]+1, u2+1)
-    std::vector<int32_t> vv;
+    std::vector<int32_t>& vv = ms.vv;
+    vv.clear();
     for (int32_t v = u1; v < uu.front(); v++) vv.push_back(v);
     vv.insert(vv.end(), uu.begin(), uu.end());
     for (int32_t v = uu.back() + 1; v <= u2; v++) vv.push_back(v);
@@ -1186,8 +1200,27 @@ ClusterOut* abam_cluster_pereads(
              n_r, rkeys, rvals, n_l, lkeys, lvals};
     ClusterOut* out = new ClusterOut();
     out->aligned.assign(n_cand, 0);
-    // grouping: key pair -> group id (first-seen order, like the dict)
-    std::map<std::pair<std::vector<int32_t>, std::vector<int32_t>>, int32_t> findex;
+    // grouping: key pair -> group id.  Group ids are assigned first-seen
+    // (gi = groups.size() on first encounter) and all output iteration is
+    // over `groups`, so the index container's ordering is irrelevant — a
+    // hash map replaces the former std::map (vector-pair tree compares
+    // were hot on the production soak) with identical output.
+    struct KeyHash {
+        size_t operator()(const std::pair<std::vector<int32_t>,
+                                          std::vector<int32_t>>& kk) const {
+            uint64_t x = 0xcbf29ce484222325ULL;
+            for (int32_t v : kk.first) {
+                x ^= (uint32_t)v; x *= 0x100000001b3ULL;
+            }
+            x ^= 0x9e3779b97f4a7c15ULL;
+            for (int32_t v : kk.second) {
+                x ^= (uint32_t)v; x *= 0x100000001b3ULL;
+            }
+            return (size_t)x;
+        }
+    };
+    std::unordered_map<std::pair<std::vector<int32_t>, std::vector<int32_t>>,
+                       int32_t, KeyHash> findex;
     struct Group {
         std::array<int32_t, 4> extend;
         // member entries: frag index + the four mate coordinates
@@ -1196,6 +1229,9 @@ ClusterOut* abam_cluster_pereads(
     };
     std::vector<Group> groups;
     std::vector<int32_t> k1(2), k2v(2);
+    MateScratch ms;
+    std::vector<int32_t> key1, key2;
+    std::pair<std::vector<int32_t>, std::vector<int32_t>> kk;
     for (int32_t c = 0; c < n_cand; c++) {
         int32_t h1 = cand_h1[c], h2 = cand_h2[c];
         int32_t p1 = hpos[h1], r1p = hrpos[h1];
@@ -1203,15 +1239,15 @@ ClusterOut* abam_cluster_pereads(
         int32_t u1a = locate(g, p1), u2a = locate(g, r1p - 1);
         int32_t u1b = locate(g, p2), u2b = locate(g, r2p - 1);
         int32_t f1, l1, f2, l2;
-        std::vector<int32_t> key1, key2;
         if (!align_mate(g, p1, r1p, chain_pool + chain_off[h1],
-                        chain_len[h1], u1a, u2a, f1, l1, key1))
+                        chain_len[h1], u1a, u2a, f1, l1, key1, ms))
             continue;
         if (!align_mate(g, p2, r2p, chain_pool + chain_off[h2],
-                        chain_len[h2], u1b, u2b, f2, l2, key2))
+                        chain_len[h2], u1b, u2b, f2, l2, key2, ms))
             continue;
         out->aligned[c] = 1;
-        auto kk = std::make_pair(std::move(key1), std::move(key2));
+        kk.first.swap(key1);
+        kk.second.swap(key2);
         auto it = findex.find(kk);
         int32_t gi;
         if (it == findex.end()) {

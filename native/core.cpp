@@ -12,7 +12,9 @@
 
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
 #include <functional>
+#include <mutex>
 #include <thread>
 
 namespace core {
@@ -855,11 +857,28 @@ struct BatchJob {
     std::vector<double> cfg_dbls;
     std::vector<size_t> boff, coff;
     std::atomic<i32> next{0};
+    // deferred native-set merge: when m_merge is set (before spawn), the
+    // worker that completes the wave's LAST group replays every group's
+    // transcripts into its target set in group order — the ~0.6 s
+    // main-thread replay then overlaps the next region's Python work.
+    // Targets are safe to write here: the Python caller never touches the
+    // wave's region sets between launch and join (meta/incubator.py
+    // _region_start/_region_finish pipeline contract).
+    bool m_merge = false;
+    std::vector<void*> m_tgt;
+    std::vector<i64> m_rid, m_gid, m_inst;
+    std::vector<i32> m_skip;
+    std::string m_chrm;
+    std::atomic<i32> done{0};
+
+    void run_merge();
 
     void work() {
         for (;;) {
             i32 g = next.fetch_add(1);
-            if (g >= n_groups) return;
+            if (g >= n_groups) {
+                return;
+            }
             size_t b = boff[g], c = coff[g];
             core::GroupRun* run = make_group_run(
                 grp_nb[g], do_bridge, nh.data() + b, fixed_p.data() + b,
@@ -876,6 +895,8 @@ struct BatchJob {
             run->advance();
             bo->outs[g] = std::move(run->out);
             delete run;
+            if (m_merge && done.fetch_add(1) + 1 == n_groups)
+                run_merge();
         }
     }
 };
@@ -1016,6 +1037,65 @@ void core_batch_fill(void* h, i32 g, i32* g_sid, i32* g_subindex,
 }
 
 void core_batch_free(void* h) { delete (BatchOut*)h; }
+
+// ---- batch capture: serialize one core_resolve_groups_mt argument set to
+// a flat binary file so a standalone statically-linked driver
+// (native/replay_batch.cpp) can replay the exact production workload under
+// gprof.  Diagnostic only (ALETSCH_CAPTURE_BATCH on the Python side);
+// never on the production path.
+void core_batch_capture(
+    i32 n_groups, i32 do_bridge,
+    const i32* grp_nb, const i32* nh,
+    const i32* const* fixed_p, const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls,
+    const char* path) {
+    FILE* fp = fopen(path, "wb");
+    if (!fp) return;
+    size_t nb = 0;
+    for (i32 g = 0; g < n_groups; g++) nb += (size_t)grp_nb[g];
+    size_t nc = nb + (size_t)n_groups;
+    i64 hdr[3] = {0x414c424154434801LL, n_groups, do_bridge};
+    fwrite(hdr, sizeof(i64), 3, fp);
+    fwrite(grp_nb, sizeof(i32), n_groups, fp);
+    fwrite(nh, sizeof(i32), nb, fp);
+    fwrite(sample_id, sizeof(i32), nb, fp);
+    fwrite(strand, sizeof(i32), nb, fp);
+    fwrite(mev_cnt, sizeof(i64), nb, fp);
+    fwrite(iev_cnt, sizeof(i64), nb, fp);
+    fwrite(frg_cnt, sizeof(i64), nb, fp);
+    fwrite(lpos, sizeof(i64), nb, fp);
+    fwrite(rpos, sizeof(i64), nb, fp);
+    fwrite(ins_low, sizeof(i64), nb, fp);
+    fwrite(ins_high, sizeof(i64), nb, fp);
+    fwrite(cfg_ints, sizeof(i64), nc * core::CFG_NI, fp);
+    fwrite(cfg_dbls, sizeof(double), nc * core::CFG_ND, fp);
+    for (size_t b = 0; b < nb; b++) {
+        i64 nfix = (i64)nh[b] * 25;
+        // per-bundle coords length: the DP touches coords only through
+        // row[17] + 2*row[18] .. +row[19] slices (core_base.h
+        // init_from_scan, core_solve.h pereads export)
+        i64 clen = 0;
+        for (i32 j = 0; j < nh[b]; j++) {
+            const i32* row = fixed_p[b] + 25 * j;
+            i64 end = (i64)row[17] + 2 * (i64)row[18] + (i64)row[19];
+            if (end > clen) clen = end;
+        }
+        i64 sizes[2] = {nfix, clen};
+        fwrite(sizes, sizeof(i64), 2, fp);
+        fwrite(fixed_p[b], sizeof(i32), nfix, fp);
+        fwrite(coords_p[b], sizeof(i32), clen, fp);
+        fwrite(mev_p[b], sizeof(i32), 2 * mev_cnt[b], fp);
+        fwrite(iev_p[b], sizeof(i32), 2 * iev_cnt[b], fp);
+        fwrite(frg_p[b], sizeof(i32), 2 * frg_cnt[b], fp);
+    }
+    fclose(fp);
+}
 
 // whole-wave fetch: sizes and concatenated outputs in ONE call each
 // (replaces 2 ctypes crossings + 14 numpy allocations per group on the
@@ -1868,6 +1948,52 @@ void* nts_new(double single_exon_overlap) {
 
 void nts_free(void* h) { delete (core_tset::NTSet*)h; }
 
+// ---- deferred free: destroying a large NTSet walks thousands of small
+// heap blocks (~77 us each measured on the production soak main thread).
+// nts_free_async hands the handle to a detached drainer thread so the
+// destruction overlaps assembly/replay work.  Ownership transfers wholly
+// at enqueue; glibc malloc is thread-safe, and the drainer is never
+// joined (process exit reclaims everything it might still hold).
+namespace {
+// intentionally leaked: a static condition_variable's destructor at
+// process exit blocks while the detached drainer waits on it
+// (pthread_cond_destroy waits for waiters) — heap-allocated sync objects
+// are never destroyed, so exit proceeds and exit_group reaps the thread
+struct FreeQueue {
+    std::mutex mu;
+    std::condition_variable cv;
+    std::vector<void*> q;
+    bool started = false;
+};
+FreeQueue* free_queue() {
+    static FreeQueue* fq = new FreeQueue();
+    return fq;
+}
+}  // namespace
+
+void nts_free_async(void* h) {
+    if (h == nullptr) return;
+    FreeQueue* fq = free_queue();
+    std::unique_lock<std::mutex> lk(fq->mu);
+    if (!fq->started) {
+        fq->started = true;
+        std::thread([fq]() {
+            std::vector<void*> batch;
+            for (;;) {
+                {
+                    std::unique_lock<std::mutex> lk2(fq->mu);
+                    fq->cv.wait(lk2, [fq] { return !fq->q.empty(); });
+                    batch.swap(fq->q);
+                }
+                for (void* p : batch) delete (core_tset::NTSet*)p;
+                batch.clear();
+            }
+        }).detach();
+    }
+    fq->q.push_back(h);
+    fq->cv.notify_one();
+}
+
 void nts_add(void* dst, void* src) {
     core_tset::set_add((core_tset::NTSet*)dst, (core_tset::NTSet*)src);
 }
@@ -1900,6 +2026,46 @@ void core_batch_merge_nts(void* bh, i32 n_groups, void** tgt,
     for (i32 g = 0; g < n_groups; g++)
         tset_merge_out(bo->outs[g], (core_tset::NTSet*)tgt[g], rid[g],
                        gid[g], inst[g], chrm, skip_se[g]);
+}
+
+void BatchJob::run_merge() {
+    for (i32 g = 0; g < n_groups; g++)
+        tset_merge_out(bo->outs[g], (core_tset::NTSet*)m_tgt[g], m_rid[g],
+                       m_gid[g], m_inst[g], m_chrm.c_str(), m_skip[g]);
+}
+
+// async batch + in-worker native-set replay: same as
+// core_resolve_groups_mt_async but the wave's transcript merges run on
+// the worker that finishes the last group (in group order, identical
+// bytes) — core_batch_join returns with the replay already done.
+void* core_resolve_groups_mt_async_merge(
+    i32 n_groups, i32 nthreads, i32 do_bridge,
+    const i32* grp_nb,
+    const i32* nh,
+    const i32* const* fixed_p,
+    const i32* const* coords_p,
+    const i32* const* mev_p, const i64* mev_cnt,
+    const i32* const* iev_p, const i64* iev_cnt,
+    const i32* const* frg_p, const i64* frg_cnt,
+    const i32* sample_id, const i32* strand,
+    const i64* lpos, const i64* rpos,
+    const i64* ins_low, const i64* ins_high,
+    const i64* cfg_ints, const double* cfg_dbls,
+    void** tgt, const i64* rid, const i64* gid, const i64* inst,
+    const char* chrm, const i32* skip_se) {
+    BatchJob* job = make_batch_job(
+        n_groups, do_bridge, grp_nb, nh, fixed_p, coords_p, mev_p, mev_cnt,
+        iev_p, iev_cnt, frg_p, frg_cnt, sample_id, strand, lpos, rpos,
+        ins_low, ins_high, cfg_ints, cfg_dbls);
+    job->m_merge = true;
+    job->m_tgt.assign(tgt, tgt + n_groups);
+    job->m_rid.assign(rid, rid + n_groups);
+    job->m_gid.assign(gid, gid + n_groups);
+    job->m_inst.assign(inst, inst + n_groups);
+    job->m_skip.assign(skip_se, skip_se + n_groups);
+    job->m_chrm = chrm;
+    batch_job_spawn(job, nthreads, false);
+    return job;
 }
 
 // import a Python-built TranscriptSet (fallback-assembled groups,

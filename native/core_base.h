@@ -110,6 +110,11 @@ struct CoverageMap {
     std::vector<i64> events;
     std::vector<std::pair<i64, i64>> wevents;  // (pos, delta), |delta| != 1
     bool dirty = false;
+    // sorted-prefix watermarks: mutators only append, so build() sorts
+    // just the new suffix and inplace_merges it (the full re-sort per
+    // rebuild was ~18% of the production DP; delta sums per position
+    // commute, so any order of equal positions yields identical output)
+    size_t sorted_e = 0, sorted_w = 0;
     // built state
     std::vector<i64> bps;          // breakpoints, len S+1
     std::vector<i64> vals;         // per-segment value, len S
@@ -153,6 +158,7 @@ struct CoverageMap {
         bps.clear(); vals.clear();
         segl.clear(); segr.clear(); segv.clear();
         dirty = false;
+        sorted_e = sorted_w = 0;
     }
     void build() {
         if (!dirty) return;
@@ -161,11 +167,26 @@ struct CoverageMap {
         segl.clear(); segr.clear(); segv.clear();
         if (events.empty() && wevents.empty()) return;
         // in-place sorts: events are a multiset, order carries no meaning
-        // (delta sums per position commute over ints)
-        std::sort(events.begin(), events.end());
-        std::sort(wevents.begin(), wevents.end(),
-                  [](const std::pair<i64, i64>& a, const std::pair<i64, i64>& b)
-                  { return a.first < b.first; });
+        // (delta sums per position commute over ints).  Incremental:
+        // sort only the unsorted suffix, merge into the sorted prefix.
+        auto wless = [](const std::pair<i64, i64>& a,
+                        const std::pair<i64, i64>& b)
+                     { return a.first < b.first; };
+        if (sorted_e < events.size()) {
+            std::sort(events.begin() + sorted_e, events.end());
+            if (sorted_e > 0)
+                std::inplace_merge(events.begin(),
+                                   events.begin() + sorted_e, events.end());
+            sorted_e = events.size();
+        }
+        if (sorted_w < wevents.size()) {
+            std::sort(wevents.begin() + sorted_w, wevents.end(), wless);
+            if (sorted_w > 0)
+                std::inplace_merge(wevents.begin(),
+                                   wevents.begin() + sorted_w,
+                                   wevents.end(), wless);
+            sorted_w = wevents.size();
+        }
         i64 run = 0;
         size_t i = 0, j = 0;
         const size_t ne = events.size(), nw = wevents.size();

@@ -162,10 +162,22 @@ struct BridgeSolver {
     std::vector<Pier> piers;
     std::vector<std::pair<int, int>> vpairs;
 
-    struct Entry {
-        std::vector<i64> stack;
-        i64 length;
-        int trace1, trace2;
+    // Flat-arena DP table: all entries live in one arena (stacks is
+    // [n_entries, S] row-major), per-vertex entry id ranges in vbeg/vend.
+    // Replaces the vector<vector<Entry>> form — per-entry heap stacks and
+    // whole-Entry stable_sort moves were ~25% of the production DP
+    // (gprof, native/replay_batch.cpp); order and values are identical.
+    struct DPTable {
+        int S = 0;
+        std::vector<i64> stacks;    // entry id e -> stacks[e*S .. e*S+S)
+        std::vector<i64> lengths;
+        std::vector<int> tr1, tr2;  // trace: parent vertex / entry SLOT
+        std::vector<int> vbeg, vend;
+        int nsol(int k) const { return vend[k] - vbeg[k]; }
+        const i64* stack_at(int k, int j) const {
+            return stacks.data() + (size_t)(vbeg[k] + j) * S;
+        }
+        i64 length_at(int k, int j) const { return lengths[vbeg[k] + j]; }
     };
 
     // One DP program of nominate(): a (strand, same-source pier run) pair
@@ -284,87 +296,109 @@ struct BridgeSolver {
         }
     }
 
-    // bridge_solver.cc:532-546: insert s into ascending stack, keep smallest
-    static std::vector<i64> update_stack(const std::vector<i64>& v, i64 s) {
-        i64 n = (i64)v.size();
-        std::vector<i64> stack(n, 0);
-        i64 i = 0, j = 0;
+    // bridge_solver.cc:532-546: insert s into ascending stack, keep
+    // smallest (allocation-free form of the reference's update_stack —
+    // identical element-for-element, including the trailing-zero fill)
+    static void update_stack_into(const i64* v, int n, i64 s, i64* out) {
+        for (int t = 0; t < n; t++) out[t] = 0;
+        int i = 0, j = 0;
         while (i < n && j < n) {
             if (i == j && v[i] > s) {
-                stack[j] = s;
+                out[j] = s;
                 j++;
                 if (j >= n) break;
             }
-            stack[j] = v[i];
+            out[j] = v[i];
             i++;
             j++;
         }
-        return stack;
     }
 
-    // entry_compare (solver.py _Entry.sort_key): stack descending
-    // lexicographically, then shorter length
-    static bool entry_less(const Entry& a, const Entry& b) {
-        for (size_t i = 0; i < a.stack.size() && i < b.stack.size(); i++) {
-            if (a.stack[i] != b.stack[i]) return a.stack[i] > b.stack[i];
-        }
-        if (a.stack.size() != b.stack.size())
-            return a.stack.size() < b.stack.size();  // unreachable: fixed size
-        return a.length < b.length;
-    }
-
-    // bridge_solver.cc:484-530
-    std::vector<std::vector<Entry>> dynamic_programming(int k1, int k2,
-                                                        int strand) {
+    // bridge_solver.cc:484-530 — flat-arena form: candidates accumulate in
+    // reusable scratch arrays and an index permutation is stable-sorted
+    // (entry_compare key: stack descending lexicographically, then shorter
+    // length; ties keep insertion order — exactly what stable_sort over
+    // whole Entry structs produced, at a fraction of the moves/allocs)
+    DPTable dynamic_programming(int k1, int k2, int strand) {
         int n = gr.num_vertices();
-        std::vector<std::vector<Entry>> table(n);
+        const int S = (int)cfg.bridge_dp_stack_size;
+        DPTable t;
+        t.S = S;
+        t.vbeg.assign(n, 0);
+        t.vend.assign(n, 0);
         const VertexInfo& vi = gr.vinfo[k1];
-        Entry e0;
-        e0.stack.assign(cfg.bridge_dp_stack_size, 999999);
-        e0.length = vi.rpos - vi.lpos;
-        e0.trace1 = -1;
-        e0.trace2 = -1;
-        table[k1].push_back(e0);
+        t.stacks.assign(S, 999999);
+        t.lengths.push_back(vi.rpos - vi.lpos);
+        t.tr1.push_back(-1);
+        t.tr2.push_back(-1);
+        t.vbeg[k1] = 0;
+        t.vend[k1] = 1;
+        std::vector<i64> cstack, clen;
+        std::vector<int> ctr1, ctr2, idx;
         for (int k = k1 + 1; k <= k2; k++) {
-            std::vector<Entry> v;
+            cstack.clear(); clen.clear(); ctr1.clear(); ctr2.clear();
             const VertexInfo& vk = gr.vinfo[k];
             i64 length = vk.rpos - vk.lpos;
             for (GEdge* e = gr.vin[k].head; e; e = e->inext) {
                 int s = e->info.strand;
                 if (s != 0 && s != strand) continue;
                 int j = e->s;
-                if (j < k1 || table[j].empty()) continue;
+                if (j < k1 || t.nsol(j) == 0) continue;
                 i64 w = (i64)e->wrt;    // truncation toward zero, like int()
-                for (size_t i = 0; i < table[j].size(); i++) {
-                    const Entry& ent = table[j][i];
-                    Entry ne;
-                    ne.stack = update_stack(ent.stack, w);
-                    ne.length = ent.length + length;
-                    ne.trace1 = j;
-                    ne.trace2 = (int)i;
-                    v.push_back(std::move(ne));
+                int ns = t.nsol(j);
+                for (int i = 0; i < ns; i++) {
+                    size_t base = cstack.size();
+                    cstack.resize(base + S);
+                    update_stack_into(t.stack_at(j, i), S, w,
+                                      cstack.data() + base);
+                    clen.push_back(t.length_at(j, i) + length);
+                    ctr1.push_back(j);
+                    ctr2.push_back(i);
                 }
             }
-            std::stable_sort(v.begin(), v.end(), entry_less);
-            if ((i64)v.size() > cfg.bridge_dp_solution_size)
-                v.resize(cfg.bridge_dp_solution_size);
-            table[k] = std::move(v);
+            int nc = (int)clen.size();
+            idx.resize(nc);
+            for (int i = 0; i < nc; i++) idx[i] = i;
+            const i64* cs = cstack.data();
+            const i64* cl = clen.data();
+            std::stable_sort(idx.begin(), idx.end(),
+                [cs, cl, S](int a, int b) {
+                    const i64* pa = cs + (size_t)a * S;
+                    const i64* pb = cs + (size_t)b * S;
+                    for (int i = 0; i < S; i++)
+                        if (pa[i] != pb[i]) return pa[i] > pb[i];
+                    return cl[a] < cl[b];
+                });
+            int keep = nc;
+            if ((i64)keep > cfg.bridge_dp_solution_size)
+                keep = (int)cfg.bridge_dp_solution_size;
+            t.vbeg[k] = (int)t.lengths.size();
+            for (int i = 0; i < keep; i++) {
+                int c = idx[i];
+                const i64* src = cs + (size_t)c * S;
+                t.stacks.insert(t.stacks.end(), src, src + S);
+                t.lengths.push_back(cl[c]);
+                t.tr1.push_back(ctr1[c]);
+                t.tr2.push_back(ctr2[c]);
+            }
+            t.vend[k] = (int)t.lengths.size();
         }
-        return table;
+        return t;
     }
 
     // bridge_solver.cc:548-568
-    std::vector<std::vector<int>> trace_back(
-            int k, const std::vector<std::vector<Entry>>& table) {
+    std::vector<std::vector<int>> trace_back(int k, const DPTable& t) {
         std::vector<std::vector<int>> vv;
-        for (size_t i = 0; i < table[k].size(); i++) {
+        int ns = t.nsol(k);
+        for (int i = 0; i < ns; i++) {
             std::vector<int> v;
-            int p = k, q = (int)i;
+            int p = k, q = i;
             while (true) {
                 v.push_back(p);
-                const Entry& e = table[p][q];
-                p = e.trace1;
-                q = e.trace2;
+                int e = t.vbeg[p] + q;
+                int np = t.tr1[e];
+                q = t.tr2[e];
+                p = np;
                 if (p < 0) break;
             }
             std::reverse(v.begin(), v.end());
@@ -419,16 +453,16 @@ struct BridgeSolver {
 
     // consume one DP table for the pier run [b1, b2]
     // (the inner loop of bridge_solver.cc:227-252)
-    void consume_host_table(int b1, int b2,
-                            const std::vector<std::vector<Entry>>& table) {
+    void consume_host_table(int b1, int b2, const DPTable& table) {
         std::vector<i64> chain;
         for (int b = b1; b <= b2; b++) {
             int bt = piers[b].bt;
             auto paths = trace_back(bt, table);
             for (size_t j = 0; j < paths.size(); j++) {
                 BridgePath p;
-                p.score = table[bt][j].stack[0];
-                p.stack = table[bt][j].stack;
+                const i64* st = table.stack_at(bt, (int)j);
+                p.score = st[0];
+                p.stack.assign(st, st + table.S);
                 p.v = paths[j];
                 build_intron_coordinates_from_path(gr, p.v, chain);
                 p.chain = filter_pseudo_introns(chain);
