@@ -432,14 +432,30 @@ static void pair_fragments(const std::vector<int32_t>& fixed,
     int n = (int)(fixed.size() / 25);
     if (n == 0) return;
     int64_t M = n + 1 < 1000000 ? n + 1 : 1000000;
-    std::vector<std::vector<int32_t>> vv(M);
-    std::vector<char> paired(n, 0);
+    // CSR buckets in thread-local scratch: the former per-bucket
+    // vector<vector> was ~1 alloc per hit per bundle (the hottest scan
+    // symbol).  Two-pass counting keeps ascending-i order within each
+    // bucket — identical "first match in bucket order wins" semantics.
+    static thread_local std::vector<int32_t> keys, cnt, bucket;
+    static thread_local std::vector<char> paired_v;
+    keys.resize(n);
+    cnt.assign(M + 1, 0);
+    bucket.resize(n);
+    paired_v.assign(n, 0);
+    char* paired = paired_v.data();
     for (int i = 0; i < n; i++) {
         const int32_t* fx = fixed.data() + (size_t)i * 25;
         uint32_t qh = (uint32_t)fx[23];
         int64_t k = pymod(pymod((int64_t)qh, M) + pymod(fx[1], M) +
                           pymod(-(int64_t)fx[7], M), M);
-        vv[k].push_back(i);
+        keys[i] = (int32_t)k;
+        cnt[k + 1]++;
+    }
+    for (int64_t k = 0; k < M; k++) cnt[k + 1] += cnt[k];
+    {
+        static thread_local std::vector<int32_t> slot;
+        slot.assign(cnt.begin(), cnt.end() - 1);
+        for (int i = 0; i < n; i++) bucket[slot[keys[i]]++] = i;
     }
     for (int i = 0; i < n; i++) {
         if (paired[i]) continue;
@@ -448,7 +464,8 @@ static void pair_fragments(const std::vector<int32_t>& fixed,
         int64_t k = pymod(pymod((int64_t)qh, M) + pymod(fx[6], M) +
                           pymod((int64_t)fx[7], M), M);
         int x = -1;
-        for (int32_t u : vv[k]) {
+        for (int32_t b = cnt[k]; b < cnt[k + 1]; b++) {
+            int32_t u = bucket[b];
             if (u == i || paired[u]) continue;
             const int32_t* fz = fixed.data() + (size_t)u * 25;
             if (fz[1] != fx[6]) continue;                 // z.pos == h.mpos
