@@ -1248,9 +1248,9 @@ class MtJob:
         if self.merged:
             lib.core_batch_free(h)
             stats["native_groups"] += len(self.asms)
-            for gv in self.gvs:
-                for bd in gv:
-                    bd.clear()
+            # no per-bundle clear: the replay already ran in C++ and the
+            # bundles (plus their scanner-pool views) die with this MtJob
+            # at return — the 20k-iteration clear loop bought nothing
         elif _batch_nts_targets(self.asms):
             _replay_batch_nts(lib, h, self.asms, self.gvs)
         else:
