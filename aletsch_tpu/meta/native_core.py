@@ -1304,6 +1304,7 @@ def launch_groups_native_mt(asms, gvs, do_bridge, nthreads):
             *args, hs, rid.ctypes.data, gid.ctypes.data, inst.ctypes.data,
             chrm, skip.ctypes.data)
         merged = True
+        stats["merged_waves"] = stats.get("merged_waves", 0) + 1
     else:
         jh = lib.core_resolve_groups_mt_async(*args)
     stats["mt_marshal_s"] += _time.perf_counter() - _t0
