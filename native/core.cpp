@@ -100,9 +100,12 @@ struct GroupAssembler {
         combine_bundles(cb, gv);
         SpliceGraph gr;
         transform(cb, false, gr);
+        PereadsGraphArrays gp;          // one conversion for the whole group
+        gp.prepare(gr);
         for (Bundle* bd : gv) {
             std::vector<PereadsCluster> vc;
-            build_pereads_clusters(gr, *bd, acfg.max_reads_partition_gap, vc);
+            build_pereads_clusters(gr, *bd, acfg.max_reads_partition_gap,
+                                   vc, &gp);
             if (vc.empty()) continue;
             BridgeSolver bs(gr, vc, acfg, bd->insert_low, bd->insert_high);
             for (size_t j = 0; j < vc.size(); j++) {

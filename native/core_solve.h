@@ -48,9 +48,43 @@ struct PereadsCluster {
 
 // graph_cluster.py build_pereads_clusters via the native engine
 // (_build_clusters_native export + abam_cluster_pereads)
+// Graph-derived i32 arrays for abam_cluster_pereads, reusable across the
+// bundles of one joint-bridge pass: the conversion is per GRAPH, and
+// joint bridging runs build_pereads_clusters once per bundle over the
+// SAME combined graph (assembler.cc:977-1018).
+struct PereadsGraphArrays {
+    int ni = 0;
+    std::vector<i32> vstarts, vends, rkeys, rvals, lkeys, lvals;
+    std::vector<uint8_t> adj;
+
+    void prepare(const SpliceGraph& gr) {
+        int n = gr.num_vertices();
+        ni = n >= 3 ? n - 2 : 0;
+        vstarts.resize(ni);
+        vends.resize(ni);
+        for (int k = 1; k < n - 1; k++) {
+            vstarts[k - 1] = (i32)gr.vinfo[k].lpos;
+            vends[k - 1] = (i32)gr.vinfo[k].rpos;
+        }
+        adj.assign(std::max(ni - 1, 1), 0);
+        for (int k = 1; k < n - 2; k++)
+            if (gr.edge(k, k + 1) != nullptr) adj[k - 1] = 1;
+        rkeys.clear(); rvals.clear(); lkeys.clear(); lvals.clear();
+        for (size_t z = 0; z < gr.rindex.keys.size(); z++) {
+            rkeys.push_back((i32)gr.rindex.keys[z]);
+            rvals.push_back((i32)gr.rindex.vals[z]);
+        }
+        for (size_t z = 0; z < gr.lindex.keys.size(); z++) {
+            lkeys.push_back((i32)gr.lindex.keys[z]);
+            lvals.push_back((i32)gr.lindex.vals[z]);
+        }
+    }
+};
+
 inline void build_pereads_clusters(const SpliceGraph& gr, Bundle& bd,
                                    i64 max_gap,
-                                   std::vector<PereadsCluster>& vc) {
+                                   std::vector<PereadsCluster>& vc,
+                                   const PereadsGraphArrays* gp = nullptr) {
     vc.clear();
     // candidates (fragments still to bridge); assume unbridgeable first
     std::vector<i32> cand_frag, cand_h1, cand_h2;
@@ -68,23 +102,10 @@ inline void build_pereads_clusters(const SpliceGraph& gr, Bundle& bd,
     }
     int n = gr.num_vertices();
     if (cand_frag.empty() || n < 3) return;
-    int ni = n - 2;
-    std::vector<i32> vstarts(ni), vends(ni);
-    for (int k = 1; k < n - 1; k++) {
-        vstarts[k - 1] = (i32)gr.vinfo[k].lpos;
-        vends[k - 1] = (i32)gr.vinfo[k].rpos;
-    }
-    std::vector<uint8_t> adj(std::max(ni - 1, 1), 0);
-    for (int k = 1; k < n - 2; k++)
-        if (gr.edge(k, k + 1) != nullptr) adj[k - 1] = 1;
-    std::vector<i32> rkeys, rvals, lkeys, lvals;
-    for (size_t z = 0; z < gr.rindex.keys.size(); z++) {
-        rkeys.push_back((i32)gr.rindex.keys[z]);
-        rvals.push_back((i32)gr.rindex.vals[z]);
-    }
-    for (size_t z = 0; z < gr.lindex.keys.size(); z++) {
-        lkeys.push_back((i32)gr.lindex.keys[z]);
-        lvals.push_back((i32)gr.lindex.vals[z]);
+    PereadsGraphArrays local;
+    if (gp == nullptr) {
+        local.prepare(gr);
+        gp = &local;
     }
     // hit coordinates and chains straight from the scanner rows
     std::vector<i32> hpos(bd.nh), hrpos(bd.nh), choff(bd.nh), chlen(bd.nh);
@@ -96,9 +117,9 @@ inline void build_pereads_clusters(const SpliceGraph& gr, Bundle& bd,
         chlen[j] = row[19];
     }
     void* h = abam_cluster_pereads(
-        ni, vstarts.data(), vends.data(), adj.data(),
-        (i32)rkeys.size(), rkeys.data(), rvals.data(),
-        (i32)lkeys.size(), lkeys.data(), lvals.data(),
+        gp->ni, gp->vstarts.data(), gp->vends.data(), gp->adj.data(),
+        (i32)gp->rkeys.size(), gp->rkeys.data(), gp->rvals.data(),
+        (i32)gp->lkeys.size(), gp->lkeys.data(), gp->lvals.data(),
         hpos.data(), hrpos.data(), choff.data(), chlen.data(),
         bd.coords, (i32)cand_frag.size(), cand_frag.data(), cand_h1.data(),
         cand_h2.data(), (i32)max_gap);
